@@ -1,0 +1,87 @@
+"""End-to-end slice: config compose -> dataset -> engine -> scan tracker ->
+evaluator. On the noise-free synthetic dataset with GT bootstrapping a
+perfect tracker must reach HOTA = MOTA = IDF1 = 100 (SURVEY §4 test
+strategy)."""
+import numpy as np
+import pytest
+
+from tracklab_tpu.config import compose, instantiate
+from tracklab_tpu.main import CONFIG_DIR, run
+
+
+def test_config_compose_and_interpolation():
+    cfg = compose(CONFIG_DIR, "config",
+                  ["dataset=mot17", "data_dir=/tmp/data", "num_cores=2"])
+    assert cfg.dataset._target_.endswith("MOT17")
+    assert cfg.dataset.dataset_path == "/tmp/data/MOT17"
+    assert cfg.engine.num_workers == 2
+    assert cfg.eval.eval_set == "val"
+
+
+def test_config_group_override():
+    cfg = compose(CONFIG_DIR, "config", ["modules/track=bytetrack"])
+    assert cfg.modules.track._target_.endswith("ByteTrack")
+
+
+@pytest.mark.parametrize("tracker", ["oc_sort", "bytetrack"])
+def test_e2e_synthetic_perfect_tracking(tracker, tmp_path):
+    cfg = compose(CONFIG_DIR, "config", [
+        f"modules/track={tracker}",
+        "dataset.n_videos=2", "dataset.n_frames=40",
+        "dataset.n_objects=5",
+        "state.load_from_groundtruth={detection: [bbox_ltwh, bbox_conf, category_id]}",
+        f"state.save_file={tmp_path}/state.pklz",
+        "use_rich=false",
+    ])
+    # min_hits=1 still needs 2 hits before emission except on frame 1;
+    # perfect data means every track is hit every frame.
+    parts, results = run(cfg)
+    combined = results["COMBINED_SEQ"]
+    # perfect detections -> perfect tracking
+    assert combined["MOTA"] > 99.0, combined
+    assert combined["IDF1"] > 99.0, combined
+    assert combined["HOTA"] > 99.0, combined
+    assert combined["IDSW"] == 0
+
+    # state file exists and can resume
+    state = parts["tracker_state"]
+    assert (tmp_path / "state.pklz").exists()
+
+    # reload: detections for each video present in the saved state
+    import zipfile
+    with zipfile.ZipFile(tmp_path / "state.pklz") as zf:
+        names = zf.namelist()
+        assert "summary.json" in names
+        vids = parts["dataset"].sets["val"].video_metadatas.index
+        for vid in vids:
+            assert f"{vid}.pkl" in names
+
+
+def test_state_resume_skips_completed_videos(tmp_path):
+    cfg_args = [
+        "dataset.n_videos=1", "dataset.n_frames=20",
+        "state.load_from_groundtruth={detection: [bbox_ltwh, bbox_conf, category_id]}",
+        f"state.save_file={tmp_path}/state.pklz",
+        "use_rich=false",
+    ]
+    cfg = compose(CONFIG_DIR, "config", cfg_args)
+    run(cfg)
+    # second run: load_file == save_file resumes without error and
+    # keeps existing entries
+    cfg2 = compose(CONFIG_DIR, "config", cfg_args + [
+        f"state.load_file={tmp_path}/state.pklz"])
+    parts2, results2 = run(cfg2)
+    assert results2["COMBINED_SEQ"]["MOTA"] > 99.0
+
+
+def test_e2e_noisy_synthetic_reasonable():
+    cfg = compose(CONFIG_DIR, "config", [
+        "dataset.n_videos=1", "dataset.n_frames=60",
+        "dataset.det_noise=2.0", "dataset.det_dropout=0.1",
+        "dataset.fp_rate=0.3",
+        "state.load_from_groundtruth={detection: [bbox_ltwh, bbox_conf, category_id]}",
+        "use_rich=false",
+    ])
+    parts, results = run(cfg)
+    combined = results["COMBINED_SEQ"]
+    assert combined["HOTA"] > 60.0, combined

@@ -1,0 +1,233 @@
+"""Hydra-compatible config composition without the hydra dependency.
+
+The reference drives everything through Hydra YAML
+(tracklab/configs/config.yaml + @hydra.main, tracklab/main.py:24); this
+module reproduces the subset of semantics the config tree uses:
+
+  * a root config with a ``defaults:`` list composing config *groups*
+    (``- dataset: mot17`` loads ``configs/dataset/mot17.yaml`` under the
+    ``dataset`` key; ``- _self_`` controls merge order)
+  * CLI overrides: ``group=option`` re-selects a group file,
+    ``a.b.c=value`` overrides a leaf, ``+a.b=value`` adds a new leaf
+  * ``${a.b}`` interpolation resolved against the final merged tree
+  * ``_target_``-based object instantiation (:func:`instantiate`)
+
+Keeping the YAML surface Hydra-shaped is an explicit compat goal
+(SURVEY §5-config) so reference users can port their configs unchanged.
+"""
+from __future__ import annotations
+
+import copy
+import importlib
+import re
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+__all__ = ["OmegaDict", "load_yaml", "compose", "instantiate"]
+
+
+class OmegaDict(dict):
+    """dict with attribute access, recursive wrap, and deep merge."""
+
+    def __getattr__(self, k):
+        try:
+            v = self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+        return v
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    @staticmethod
+    def wrap(obj):
+        if isinstance(obj, dict):
+            return OmegaDict({k: OmegaDict.wrap(v) for k, v in obj.items()})
+        if isinstance(obj, list):
+            return [OmegaDict.wrap(v) for v in obj]
+        return obj
+
+    def merge(self, other: dict):
+        for k, v in other.items():
+            if (k in self and isinstance(self[k], dict)
+                    and isinstance(v, dict)):
+                self[k].merge(v)
+            else:
+                self[k] = OmegaDict.wrap(v)
+        return self
+
+    def select(self, dotted: str, default=None):
+        node = self
+        for part in dotted.split("."):
+            if not isinstance(node, dict) or part not in node:
+                return default
+            node = node[part]
+        return node
+
+    def set_dotted(self, dotted: str, value):
+        parts = dotted.split(".")
+        node = self
+        for p in parts[:-1]:
+            if p not in node or not isinstance(node[p], dict):
+                node[p] = OmegaDict()
+            node = node[p]
+        node[parts[-1]] = OmegaDict.wrap(value)
+
+
+def load_yaml(path) -> OmegaDict:
+    with open(path) as fp:
+        data = yaml.safe_load(fp) or {}
+    return OmegaDict.wrap(data)
+
+
+def _parse_value(text: str):
+    try:
+        return yaml.safe_load(text)
+    except yaml.YAMLError:
+        return text
+
+
+_INTERP = re.compile(r"\$\{([a-zA-Z0-9_.]+)\}")
+
+
+def _resolve_node(node, root, stack=()):
+    if isinstance(node, str):
+        m = _INTERP.fullmatch(node)
+        if m:  # whole-string interpolation keeps the referent's type
+            key = m.group(1)
+            if key in stack:
+                raise ValueError(f"Interpolation cycle at ${{{key}}}")
+            tgt = root.select(key)
+            return _resolve_node(tgt, root, stack + (key,))
+
+        def sub(match):
+            key = match.group(1)
+            tgt = root.select(key)
+            tgt = _resolve_node(tgt, root, stack + (key,))
+            return str(tgt)
+
+        return _INTERP.sub(sub, node)
+    if isinstance(node, dict):
+        return OmegaDict({k: _resolve_node(v, root, stack)
+                          for k, v in node.items()})
+    if isinstance(node, list):
+        return [_resolve_node(v, root, stack) for v in node]
+    return node
+
+
+def _load_group(config_dir: Path, group: str, option: str,
+                root_dir: Optional[Path] = None) -> OmegaDict:
+    root_dir = root_dir or config_dir
+    group_dir = config_dir / group.replace(".", "/").replace("//", "/")
+    path = group_dir / f"{option}.yaml"
+    if not path.exists():
+        raise FileNotFoundError(f"Config group file not found: {path}")
+    cfg = load_yaml(path)
+    # nested defaults inside group files (e.g. modules composing others);
+    # like Hydra, `/group` is root-relative, bare names are group-relative
+    defaults = cfg.pop("defaults", None)
+    if defaults:
+        merged = OmegaDict()
+        self_seen = False
+        for entry in defaults:
+            if entry == "_self_":
+                merged.merge(cfg)
+                self_seen = True
+            elif isinstance(entry, dict):
+                (g, opt), = entry.items()
+                if str(g).startswith("/"):
+                    sub = _load_group(root_dir, str(g)[1:], str(opt),
+                                      root_dir)
+                    merged.set_dotted(str(g)[1:], sub)
+                else:
+                    sub = _load_group(group_dir, str(g), str(opt), root_dir)
+                    merged.set_dotted(str(g), sub)
+        if not self_seen:
+            merged.merge(cfg)
+        cfg = merged
+    return cfg
+
+
+def compose(config_dir, config_name: str = "config",
+            overrides: Optional[List[str]] = None) -> OmegaDict:
+    """Compose the root config with its defaults list and CLI overrides."""
+    config_dir = Path(config_dir)
+    overrides = list(overrides or [])
+
+    root_cfg = load_yaml(config_dir / f"{config_name}.yaml")
+    defaults = root_cfg.pop("defaults", [])
+
+    # group overrides (`dataset=mot20`) replace defaults-list selections
+    group_overrides: Dict[str, str] = {}
+    value_overrides: List[tuple] = []
+    for ov in overrides:
+        if ov.startswith("+"):
+            key, _, val = ov[1:].partition("=")
+            value_overrides.append((key, _parse_value(val)))
+            continue
+        key, _, val = ov.partition("=")
+        candidate = config_dir / key.replace(".", "/") / f"{val}.yaml"
+        if candidate.exists():
+            group_overrides[key] = str(val)
+        else:
+            value_overrides.append((key, _parse_value(val)))
+
+    cfg = OmegaDict()
+    self_seen = False
+    for entry in defaults:
+        if entry == "_self_":
+            cfg.merge(root_cfg)
+            self_seen = True
+            continue
+        if isinstance(entry, dict):
+            (group, option), = entry.items()
+            option = group_overrides.pop(group, option)
+            if option in (None, "null"):
+                continue
+            sub = _load_group(config_dir, group, str(option))
+            cfg.set_dotted(group.replace("/", "."), sub)
+    if not self_seen:
+        cfg.merge(root_cfg)
+    for group, option in group_overrides.items():
+        sub = _load_group(config_dir, group, option)
+        cfg.set_dotted(group.replace("/", "."), sub)
+    for key, val in value_overrides:
+        cfg.set_dotted(key, val)
+
+    return _resolve_node(cfg, cfg)
+
+
+def instantiate(node, *args, **extra_kwargs):
+    """Build the object described by a ``_target_`` node
+    (reference: hydra.utils.instantiate used throughout tracklab/main.py).
+
+    Child dicts that themselves carry ``_target_`` are instantiated
+    recursively; ``_partial_: true`` returns a functools.partial.
+    """
+    import functools
+
+    if node is None:
+        return None
+    if not isinstance(node, dict) or "_target_" not in node:
+        raise ValueError(f"Cannot instantiate non-target node: {node!r}")
+    node = copy.deepcopy(node)
+    target = node.pop("_target_")
+    partial = node.pop("_partial_", False)
+    node.pop("_recursive_", None)
+
+    kwargs = {}
+    for k, v in node.items():
+        if isinstance(v, dict) and "_target_" in v:
+            kwargs[k] = instantiate(v)
+        else:
+            kwargs[k] = v
+    kwargs.update(extra_kwargs)
+
+    module_name, _, attr = target.rpartition(".")
+    mod = importlib.import_module(module_name)
+    fn = getattr(mod, attr)
+    if partial:
+        return functools.partial(fn, *args, **kwargs)
+    return fn(*args, **kwargs)

@@ -1,0 +1,51 @@
+"""Offline engine: per video, each module runs over the whole video as one
+batched pass (reference: tracklab/engine/offline.py:9-35).
+
+Video-level modules — notably the lax.scan trackers — get the entire
+video's detections at once, which is exactly the TPU-native shape: one XLA
+program per video instead of a per-frame host round-trip.
+"""
+from __future__ import annotations
+
+import pandas as pd
+
+from tracklab_tpu.engine.engine import TrackingEngine, merge_dataframes
+
+__all__ = ["OfflineTrackingEngine"]
+
+
+class OfflineTrackingEngine(TrackingEngine):
+    def video_loop(self, video_metadata: pd.Series, video_id):
+        for model in self.models.values():
+            if hasattr(model, "reset"):
+                model.reset()
+
+        detections, image_pred = self.tracker_state.load()
+
+        model_names = self.module_names
+        for model_name in model_names:
+            model = self.models[model_name]
+            if model.level == "video":
+                self.fire("on_module_start", task=model_name,
+                          dataloader=[])
+                outputs = model.process(detections, image_pred)
+                detections = merge_dataframes(detections, outputs)
+                self.fire("on_module_end", task=model_name,
+                          detections=detections)
+            else:
+                image_filepaths = {
+                    idx: fp for idx, fp in
+                    image_pred["file_path"].items()}
+                self.datapipes[model_name].update(
+                    image_filepaths, image_pred, detections)
+                loader = self.dataloaders[model_name]
+                self.fire("on_module_start", task=model_name,
+                          dataloader=loader)
+                for batch in loader:
+                    detections, image_pred = self.default_step(
+                        batch, model_name, detections, image_pred)
+                self.fire("on_module_end", task=model_name,
+                          detections=detections)
+            if len(detections) == 0:
+                return detections, image_pred
+        return detections, image_pred

@@ -1,0 +1,105 @@
+"""Procedural synthetic tracking dataset.
+
+The reference has no test fixtures (SURVEY §4); this generator fills that
+gap: linear-motion objects with known ground-truth track ids, optional
+detection noise/dropout, producing a full TrackingSet. A perfect tracker on
+the noise-free configuration must reach HOTA = 100 — the core eval/tracker
+integration test, and the bench workload when no real dataset is mounted.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tracklab_tpu.datastruct.tracking_dataset import (
+    TrackingDataset, TrackingSet,
+)
+
+__all__ = ["SyntheticDataset", "make_synthetic_set"]
+
+
+def make_synthetic_set(n_videos=2, n_frames=100, n_objects=8, seed=0,
+                       det_noise=0.0, det_dropout=0.0, fp_rate=0.0,
+                       img_w=1920, img_h=1080, id_offset=0):
+    rng = np.random.default_rng(seed)
+    video_rows, image_rows, det_rows = [], [], []
+    vid0, img0, det0 = id_offset, id_offset * 100000, id_offset * 1000000
+    image_counter, det_counter = img0, det0
+    for v in range(n_videos):
+        video_id = vid0 + v
+        video_rows.append({
+            "id": video_id, "name": f"synth-{video_id:03d}",
+            "nframes": n_frames, "frame_rate": 30,
+            "seqlength": n_frames, "im_width": img_w, "im_height": img_h,
+        })
+        pos = rng.uniform([100, 100], [img_w - 300, img_h - 300],
+                          (n_objects, 2))
+        vel = rng.uniform(-6, 6, (n_objects, 2))
+        size = rng.uniform(40, 150, (n_objects, 2))
+        for f in range(1, n_frames + 1):
+            image_id = image_counter
+            image_counter += 1
+            image_rows.append({
+                "id": image_id, "video_id": video_id, "frame": f,
+                "file_path": f"synthetic://{video_id}/{f}",
+                "is_labeled": True,
+            })
+            pos = pos + vel
+            # bounce off borders
+            for d, lim in ((0, img_w - 200), (1, img_h - 200)):
+                hit = (pos[:, d] < 0) | (pos[:, d] > lim)
+                vel[hit, d] *= -1
+            pos = np.clip(pos, 0, [img_w - 200, img_h - 200])
+            for k in range(n_objects):
+                if det_dropout and rng.uniform() < det_dropout:
+                    continue
+                c = pos[k] + rng.normal(0, det_noise, 2) \
+                    if det_noise else pos[k]
+                s = size[k]
+                det_rows.append({
+                    "id": det_counter,
+                    "image_id": image_id, "video_id": video_id,
+                    "frame": f, "track_id": k + 1,
+                    "bbox_ltwh": np.array([c[0], c[1], s[0], s[1]],
+                                          np.float32),
+                    "bbox_conf": float(rng.uniform(0.75, 1.0)),
+                    "category_id": 1, "visibility": 1.0,
+                })
+                det_counter += 1
+            if fp_rate:
+                for _ in range(rng.poisson(fp_rate)):
+                    c = rng.uniform([0, 0], [img_w - 150, img_h - 150])
+                    s = rng.uniform(30, 100, 2)
+                    det_rows.append({
+                        "id": det_counter,
+                        "image_id": image_id, "video_id": video_id,
+                        "frame": f, "track_id": -1,
+                        "bbox_ltwh": np.array([c[0], c[1], s[0], s[1]],
+                                              np.float32),
+                        "bbox_conf": float(rng.uniform(0.3, 0.7)),
+                        "category_id": 1, "visibility": 1.0,
+                    })
+                    det_counter += 1
+    video_df = pd.DataFrame(video_rows).set_index("id")
+    image_df = pd.DataFrame(image_rows).set_index("id")
+    det_df = pd.DataFrame(det_rows).set_index("id")
+    return TrackingSet(video_df, image_df, det_df)
+
+
+class SyntheticDataset(TrackingDataset):
+    def __init__(self, dataset_path: str = "/tmp/synthetic",
+                 n_videos: int = 2, n_frames: int = 100,
+                 n_objects: int = 8, seed: int = 0,
+                 det_noise: float = 0.0, det_dropout: float = 0.0,
+                 fp_rate: float = 0.0, nvid: int = -1, nframes: int = -1,
+                 **kwargs):
+        sets = {
+            "train": make_synthetic_set(
+                n_videos, n_frames, n_objects, seed, det_noise,
+                det_dropout, fp_rate),
+            "val": make_synthetic_set(
+                n_videos, n_frames, n_objects, seed + 1, det_noise,
+                det_dropout, fp_rate, id_offset=n_videos),
+        }
+        super().__init__(dataset_path, sets, nvid=nvid, nframes=nframes,
+                         **kwargs)

@@ -1,0 +1,3 @@
+from tracklab_tpu.wrappers.track.scan_tracker import (  # noqa
+    OCSORT, ByteTrack,
+)

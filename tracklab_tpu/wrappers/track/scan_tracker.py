@@ -1,0 +1,187 @@
+"""Tracker wrappers: DataFrame boundary around the lax.scan trackers.
+
+The reference wraps each tracker as an ImageLevelModule with batch_size=1
+and a per-frame host round-trip (tracklab/wrappers/track/oc_sort_api.py:14-76,
+byte_track_api.py:14-76). TPU-native design runs the tracker as a
+*VideoLevelModule*: the whole video's detections are padded into fixed-
+capacity arrays once, a single jitted lax.scan consumes them on device, and
+the emitted (track_id, box, ref) tuples are joined back onto the detection
+DataFrame by row id — the same public columns as the reference
+(track_id, track_bbox_ltwh, track_bbox_conf).
+"""
+from __future__ import annotations
+
+import logging
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+from tracklab_tpu.pipeline.levels import VideoLevelModule
+from tracklab_tpu.utils import coordinates as C
+
+log = logging.getLogger(__name__)
+
+__all__ = ["OCSORT", "ByteTrack"]
+
+
+def _pad_video(detections: pd.DataFrame, image_pred: pd.DataFrame,
+               max_dets: int, n_frame_bucket: int = 64):
+    """Detections DataFrame -> fixed-capacity (F, D, ...) arrays.
+
+    Frames are bucketed to multiples of ``n_frame_bucket`` (trailing frames
+    carry no valid detections) so XLA compiles one program per bucket, not
+    per video length.
+    """
+    import jax.numpy as jnp
+    from tracklab_tpu.trackers.common import Detections
+
+    frame_ids = list(image_pred.index)
+    n_frames = len(frame_ids)
+    F = max(((n_frames + n_frame_bucket - 1) // n_frame_bucket)
+            * n_frame_bucket, n_frame_bucket)
+    ltrb = np.zeros((F, max_dets, 4), np.float32)
+    conf = np.zeros((F, max_dets), np.float32)
+    cls = np.zeros((F, max_dets), np.float32)
+    ref = np.full((F, max_dets), -1, np.int64)
+    valid = np.zeros((F, max_dets), bool)
+
+    if len(detections):
+        by_image = detections.groupby("image_id")
+        for f, image_id in enumerate(frame_ids):
+            if image_id not in by_image.groups:
+                continue
+            rows = by_image.get_group(image_id)
+            n = len(rows)
+            if n > max_dets:
+                log.warning("frame %s has %d detections > capacity %d; "
+                            "keeping the %d most confident", image_id, n,
+                            max_dets, max_dets)
+                rows = rows.sort_values(
+                    "bbox_conf", ascending=False).head(max_dets)
+                n = max_dets
+            boxes = np.stack(rows["bbox_ltwh"].to_numpy())
+            ltrb[f, :n] = C.ltwh_to_ltrb(boxes)
+            conf[f, :n] = rows["bbox_conf"].to_numpy(np.float32)
+            if "category_id" in rows:
+                cls[f, :n] = pd.to_numeric(
+                    rows["category_id"], errors="coerce").fillna(0.0)
+            ref[f, :n] = rows.index.to_numpy()
+            valid[f, :n] = True
+
+    # row ids can exceed int32; remap through a lookup table
+    uniq = ref[ref >= 0]
+    lut = np.unique(uniq)
+    remap = {v: i for i, v in enumerate(lut)}
+    ref32 = np.full((F, max_dets), -1, np.int32)
+    for (f, d) in zip(*np.nonzero(ref >= 0)):
+        ref32[f, d] = remap[ref[f, d]]
+
+    dets = Detections(jnp.asarray(ltrb), jnp.asarray(conf),
+                      jnp.asarray(cls), jnp.asarray(ref32),
+                      jnp.asarray(valid))
+    return dets, n_frames, lut
+
+
+class _ScanTrackerBase(VideoLevelModule):
+    input_columns = ["bbox_ltwh", "bbox_conf", "category_id"]
+    output_columns = ["track_id", "track_bbox_ltwh", "track_bbox_conf"]
+
+    def __init__(self, max_dets: int = 64, n_frame_bucket: int = 64,
+                 **kwargs):
+        self.max_dets = max_dets
+        self.n_frame_bucket = n_frame_bucket
+
+    def reset(self):
+        pass  # scan trackers are stateless between videos by construction
+
+    def _make_config(self):
+        raise NotImplementedError
+
+    def _scan_fn(self):
+        raise NotImplementedError
+
+    @property
+    def _jitted(self):
+        import jax
+        if not hasattr(self, "_jit_cache"):
+            cfg = self._make_config()
+            scan = self._scan_fn()
+            self._jit_cache = jax.jit(lambda d: scan(cfg, d))
+        return self._jit_cache
+
+    def process(self, detections: pd.DataFrame,
+                metadatas: pd.DataFrame) -> pd.DataFrame:
+        if len(detections) == 0:
+            return detections
+        dets, n_frames, lut = _pad_video(
+            detections, metadatas, self.max_dets, self.n_frame_bucket)
+        _, out = self._jitted(dets)
+
+        valid = np.asarray(out.valid[:n_frames])
+        track_id = np.asarray(out.track_id[:n_frames])
+        ltrb = np.asarray(out.ltrb[:n_frames])
+        conf = np.asarray(out.conf[:n_frames])
+        ref = np.asarray(out.ref[:n_frames])
+
+        fs, ts = np.nonzero(valid)
+        rows = lut[ref[fs, ts]]
+        result = pd.DataFrame(index=rows)
+        result["track_id"] = track_id[fs, ts].astype(float)
+        result["track_bbox_ltwh"] = list(
+            C.ltrb_to_ltwh(ltrb[fs, ts]).astype(np.float32))
+        result["track_bbox_conf"] = conf[fs, ts].astype(float)
+        # drop duplicate refs (a det emitted once per frame at most, but a
+        # stale ref can repeat if a track coasts; keep the first emission)
+        result = result[~result.index.duplicated(keep="first")]
+        return result
+
+
+class OCSORT(_ScanTrackerBase):
+    """OC-SORT wrapper; hyperparameter names/defaults mirror
+    tracklab/configs/modules/track/oc_sort.yaml."""
+
+    def __init__(self, det_thresh: float = 0.4432, max_age: int = 50,
+                 min_hits: int = 1, iou_threshold: float = 0.2214,
+                 delta_t: int = 3, asso_func: str = "iou",
+                 inertia: float = 0.3941, use_byte: bool = False,
+                 max_tracks: int = 128, max_dets: int = 64,
+                 min_confidence: float = 0.0, device=None, **kwargs):
+        super().__init__(max_dets=max_dets, **kwargs)
+        self.params = dict(
+            det_thresh=det_thresh, max_age=max_age, min_hits=min_hits,
+            iou_threshold=iou_threshold, delta_t=delta_t,
+            asso_func=asso_func, inertia=inertia, use_byte=use_byte,
+            max_tracks=max_tracks, max_dets=max_dets)
+        self.min_confidence = min_confidence
+
+    def _make_config(self):
+        from tracklab_tpu.trackers.ocsort import OCSortConfig
+        return OCSortConfig(**self.params)
+
+    def _scan_fn(self):
+        from tracklab_tpu.trackers.ocsort import ocsort_scan
+        return ocsort_scan
+
+
+class ByteTrack(_ScanTrackerBase):
+    """ByteTrack wrapper; defaults mirror
+    plugins/track/byte_track/configs/bytetrack.yaml."""
+
+    def __init__(self, track_thresh: float = 0.6,
+                 match_thresh: float = 0.8, track_buffer: int = 25,
+                 frame_rate: int = 30, max_tracks: int = 128,
+                 max_dets: int = 64, device=None, **kwargs):
+        super().__init__(max_dets=max_dets, **kwargs)
+        self.params = dict(
+            track_thresh=track_thresh, match_thresh=match_thresh,
+            track_buffer=track_buffer, frame_rate=frame_rate,
+            max_tracks=max_tracks, max_dets=max_dets)
+
+    def _make_config(self):
+        from tracklab_tpu.trackers.bytetrack import ByteTrackConfig
+        return ByteTrackConfig(**self.params)
+
+    def _scan_fn(self):
+        from tracklab_tpu.trackers.bytetrack import bytetrack_scan
+        return bytetrack_scan

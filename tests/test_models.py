@@ -1,0 +1,157 @@
+"""Detector / NMS / preprocessing / parallel-layer tests (CPU, tiny)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+class TestYOLOX:
+    def test_forward_shapes(self):
+        from tracklab_tpu.models.yolox import YOLOX
+        model = YOLOX(num_classes=3, variant="nano")
+        x = jnp.zeros((1, 64, 64, 3))
+        vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+        outs = model.apply(vars_, x, train=False)
+        assert len(outs) == 3
+        assert outs[0].shape == (1, 8, 8, 4 + 1 + 3)   # /8
+        assert outs[1].shape == (1, 4, 4, 8)           # /16
+        assert outs[2].shape == (1, 2, 2, 8)           # /32
+        dec = model.apply(vars_, x, method="predict")
+        assert dec.shape == (1, 8 * 8 + 4 * 4 + 2 * 2, 8)
+        # scores sigmoided into (0, 1)
+        assert float(jnp.min(dec[..., 4:])) >= 0.0
+        assert float(jnp.max(dec[..., 4:])) <= 1.0
+
+    def test_train_step_decreases_loss(self):
+        import optax
+        from tracklab_tpu.models.yolox import YOLOX
+        from tracklab_tpu.models.train import (
+            create_train_state, make_train_step,
+        )
+        model = YOLOX(num_classes=1, variant="nano")
+        tx = optax.adam(1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   (1, 64, 64, 3), tx)
+        rng = np.random.default_rng(0)
+        boxes = np.zeros((2, 3, 5), np.float32)
+        boxes[..., 0:2] = rng.uniform(16, 48, (2, 3, 2))
+        boxes[..., 2:4] = rng.uniform(10, 20, (2, 3, 2))
+        batch = {
+            "images": np.asarray(
+                rng.uniform(0, 1, (2, 64, 64, 3)), np.float32),
+            "gt_boxes": boxes,
+            "gt_valid": np.ones((2, 3), bool),
+        }
+        step = jax.jit(make_train_step(model, tx, (64, 64)))
+        state, loss0 = step(state, batch)
+        for _ in range(10):
+            state, loss = step(state, batch)
+        assert float(loss) < float(loss0)
+        assert np.isfinite(float(loss))
+
+
+class TestNMS:
+    def test_suppresses_overlaps(self):
+        from tracklab_tpu.ops.nms import nms
+        boxes = jnp.array([
+            [0, 0, 10, 10],
+            [1, 1, 11, 11],     # heavy overlap with first
+            [50, 50, 60, 60],
+        ], jnp.float32)
+        scores = jnp.array([0.9, 0.8, 0.7])
+        keep = np.asarray(nms(boxes, scores, 0.5))
+        assert list(keep) == [True, False, True]
+
+    def test_zero_score_excluded(self):
+        from tracklab_tpu.ops.nms import nms
+        boxes = jnp.array([[0, 0, 10, 10]], jnp.float32)
+        keep = np.asarray(nms(boxes, jnp.array([0.0]), 0.5))
+        assert not keep[0]
+
+    def test_per_class_separation(self):
+        from tracklab_tpu.ops.nms import batched_nms
+        boxes = jnp.array([[0, 0, 10, 10], [1, 1, 11, 11]], jnp.float32)
+        scores = jnp.array([0.9, 0.8])
+        # different classes: both kept
+        keep = np.asarray(batched_nms(boxes, scores,
+                                      jnp.array([0, 1]), 0.5))
+        assert list(keep) == [True, True]
+        # same class: one suppressed
+        keep = np.asarray(batched_nms(boxes, scores,
+                                      jnp.array([0, 0]), 0.5))
+        assert list(keep) == [True, False]
+
+    def test_postprocess_shapes(self):
+        from tracklab_tpu.ops.nms import postprocess_detections
+        rng = np.random.default_rng(0)
+        decoded = np.zeros((2, 100, 7), np.float32)
+        decoded[..., 0:2] = rng.uniform(50, 500, (2, 100, 2))
+        decoded[..., 2:4] = rng.uniform(10, 50, (2, 100, 2))
+        decoded[..., 4] = rng.uniform(0, 1, (2, 100))
+        decoded[..., 5:] = rng.uniform(0, 1, (2, 100, 2))
+        out = postprocess_detections(jnp.asarray(decoded),
+                                     conf_threshold=0.3, max_out=16)
+        assert out["ltrb"].shape == (2, 16, 4)
+        assert out["valid"].shape == (2, 16)
+        # valid rows are compacted to the front
+        v = np.asarray(out["valid"])
+        for b in range(2):
+            nz = np.nonzero(v[b])[0]
+            assert (nz == np.arange(len(nz))).all()
+
+
+class TestPreprocess:
+    def test_letterbox_geometry(self):
+        from tracklab_tpu.models.preprocess import letterbox
+        img = jnp.ones((100, 200, 3), jnp.uint8) * 255
+        out, (scale, pad_top, pad_left) = letterbox(img, 64, 64)
+        assert out.shape == (64, 64, 3)
+        assert abs(float(scale) - 0.32) < 1e-6
+        # top/bottom padded with 114
+        assert float(out[0, 0, 0]) == 114.0
+        assert float(out[32, 32, 0]) == 255.0
+
+    def test_crop_resize_identity(self):
+        from tracklab_tpu.models.preprocess import crop_resize
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)), jnp.float32)
+        boxes = jnp.array([[0, 0, 32, 32]], jnp.float32)
+        out = crop_resize(img, boxes, 32, 32)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(img),
+                                   atol=1e-5)
+
+
+class TestParallel:
+    def test_mesh_and_sharded_tracking(self):
+        from tracklab_tpu.parallel.mesh import (
+            make_mesh, tracker_videos_sharded,
+        )
+        from tracklab_tpu.trackers.ocsort import OCSortConfig, ocsort_scan
+        from tracklab_tpu.trackers.common import Detections
+        assert len(jax.devices()) == 8
+        mesh = make_mesh(8, axis_names=("video", "unused"), tp_size=1)
+        cfg = OCSortConfig(max_tracks=8, max_dets=4, min_hits=1)
+        V, F, D = 8, 6, 4
+        ltrb = np.zeros((V, F, D, 4), np.float32)
+        for f in range(F):
+            ltrb[:, f, :, 0] = 10 + 5 * f
+            ltrb[:, f, :, 1] = np.arange(D)[None] * 100
+            ltrb[:, f, :, 2] = ltrb[:, f, :, 0] + 40
+            ltrb[:, f, :, 3] = ltrb[:, f, :, 1] + 40
+        dets = Detections(
+            jnp.asarray(ltrb),
+            jnp.full((V, F, D), 0.9, jnp.float32),
+            jnp.zeros((V, F, D), jnp.float32),
+            jnp.broadcast_to(jnp.arange(D, dtype=jnp.int32), (V, F, D)),
+            jnp.ones((V, F, D), bool))
+        run = tracker_videos_sharded(
+            lambda c, d: ocsort_scan(c, d), cfg, mesh, axis="video")
+        _, out = run(dets)
+        v = np.asarray(out.valid)
+        assert v.shape == (V, F, cfg.max_tracks)
+        # every video tracked all D objects from frame 2 onward
+        assert (v[:, 2:].sum(-1) == D).all()
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__
+        __graft_entry__.dryrun_multichip(8)

@@ -1,0 +1,280 @@
+"""YOLOX detector in Flax (NHWC, bf16-friendly, MXU-aligned widths).
+
+TPU-native re-implementation of the architecture behind the reference's
+rtmlib/ONNX YOLOX wrapper (tracklab/wrappers/bbox_detector/rtmlib_api.py)
+and the DanceTrack baseline config (BASELINE config 2). Design notes:
+
+  * NHWC layout + channel widths that are multiples of 8/16 keep convs on
+    the MXU without relayouts.
+  * The Focus stem's space-to-depth is a reshape/transpose (free for XLA)
+    followed by a conv.
+  * Decode is fully vectorized over all anchors; NMS runs on device
+    (tracklab_tpu.ops.nms) so detection never round-trips to host.
+
+Variants: nano/tiny/s/m/l/x via (depth_mult, width_mult).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["YOLOX", "YOLOX_VARIANTS", "decode_outputs"]
+
+YOLOX_VARIANTS = {
+    "nano": dict(depth_mult=0.33, width_mult=0.25, depthwise=True),
+    "tiny": dict(depth_mult=0.33, width_mult=0.375, depthwise=False),
+    "s": dict(depth_mult=0.33, width_mult=0.5, depthwise=False),
+    "m": dict(depth_mult=0.67, width_mult=0.75, depthwise=False),
+    "l": dict(depth_mult=1.0, width_mult=1.0, depthwise=False),
+    "x": dict(depth_mult=1.33, width_mult=1.25, depthwise=False),
+}
+
+
+def _round_width(c, mult, divisor=8):
+    return max(int(round(c * mult / divisor)) * divisor, divisor)
+
+
+def _round_depth(d, mult):
+    return max(int(round(d * mult)), 1)
+
+
+class ConvBnAct(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=self.stride,
+                    padding=[(self.kernel // 2, self.kernel // 2)] * 2,
+                    feature_group_count=self.groups, use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=jnp.float32)(x)
+        return nn.silu(x)
+
+
+class DWConv(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBnAct(x.shape[-1], self.kernel, self.stride,
+                      groups=x.shape[-1], dtype=self.dtype)(x, train)
+        return ConvBnAct(self.features, 1, 1, dtype=self.dtype)(x, train)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    depthwise: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv2 = DWConv if self.depthwise else ConvBnAct
+        y = ConvBnAct(self.features, 1, dtype=self.dtype)(x, train)
+        y = conv2(self.features, 3, 1, dtype=self.dtype)(y, train)
+        if self.shortcut and x.shape[-1] == self.features:
+            y = y + x
+        return y
+
+
+class CSPLayer(nn.Module):
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    depthwise: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = self.features // 2
+        a = ConvBnAct(hidden, 1, dtype=self.dtype)(x, train)
+        b = ConvBnAct(hidden, 1, dtype=self.dtype)(x, train)
+        for _ in range(self.n):
+            a = Bottleneck(hidden, self.shortcut, self.depthwise,
+                           dtype=self.dtype)(a, train)
+        y = jnp.concatenate([a, b], axis=-1)
+        return ConvBnAct(self.features, 1, dtype=self.dtype)(y, train)
+
+
+class SPPBottleneck(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = x.shape[-1] // 2
+        x = ConvBnAct(hidden, 1, dtype=self.dtype)(x, train)
+        pools = [x]
+        for k in (5, 9, 13):
+            pools.append(nn.max_pool(x, (k, k), strides=(1, 1),
+                                     padding=[(k // 2, k // 2)] * 2))
+        x = jnp.concatenate(pools, axis=-1)
+        return ConvBnAct(self.features, 1, dtype=self.dtype)(x, train)
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem: (B, H, W, C) -> (B, H/2, W/2, 4C) -> conv."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        tl = x[:, ::2, ::2]
+        bl = x[:, 1::2, ::2]
+        tr = x[:, ::2, 1::2]
+        br = x[:, 1::2, 1::2]
+        x = jnp.concatenate([tl, bl, tr, br], axis=-1)
+        return ConvBnAct(self.features, 3, 1, dtype=self.dtype)(x, train)
+
+
+class CSPDarknet(nn.Module):
+    depth_mult: float
+    width_mult: float
+    depthwise: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w = lambda c: _round_width(c, self.width_mult)
+        d = lambda n: _round_depth(n, self.depth_mult)
+        conv = DWConv if self.depthwise else ConvBnAct
+
+        x = Focus(w(64), dtype=self.dtype)(x, train)            # /2
+        x = conv(w(128), 3, 2, dtype=self.dtype)(x, train)      # /4
+        x = CSPLayer(w(128), d(3), depthwise=self.depthwise,
+                     dtype=self.dtype)(x, train)
+        x = conv(w(256), 3, 2, dtype=self.dtype)(x, train)      # /8
+        c3 = CSPLayer(w(256), d(9), depthwise=self.depthwise,
+                      dtype=self.dtype)(x, train)
+        x = conv(w(512), 3, 2, dtype=self.dtype)(c3, train)     # /16
+        c4 = CSPLayer(w(512), d(9), depthwise=self.depthwise,
+                      dtype=self.dtype)(x, train)
+        x = conv(w(1024), 3, 2, dtype=self.dtype)(c4, train)    # /32
+        x = SPPBottleneck(w(1024), dtype=self.dtype)(x, train)
+        c5 = CSPLayer(w(1024), d(3), shortcut=False,
+                      depthwise=self.depthwise, dtype=self.dtype)(x, train)
+        return c3, c4, c5
+
+
+def _upsample2(x):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+
+
+class YOLOPAFPN(nn.Module):
+    depth_mult: float
+    width_mult: float
+    depthwise: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        c3, c4, c5 = feats
+        w = lambda c: _round_width(c, self.width_mult)
+        d = lambda n: _round_depth(n, self.depth_mult)
+        conv = DWConv if self.depthwise else ConvBnAct
+
+        # top-down
+        p5 = ConvBnAct(w(512), 1, dtype=self.dtype)(c5, train)
+        m4 = jnp.concatenate([_upsample2(p5), c4], axis=-1)
+        m4 = CSPLayer(w(512), d(3), shortcut=False,
+                      depthwise=self.depthwise, dtype=self.dtype)(m4, train)
+        p4 = ConvBnAct(w(256), 1, dtype=self.dtype)(m4, train)
+        m3 = jnp.concatenate([_upsample2(p4), c3], axis=-1)
+        out3 = CSPLayer(w(256), d(3), shortcut=False,
+                        depthwise=self.depthwise,
+                        dtype=self.dtype)(m3, train)
+        # bottom-up
+        n3 = conv(w(256), 3, 2, dtype=self.dtype)(out3, train)
+        m4b = jnp.concatenate([n3, p4], axis=-1)
+        out4 = CSPLayer(w(512), d(3), shortcut=False,
+                        depthwise=self.depthwise,
+                        dtype=self.dtype)(m4b, train)
+        n4 = conv(w(512), 3, 2, dtype=self.dtype)(out4, train)
+        m5 = jnp.concatenate([n4, p5], axis=-1)
+        out5 = CSPLayer(w(1024), d(3), shortcut=False,
+                        depthwise=self.depthwise,
+                        dtype=self.dtype)(m5, train)
+        return out3, out4, out5
+
+
+class YOLOXHead(nn.Module):
+    num_classes: int
+    width_mult: float
+    depthwise: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        hidden = _round_width(256, self.width_mult)
+        conv = DWConv if self.depthwise else ConvBnAct
+        outputs = []
+        for x in feats:
+            s = ConvBnAct(hidden, 1, dtype=self.dtype)(x, train)
+            c = conv(hidden, 3, 1, dtype=self.dtype)(s, train)
+            c = conv(hidden, 3, 1, dtype=self.dtype)(c, train)
+            cls_out = nn.Conv(self.num_classes, (1, 1),
+                              dtype=self.dtype)(c)
+            r = conv(hidden, 3, 1, dtype=self.dtype)(s, train)
+            r = conv(hidden, 3, 1, dtype=self.dtype)(r, train)
+            reg_out = nn.Conv(4, (1, 1), dtype=self.dtype)(r)
+            obj_out = nn.Conv(1, (1, 1), dtype=self.dtype)(r)
+            outputs.append(jnp.concatenate(
+                [reg_out, obj_out, cls_out], axis=-1))
+        return outputs
+
+
+def decode_outputs(outputs: Sequence[jnp.ndarray],
+                   strides=(8, 16, 32), apply_sigmoid: bool = True):
+    """Per-level (B, H, W, 5+C) maps -> (B, A, 5+C) decoded predictions:
+    xywh in input-image pixels, obj/cls scores (sigmoided)."""
+    decoded = []
+    for out, stride in zip(outputs, strides):
+        b, h, w, ch = out.shape
+        gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        out = out.astype(jnp.float32)
+        xy = (out[..., 0:2] + jnp.stack([gx, gy], axis=-1)) * stride
+        wh = jnp.exp(jnp.clip(out[..., 2:4], -10.0, 8.0)) * stride
+        rest = (jax.nn.sigmoid(out[..., 4:]) if apply_sigmoid
+                else out[..., 4:])
+        dec = jnp.concatenate([xy, wh, rest], axis=-1)
+        decoded.append(dec.reshape(b, h * w, ch))
+    return jnp.concatenate(decoded, axis=1)
+
+
+class YOLOX(nn.Module):
+    """Full detector. __call__ returns raw per-level maps; ``predict``
+    returns decoded (B, A, 5+C)."""
+    num_classes: int = 80
+    variant: str = "s"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        v = YOLOX_VARIANTS[self.variant]
+        self.backbone = CSPDarknet(v["depth_mult"], v["width_mult"],
+                                   v["depthwise"], dtype=self.dtype)
+        self.neck = YOLOPAFPN(v["depth_mult"], v["width_mult"],
+                              v["depthwise"], dtype=self.dtype)
+        self.head = YOLOXHead(self.num_classes, v["width_mult"],
+                              v["depthwise"], dtype=self.dtype)
+
+    def __call__(self, images, train: bool = False):
+        feats = self.backbone(images, train)
+        feats = self.neck(feats, train)
+        return self.head(feats, train)
+
+    def predict(self, images):
+        return decode_outputs(self(images, train=False))

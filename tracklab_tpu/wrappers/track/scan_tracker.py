@@ -22,7 +22,7 @@ from tracklab_tpu.utils import coordinates as C
 
 log = logging.getLogger(__name__)
 
-__all__ = ["OCSORT", "ByteTrack"]
+__all__ = ["OCSORT", "ByteTrack", "StrongSORT"]
 
 
 def _pad_video(detections: pd.DataFrame, image_pred: pd.DataFrame,
@@ -162,6 +162,94 @@ class OCSORT(_ScanTrackerBase):
     def _scan_fn(self):
         from tracklab_tpu.trackers.ocsort import ocsort_scan
         return ocsort_scan
+
+
+class StrongSORT(_ScanTrackerBase):
+    """StrongSORT wrapper: consumes per-detection appearance `embeddings`
+    (from a ReID module) alongside boxes; defaults mirror
+    tracklab/configs/modules/track/strong_sort.yaml. Coasting tracks
+    (time_since_update == 1) re-emit against their last matched detection
+    row — the reference wrapper's documented override behavior
+    (strong_sort_api.py:76-80), realized here by keeping the LAST
+    emission per detection row."""
+
+    input_columns = ["bbox_ltwh", "bbox_conf", "category_id", "embeddings"]
+    output_columns = ["track_id", "track_bbox_ltwh", "track_bbox_conf"]
+
+    def __init__(self, max_dist: float = 0.1594,
+                 max_iou_dist: float = 0.5432, max_age: int = 40,
+                 n_init: int = 3, nn_budget: int = 100,
+                 mc_lambda: float = 0.995, ema_alpha: float = 0.8962,
+                 embed_dim: int = 512, min_confidence: float = 0.4,
+                 max_tracks: int = 128, max_dets: int = 64,
+                 ecc: bool = False, device=None, **kwargs):
+        super().__init__(max_dets=max_dets, **kwargs)
+        self.params = dict(
+            max_dist=max_dist, max_iou_dist=max_iou_dist, max_age=max_age,
+            n_init=n_init, nn_budget=nn_budget, mc_lambda=mc_lambda,
+            ema_alpha=ema_alpha, embed_dim=embed_dim,
+            max_tracks=max_tracks, max_dets=max_dets)
+        self.min_confidence = min_confidence
+        self.ecc = ecc
+        self.embed_dim = embed_dim
+
+    def _make_config(self):
+        from tracklab_tpu.trackers.strongsort import StrongSortConfig
+        return StrongSortConfig(**self.params)
+
+    @property
+    def _jitted(self):
+        import jax
+        if not hasattr(self, "_jit_cache"):
+            from tracklab_tpu.trackers.strongsort import strongsort_scan
+            cfg = self._make_config()
+            self._jit_cache = jax.jit(
+                lambda d, e: strongsort_scan(cfg, d, e))
+        return self._jit_cache
+
+    def process(self, detections: pd.DataFrame,
+                metadatas: pd.DataFrame) -> pd.DataFrame:
+        if len(detections) == 0:
+            return detections
+        import jax.numpy as jnp
+        dets_in = detections[
+            detections["bbox_conf"] > self.min_confidence]
+        dets, n_frames, lut = _pad_video(
+            dets_in, metadatas, self.max_dets, self.n_frame_bucket)
+        F, D = dets.valid.shape
+        emb = np.zeros((F, D, self.embed_dim), np.float32)
+        if len(dets_in):
+            by_image = dets_in.groupby("image_id")
+            inv = {v: i for i, v in enumerate(lut)}
+            ref_np = np.asarray(dets.ref)
+            valid_np = np.asarray(dets.valid)
+            emb_by_row = {
+                idx: np.asarray(e, np.float32)
+                for idx, e in dets_in["embeddings"].items()}
+            for f in range(n_frames):
+                for d in np.nonzero(valid_np[f])[0]:
+                    row_id = lut[ref_np[f, d]]
+                    e = emb_by_row.get(row_id)
+                    if e is not None:
+                        emb[f, d, :min(len(e), self.embed_dim)] = \
+                            e[:self.embed_dim]
+        _, out = self._jitted(dets, jnp.asarray(emb))
+
+        valid = np.asarray(out.valid[:n_frames])
+        track_id = np.asarray(out.track_id[:n_frames])
+        ltrb = np.asarray(out.ltrb[:n_frames])
+        conf = np.asarray(out.conf[:n_frames])
+        ref = np.asarray(out.ref[:n_frames])
+        fs, ts = np.nonzero(valid)
+        rows = lut[ref[fs, ts]]
+        result = pd.DataFrame(index=rows)
+        result["track_id"] = track_id[fs, ts].astype(float)
+        result["track_bbox_ltwh"] = list(
+            C.ltrb_to_ltwh(ltrb[fs, ts]).astype(np.float32))
+        result["track_bbox_conf"] = conf[fs, ts].astype(float)
+        # coasting emissions repeat a ref on a later frame: last wins
+        result = result[~result.index.duplicated(keep="last")]
+        return result
 
 
 class ByteTrack(_ScanTrackerBase):

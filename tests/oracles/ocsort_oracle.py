@@ -209,7 +209,9 @@ class OCSortOracle:
                    + velocities[:, 0:1] * dy / nrm)
             ang = (np.pi / 2 - np.abs(np.arccos(np.clip(cos, -1, 1)))) / np.pi
             vmask = (k_obs[:, 4] >= 0).astype(float)[:, None]
-            angle_cost = ((vmask * ang) * self.inertia).T * first[:, 4:5]
+            # reference quirk: angle cost scaled by the CLASS column
+            # (association.py:259 on the 6-col [ltrb,conf,cls] slice)
+            angle_cost = ((vmask * ang) * self.inertia).T * first[:, 5:6]
 
             a = (iou > self.iou_threshold).astype(int)
             if a.sum(1).max() == 1 and a.sum(0).max() == 1:

@@ -33,7 +33,7 @@ def synth_stream(seed, n_frames=60, n_obj=6, drop=0.15, fp_rate=0.5,
             c = pos[k] + rng.normal(0, 2, 2)
             s = size[k] * rng.uniform(0.95, 1.05, 2)
             conf = rng.uniform(0.2, 1.0)
-            rows.append([c[0], c[1], c[0] + s[0], c[1] + s[1], conf, 0.0,
+            rows.append([c[0], c[1], c[0] + s[0], c[1] + s[1], conf, 1.0,
                          ref_counter])
             ref_counter += 1
         n_fp = rng.poisson(fp_rate)
@@ -41,7 +41,7 @@ def synth_stream(seed, n_frames=60, n_obj=6, drop=0.15, fp_rate=0.5,
             c = rng.uniform([0, 0], [img[0] - 200, img[1] - 200])
             s = rng.uniform(30, 120, 2)
             rows.append([c[0], c[1], c[0] + s[0], c[1] + s[1],
-                         rng.uniform(0.15, 0.9), 0.0, ref_counter])
+                         rng.uniform(0.15, 0.9), 1.0, ref_counter])
             ref_counter += 1
         frames.append(np.array(rows, np.float64).reshape(-1, 7))
     return frames

@@ -34,14 +34,14 @@ def synth_stream_with_emb(seed, n_frames=50, n_obj=5, drop=0.15,
             c = pos[k] + rng.normal(0, 2, 2)
             s = size[k]
             rows.append([c[0], c[1], c[0] + s[0], c[1] + s[1],
-                         rng.uniform(0.5, 1.0), 0.0, ref])
+                         rng.uniform(0.5, 1.0), 1.0, ref])
             es.append(obj_emb[k] + rng.normal(0, 0.1, E_DIM))
             ref += 1
         for _ in range(rng.poisson(fp_rate)):
             c = rng.uniform([0, 0], [img[0] - 200, img[1] - 200])
             s = rng.uniform(40, 120, 2)
             rows.append([c[0], c[1], c[0] + s[0], c[1] + s[1],
-                         rng.uniform(0.4, 0.9), 0.0, ref])
+                         rng.uniform(0.4, 0.9), 1.0, ref])
             es.append(rng.normal(size=E_DIM))
             ref += 1
         frames.append(np.array(rows, np.float64).reshape(-1, 7))

@@ -1,0 +1,163 @@
+"""Model weight IO: orbax checkpoints + torch YOLOX checkpoint conversion.
+
+The reference downloads torch/.pth weights per wrapper (SURVEY §5
+checkpoint-2); here those same files convert into the Flax YOLOX via a
+name-mapping pass (torch NCHW conv -> flax HWIO kernel, BN param/buffer
+split), so users of the reference's model zoo keep their weights.
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+__all__ = ["save_checkpoint", "load_checkpoint", "convert_yolox_torch"]
+
+
+def save_checkpoint(path, variables):
+    import orbax.checkpoint as ocp
+    path = Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, variables)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path, model=None, input_shape=None):
+    """Load a checkpoint. ``.pth``/``.pt`` files are torch YOLOX
+    checkpoints (converted on the fly, requires model+input_shape);
+    anything else is an orbax directory."""
+    path = Path(path)
+    if path.suffix in (".pth", ".pt"):
+        assert model is not None and input_shape is not None
+        return convert_yolox_torch(path, model, input_shape)
+    import jax
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    if model is not None and input_shape is not None:
+        import jax.numpy as jnp
+        target = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.zeros(input_shape), train=False))
+        return ckptr.restore(path.absolute(), target)
+    return ckptr.restore(path.absolute())
+
+
+def _torch_state_dict(path):
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in ("model", "state_dict", "ema"):
+            if key in ckpt and hasattr(ckpt[key], "items"):
+                ckpt = ckpt[key]
+                break
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in ckpt.items()}
+
+
+def convert_yolox_torch(path, model, input_shape):
+    """Convert an official-layout YOLOX torch checkpoint into this repo's
+    Flax YOLOX variables by aligned traversal: both models enumerate their
+    conv/BN tensors in the same architectural order, so we zip the torch
+    tensors onto the flax leaves after layout transposition, verifying
+    every shape."""
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    sd = _torch_state_dict(path)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros(input_shape), train=False)
+    flat = flatten_dict(variables, sep="/")
+    # flax flatten orders module names lexicographically ("…_10" < "…_2");
+    # restore numeric module order so the aligned traversal matches the
+    # torch state dict's definition order
+    import re
+
+    def natural(key):
+        return [int(p) if p.isdigit() else p
+                for p in re.split(r"(\d+)", key)]
+
+    flat = dict(sorted(flat.items(), key=lambda kv: natural(kv[0])))
+
+    # torch tensors in module order, filtered to learnables + BN buffers
+    torch_items = [(k, v) for k, v in sd.items()
+                   if not k.endswith("num_batches_tracked")]
+
+    def torch_order_key(i):
+        return i  # insertion order of the state dict == module order
+
+    # group flax leaves by module path so conv kernel/bias and BN
+    # scale/bias/mean/var stay together, in creation order
+    conv_kernels = [k for k in flat if k.endswith("kernel")]
+    log.info("convert: %d torch tensors -> %d flax conv kernels (+BN)",
+             len(torch_items), len(conv_kernels))
+
+    # Build aligned queues per tensor kind
+    t_convs = [(k, v) for k, v in torch_items if v.ndim == 4]
+    t_conv_bias = [(k, v) for k, v in torch_items
+                   if v.ndim == 1 and (k.endswith("conv.bias")
+                                       or ".weight" not in k
+                                       and k.endswith("bias")
+                                       and "bn" not in k)]
+    new_flat = dict(flat)
+    fk_convs = [k for k in flat
+                if k.endswith("kernel") and flat[k].ndim == 4]
+    if len(t_convs) != len(fk_convs):
+        raise ValueError(
+            f"conv count mismatch: torch {len(t_convs)} vs flax "
+            f"{len(fk_convs)} — wrong variant/num_classes?")
+    for (tk, tv), fk in zip(t_convs, fk_convs):
+        w = np.transpose(tv, (2, 3, 1, 0))  # OIHW -> HWIO
+        if w.shape != flat[fk].shape:
+            # depthwise: torch (O, 1, H, W) vs flax (H, W, 1, O)
+            if w.shape[:2] == flat[fk].shape[:2] and \
+                    w.shape[2] == flat[fk].shape[3] and \
+                    flat[fk].shape[2] == 1:
+                w = np.transpose(w, (0, 1, 3, 2))
+            else:
+                raise ValueError(
+                    f"shape mismatch {tk}{tv.shape} -> {fk}"
+                    f"{flat[fk].shape}")
+        new_flat[fk] = jnp.asarray(w)
+
+    # BN: torch (weight, bias, running_mean, running_var) per bn module
+    t_bn = {}
+    for k, v in torch_items:
+        for suffix, name in (("bn.weight", "scale"), ("bn.bias", "bias"),
+                             ("bn.running_mean", "mean"),
+                             ("bn.running_var", "var")):
+            if k.endswith(suffix):
+                t_bn.setdefault(k[: -len(suffix)], {})[name] = v
+    bn_modules = list(t_bn.values())
+    f_bn_scales = [k for k in flat
+                   if "BatchNorm" in k and k.endswith("scale")]
+    if len(bn_modules) != len(f_bn_scales):
+        raise ValueError(
+            f"BN count mismatch: torch {len(bn_modules)} vs flax "
+            f"{len(f_bn_scales)}")
+    for bn, fk_scale in zip(bn_modules, f_bn_scales):
+        base = fk_scale[: -len("scale")]
+        new_flat[fk_scale] = jnp.asarray(bn["scale"])
+        new_flat[base + "bias"] = jnp.asarray(bn["bias"])
+        stats_base = base.replace("params/", "batch_stats/")
+        if stats_base + "mean" in new_flat:
+            new_flat[stats_base + "mean"] = jnp.asarray(bn["mean"])
+            new_flat[stats_base + "var"] = jnp.asarray(bn["var"])
+
+    # head conv biases (cls/reg/obj 1x1 convs have biases in both)
+    t_head_bias = [(k, v) for k, v in torch_items
+                   if v.ndim == 1 and k.endswith(".bias")
+                   and k[:-5] + ".weight" in sd
+                   and sd[k[:-5] + ".weight"].ndim == 4]
+    f_conv_bias = [k for k in flat
+                   if k.endswith("bias") and "BatchNorm" not in k
+                   and flat[k].ndim == 1]
+    if len(t_head_bias) == len(f_conv_bias):
+        for (tk, tv), fk in zip(t_head_bias, f_conv_bias):
+            if tv.shape == flat[fk].shape:
+                new_flat[fk] = jnp.asarray(tv)
+
+    return unflatten_dict(new_flat, sep="/")

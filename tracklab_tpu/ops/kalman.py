@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["XYSRFilter", "XYAHFilter", "XYAHNSAFilter", "CHI2INV95_4D",
-           "CHI2INV95_2D"]
+__all__ = ["XYSRFilter", "XYAHFilter", "XYAHNSAFilter", "XYWHFilter",
+           "CHI2INV95_4D", "CHI2INV95_2D"]
 
 # 0.95 chi-square quantiles, 4 and 2 dof (byte_track/kalman_filter.py:11-20)
 CHI2INV95_4D = 9.4877
@@ -292,8 +292,67 @@ class XYAHNSAFilter:
         return jnp.sum(sol * sol, axis=0)
 
 
+class XYWHFilter:
+    """BoT-SORT 8-dim filter on [x, y, w, h, v*]: noise stds scale with
+    (w, h) per component pair (plugins/track/bot_sort/kalman_filter.py:
+    55-175). Gating distance uses the standard Mahalanobis form."""
+
+    WP = 1.0 / 20
+    WV = 1.0 / 160
+
+    @staticmethod
+    def initiate(z):
+        w, h = z[2], z[3]
+        x = jnp.concatenate([z, jnp.zeros_like(z)])
+        std = jnp.stack([
+            2 * XYWHFilter.WP * w, 2 * XYWHFilter.WP * h,
+            2 * XYWHFilter.WP * w, 2 * XYWHFilter.WP * h,
+            10 * XYWHFilter.WV * w, 10 * XYWHFilter.WV * h,
+            10 * XYWHFilter.WV * w, 10 * XYWHFilter.WV * h,
+        ])
+        return x, jnp.diag(std * std)
+
+    @staticmethod
+    def predict(x, P):
+        F, _ = _xyah_mats(x.dtype)
+        w, h = x[2], x[3]
+        std = jnp.stack([
+            XYWHFilter.WP * w, XYWHFilter.WP * h,
+            XYWHFilter.WP * w, XYWHFilter.WP * h,
+            XYWHFilter.WV * w, XYWHFilter.WV * h,
+            XYWHFilter.WV * w, XYWHFilter.WV * h,
+        ])
+        Q = jnp.diag(std * std)
+        return F @ x, F @ P @ F.T + Q
+
+    @staticmethod
+    def project(x, P):
+        _, H = _xyah_mats(x.dtype)
+        w, h = x[2], x[3]
+        std = jnp.stack([XYWHFilter.WP * w, XYWHFilter.WP * h,
+                         XYWHFilter.WP * w, XYWHFilter.WP * h])
+        return H @ x, H @ P @ H.T + jnp.diag(std * std)
+
+    @staticmethod
+    def update(x, P, z):
+        _, H = _xyah_mats(x.dtype)
+        pm, pc = XYWHFilter.project(x, P)
+        K = jnp.linalg.solve(pc, (P @ H.T).T).T
+        return x + K @ (z - pm), P - K @ pc @ K.T
+
+    @staticmethod
+    def gating_distance(x, P, zs, only_position=False):
+        pm, pc = XYWHFilter.project(x, P)
+        if only_position:
+            pm, pc, zs = pm[:2], pc[:2, :2], zs[:, :2]
+        L = jnp.linalg.cholesky(pc)
+        d = (zs - pm).T
+        sol = jax.scipy.linalg.solve_triangular(L, d, lower=True)
+        return jnp.sum(sol * sol, axis=0)
+
+
 # Batched (vmapped) convenience wrappers — track axis first.
-for _cls in (XYSRFilter, XYAHFilter, XYAHNSAFilter):
+for _cls in (XYSRFilter, XYAHFilter, XYAHNSAFilter, XYWHFilter):
     _cls.predict_batch = staticmethod(jax.vmap(_cls.predict))
     _cls.update_batch = staticmethod(jax.vmap(_cls.update))
 XYSRFilter.to_ltrb_batch = staticmethod(jax.vmap(XYSRFilter.to_ltrb))

@@ -59,6 +59,14 @@ class OCSortConfig:
     asso_func: str = "iou"
     inertia: float = 0.3941
     use_byte: bool = False
+    # The vendored reference scales the velocity-direction cost by the
+    # CLASS column, not confidence (association.py:259 reads detections
+    # [:, -1] of the 6-column [ltrb, conf, cls] slice — an off-by-one
+    # inherited from extending the upstream 5-column layout). The tracklab
+    # pipeline feeds category_id == 1, making it a no-op scale there.
+    # "category" reproduces the reference; "confidence" restores the
+    # original OC-SORT intent.
+    angle_cost_scale: str = "category"
     # capacities (static shapes)
     max_tracks: int = 128
     max_dets: int = 64
@@ -155,9 +163,11 @@ def _k_previous_obs(st: OCSortState, cfg: OCSortConfig):
     return jnp.where(any_hit[:, None], ring_obs, fallback)
 
 
-def _speed_direction_cost(det_ltrb, det_conf, det_valid, k_obs, velocity,
+def _speed_direction_cost(det_ltrb, det_scale, det_valid, k_obs, velocity,
                           trk_valid, inertia):
-    """angle_diff_cost of associate() (association.py:246-265), (D, T)."""
+    """angle_diff_cost of associate() (association.py:246-265), (D, T).
+    ``det_scale`` is the per-detection multiplier — the class column in
+    reference-faithful mode (see OCSortConfig.angle_cost_scale)."""
     dcx = (det_ltrb[:, 0] + det_ltrb[:, 2]) * 0.5
     dcy = (det_ltrb[:, 1] + det_ltrb[:, 3]) * 0.5
     tcx = (k_obs[:, 0] + k_obs[:, 2]) * 0.5
@@ -171,11 +181,11 @@ def _speed_direction_cost(det_ltrb, det_conf, det_valid, k_obs, velocity,
     diff_angle = (jnp.pi / 2.0 - jnp.abs(jnp.arccos(cos))) / jnp.pi
     valid_mask = (k_obs[:, 4] >= 0).astype(det_ltrb.dtype)[:, None]
     cost = (valid_mask * diff_angle) * inertia   # (T, D)
-    cost = cost.T * det_conf[:, None]            # (D, T)
+    cost = cost.T * det_scale[:, None]           # (D, T)
     return jnp.where(det_valid[:, None] & trk_valid[None, :], cost, 0.0)
 
 
-def _associate(cfg, det_ltrb, det_conf, det_valid, trk_ltrb, trk_valid,
+def _associate(cfg, det_ltrb, det_scale, det_valid, trk_ltrb, trk_valid,
                k_obs, velocity):
     """First-round association (association.py:242-298). Returns
     det2trk (D,) int32 (-1 unmatched). A pair is kept only if its IoU clears
@@ -185,7 +195,7 @@ def _associate(cfg, det_ltrb, det_conf, det_valid, trk_ltrb, trk_valid,
     iou = B.iou_matrix(det_ltrb, trk_ltrb)
     pair_ok = det_valid[:, None] & trk_valid[None, :]
     iou = jnp.where(pair_ok, iou, 0.0)
-    angle = _speed_direction_cost(det_ltrb, det_conf, det_valid, k_obs,
+    angle = _speed_direction_cost(det_ltrb, det_scale, det_valid, k_obs,
                                   velocity, trk_valid, cfg.inertia)
 
     is_unique, greedy = greedy_unique_match(
@@ -340,7 +350,9 @@ def ocsort_step(cfg: OCSortConfig, st: OCSortState, det: Detections):
 
     # --- stage 1: OCM association on high-score dets ---
     k_obs = _k_previous_obs(st, cfg)
-    det2trk = _associate(cfg, det.ltrb, det.conf, first_valid,
+    angle_scale = (det.cls if cfg.angle_cost_scale == "category"
+                   else det.conf)
+    det2trk = _associate(cfg, det.ltrb, angle_scale, first_valid,
                          trk_ltrb, st.active, k_obs, st.velocity)
     trk_matched_1 = _invert_match(det2trk, T) >= 0
 

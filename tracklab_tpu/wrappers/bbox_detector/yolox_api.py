@@ -1,0 +1,137 @@
+"""YOLOX detector module: images -> bbox columns.
+
+The JAX/Flax replacement for the reference's detector wrappers
+(tracklab/wrappers/bbox_detector/yolo_ultralytics_api.py:22-72,
+rtmlib_api.py:14-46): host threads decode + letterbox (C++ OpenCV), the
+device runs normalize -> backbone -> decode -> NMS as one jitted program,
+and fixed-shape outputs come back as detection-level DataFrame rows
+(image_id, video_id, category_id, bbox_ltwh, bbox_conf).
+
+Weights: Flax checkpoints via orbax, or converted from torch YOLOX
+checkpoints (models/convert.py) when the user supplies the reference's
+.pth files.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from tracklab_tpu.pipeline.levels import ImageLevelModule
+from tracklab_tpu.utils.collate import default_collate
+
+log = logging.getLogger(__name__)
+
+__all__ = ["YOLOXDetector"]
+
+
+class YOLOXDetector(ImageLevelModule):
+    input_columns = []
+    output_columns = ["image_id", "video_id", "category_id", "bbox_ltwh",
+                      "bbox_conf"]
+    collate_fn = staticmethod(default_collate)
+
+    def __init__(self, variant: str = "s", num_classes: int = 1,
+                 input_size=(640, 640), min_confidence: float = 0.4,
+                 nms_iou: float = 0.65, max_dets: int = 64,
+                 batch_size: int = 8, checkpoint_path: str | None = None,
+                 class_offset: int = 1, device=None, **kwargs):
+        super().__init__(batch_size)
+        self.variant = variant
+        self.num_classes = num_classes
+        self.input_size = tuple(input_size)
+        self.min_confidence = min_confidence
+        self.nms_iou = nms_iou
+        self.max_dets = max_dets
+        self.class_offset = class_offset
+        self.checkpoint_path = checkpoint_path
+        self._model = None
+        self._variables = None
+        self._infer = None
+        self.id = 0  # global detection row id (yolo_ultralytics_api.py:62)
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+        from tracklab_tpu.models.yolox import YOLOX
+        from tracklab_tpu.ops.nms import postprocess_detections
+
+        model = YOLOX(num_classes=self.num_classes, variant=self.variant)
+        h, w = self.input_size
+        if self.checkpoint_path:
+            from tracklab_tpu.models.convert import load_checkpoint
+            variables = load_checkpoint(self.checkpoint_path, model,
+                                        (1, h, w, 3))
+        else:
+            log.warning("YOLOXDetector: no checkpoint_path given — "
+                        "running with random weights")
+            variables = model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, h, w, 3)), train=False)
+
+        def infer(images):
+            images = images.astype(jnp.float32)
+            decoded = model.apply(variables, images, method=YOLOX.predict)
+            return postprocess_detections(
+                decoded, conf_threshold=self.min_confidence,
+                iou_threshold=self.nms_iou, max_out=self.max_dets)
+
+        self._model = model
+        self._variables = variables
+        self._infer = jax.jit(infer)
+
+    # ------------------------------------------------------------------
+    def preprocess(self, image, detections, metadata) -> Any:
+        """Host-side: BGR decode already done; letterbox with cv2."""
+        import cv2
+        h0, w0 = image.shape[:2]
+        th, tw = self.input_size
+        scale = min(th / h0, tw / w0)
+        nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+        resized = cv2.resize(image, (nw, nh),
+                             interpolation=cv2.INTER_LINEAR)
+        canvas = np.full((th, tw, 3), 114, np.uint8)
+        top = (th - nh) // 2
+        left = (tw - nw) // 2
+        canvas[top:top + nh, left:left + nw] = resized
+        return {
+            "image": canvas,
+            "scale": np.float32(scale),
+            "pad": np.array([left, top], np.float32),
+            "shape": np.array([w0, h0], np.float32),
+        }
+
+    def process(self, batch, detections, metadatas: pd.DataFrame):
+        if self._infer is None:
+            self._build()
+        out = self._infer(batch["image"])
+        ltrb = np.asarray(out["ltrb"])
+        score = np.asarray(out["score"])
+        cls = np.asarray(out["cls"])
+        valid = np.asarray(out["valid"])
+        rows = []
+        for i, (image_id, metadata) in enumerate(metadatas.iterrows()):
+            scale = float(batch["scale"][i])
+            pad = np.asarray(batch["pad"][i])
+            w0, h0 = np.asarray(batch["shape"][i])
+            for d in np.nonzero(valid[i])[0]:
+                box = ltrb[i, d].copy()
+                box[0::2] = (box[0::2] - pad[0]) / scale
+                box[1::2] = (box[1::2] - pad[1]) / scale
+                box[0::2] = np.clip(box[0::2], 0, w0)
+                box[1::2] = np.clip(box[1::2], 0, h0)
+                lt = box[:2]
+                wh = box[2:] - box[:2]
+                if wh[0] <= 0 or wh[1] <= 0:
+                    continue
+                rows.append(pd.Series(dict(
+                    image_id=image_id,
+                    video_id=metadata.video_id,
+                    category_id=int(cls[i, d]) + self.class_offset,
+                    bbox_ltwh=np.concatenate([lt, wh]).astype(np.float32),
+                    bbox_conf=float(score[i, d]),
+                ), name=self.id))
+                self.id += 1
+        return rows

@@ -1,3 +1,3 @@
 from tracklab_tpu.wrappers.track.scan_tracker import (  # noqa
-    OCSORT, ByteTrack, StrongSORT,
+    OCSORT, ByteTrack, StrongSORT, BotSORT, DeepOCSORT,
 )

@@ -22,7 +22,38 @@ from tracklab_tpu.utils import coordinates as C
 
 log = logging.getLogger(__name__)
 
-__all__ = ["OCSORT", "ByteTrack", "StrongSORT"]
+__all__ = ["OCSORT", "ByteTrack", "StrongSORT", "BotSORT", "DeepOCSORT"]
+
+
+def _collect_embeddings(dets_in, dets, lut, n_frames, embed_dim):
+    """(F, D, E) embedding tensor aligned with the padded detections."""
+    F, D = dets.valid.shape
+    emb = np.zeros((F, D, embed_dim), np.float32)
+    if len(dets_in) and "embeddings" in dets_in.columns:
+        ref_np = np.asarray(dets.ref)
+        valid_np = np.asarray(dets.valid)
+        emb_by_row = {idx: np.asarray(e, np.float32)
+                      for idx, e in dets_in["embeddings"].items()}
+        for f in range(n_frames):
+            for d in np.nonzero(valid_np[f])[0]:
+                e = emb_by_row.get(lut[ref_np[f, d]])
+                if e is not None:
+                    emb[f, d, :min(len(e), embed_dim)] = e[:embed_dim]
+    return emb
+
+
+def _collect_warps(metadatas, n_frames, bucketed_frames):
+    """(F, 2, 3) per-frame camera warps from the image-level gmc_warp
+    column (produced by tracklab_tpu.motion.CameraMotion); identity when
+    absent."""
+    warps = np.broadcast_to(np.eye(2, 3, dtype=np.float32),
+                            (bucketed_frames, 2, 3)).copy()
+    if "gmc_warp" in metadatas.columns:
+        for f, (_, row) in enumerate(metadatas.iterrows()):
+            w = row["gmc_warp"]
+            if isinstance(w, np.ndarray) and w.shape == (2, 3):
+                warps[f] = w
+    return warps
 
 
 def _pad_video(detections: pd.DataFrame, image_pred: pd.DataFrame,
@@ -164,17 +195,67 @@ class OCSORT(_ScanTrackerBase):
         return ocsort_scan
 
 
-class StrongSORT(_ScanTrackerBase):
-    """StrongSORT wrapper: consumes per-detection appearance `embeddings`
-    (from a ReID module) alongside boxes; defaults mirror
-    tracklab/configs/modules/track/strong_sort.yaml. Coasting tracks
-    (time_since_update == 1) re-emit against their last matched detection
-    row — the reference wrapper's documented override behavior
-    (strong_sort_api.py:76-80), realized here by keeping the LAST
-    emission per detection row."""
+class _EmbScanTrackerBase(_ScanTrackerBase):
+    """Shared wrapper for embedding-consuming trackers (StrongSORT,
+    BoT-SORT, Deep-OC-SORT): collects per-detection `embeddings` and
+    optional per-frame `gmc_warp` camera warps, runs the 3-input scan, and
+    joins emissions back by detection row (last emission wins — matching
+    the reference wrappers' coasting-override behavior,
+    strong_sort_api.py:76-80)."""
 
     input_columns = ["bbox_ltwh", "bbox_conf", "category_id", "embeddings"]
     output_columns = ["track_id", "track_bbox_ltwh", "track_bbox_conf"]
+
+    min_confidence = 0.0
+    embed_dim = 512
+
+    def _scan3(self):
+        raise NotImplementedError
+
+    @property
+    def _jitted(self):
+        import jax
+        if not hasattr(self, "_jit_cache"):
+            cfg = self._make_config()
+            scan = self._scan3()
+            self._jit_cache = jax.jit(
+                lambda d, e, w: scan(cfg, d, e, w))
+        return self._jit_cache
+
+    def process(self, detections: pd.DataFrame,
+                metadatas: pd.DataFrame) -> pd.DataFrame:
+        if len(detections) == 0:
+            return detections
+        import jax.numpy as jnp
+        dets_in = detections[
+            detections["bbox_conf"] > self.min_confidence]
+        dets, n_frames, lut = _pad_video(
+            dets_in, metadatas, self.max_dets, self.n_frame_bucket)
+        F = dets.valid.shape[0]
+        emb = _collect_embeddings(dets_in, dets, lut, n_frames,
+                                  self.embed_dim)
+        warps = _collect_warps(metadatas, n_frames, F)
+        _, out = self._jitted(dets, jnp.asarray(emb), jnp.asarray(warps))
+
+        valid = np.asarray(out.valid[:n_frames])
+        track_id = np.asarray(out.track_id[:n_frames])
+        ltrb = np.asarray(out.ltrb[:n_frames])
+        conf = np.asarray(out.conf[:n_frames])
+        ref = np.asarray(out.ref[:n_frames])
+        fs, ts = np.nonzero(valid)
+        rows = lut[ref[fs, ts]]
+        result = pd.DataFrame(index=rows)
+        result["track_id"] = track_id[fs, ts].astype(float)
+        result["track_bbox_ltwh"] = list(
+            C.ltrb_to_ltwh(ltrb[fs, ts]).astype(np.float32))
+        result["track_bbox_conf"] = conf[fs, ts].astype(float)
+        result = result[~result.index.duplicated(keep="last")]
+        return result
+
+
+class StrongSORT(_EmbScanTrackerBase):
+    """StrongSORT wrapper; defaults mirror
+    tracklab/configs/modules/track/strong_sort.yaml."""
 
     def __init__(self, max_dist: float = 0.1594,
                  max_iou_dist: float = 0.5432, max_age: int = 40,
@@ -197,59 +278,84 @@ class StrongSORT(_ScanTrackerBase):
         from tracklab_tpu.trackers.strongsort import StrongSortConfig
         return StrongSortConfig(**self.params)
 
-    @property
-    def _jitted(self):
-        import jax
-        if not hasattr(self, "_jit_cache"):
-            from tracklab_tpu.trackers.strongsort import strongsort_scan
-            cfg = self._make_config()
-            self._jit_cache = jax.jit(
-                lambda d, e: strongsort_scan(cfg, d, e))
-        return self._jit_cache
+    def _scan3(self):
+        from tracklab_tpu.trackers.strongsort import strongsort_scan
+        return strongsort_scan
 
-    def process(self, detections: pd.DataFrame,
-                metadatas: pd.DataFrame) -> pd.DataFrame:
-        if len(detections) == 0:
-            return detections
-        import jax.numpy as jnp
-        dets_in = detections[
-            detections["bbox_conf"] > self.min_confidence]
-        dets, n_frames, lut = _pad_video(
-            dets_in, metadatas, self.max_dets, self.n_frame_bucket)
-        F, D = dets.valid.shape
-        emb = np.zeros((F, D, self.embed_dim), np.float32)
-        if len(dets_in):
-            by_image = dets_in.groupby("image_id")
-            inv = {v: i for i, v in enumerate(lut)}
-            ref_np = np.asarray(dets.ref)
-            valid_np = np.asarray(dets.valid)
-            emb_by_row = {
-                idx: np.asarray(e, np.float32)
-                for idx, e in dets_in["embeddings"].items()}
-            for f in range(n_frames):
-                for d in np.nonzero(valid_np[f])[0]:
-                    row_id = lut[ref_np[f, d]]
-                    e = emb_by_row.get(row_id)
-                    if e is not None:
-                        emb[f, d, :min(len(e), self.embed_dim)] = \
-                            e[:self.embed_dim]
-        _, out = self._jitted(dets, jnp.asarray(emb))
 
-        valid = np.asarray(out.valid[:n_frames])
-        track_id = np.asarray(out.track_id[:n_frames])
-        ltrb = np.asarray(out.ltrb[:n_frames])
-        conf = np.asarray(out.conf[:n_frames])
-        ref = np.asarray(out.ref[:n_frames])
-        fs, ts = np.nonzero(valid)
-        rows = lut[ref[fs, ts]]
-        result = pd.DataFrame(index=rows)
-        result["track_id"] = track_id[fs, ts].astype(float)
-        result["track_bbox_ltwh"] = list(
-            C.ltrb_to_ltwh(ltrb[fs, ts]).astype(np.float32))
-        result["track_bbox_conf"] = conf[fs, ts].astype(float)
-        # coasting emissions repeat a ref on a later frame: last wins
-        result = result[~result.index.duplicated(keep="last")]
-        return result
+class BotSORT(_EmbScanTrackerBase):
+    """BoT-SORT wrapper; defaults mirror
+    tracklab/configs/modules/track/bot_sort.yaml. Camera compensation
+    comes from the CameraMotion module's gmc_warp column."""
+
+    def __init__(self, track_high_thresh: float = 0.3382,
+                 new_track_thresh: float = 0.2114, track_buffer: int = 60,
+                 match_thresh: float = 0.2273,
+                 proximity_thresh: float = 0.5945,
+                 appearance_thresh: float = 0.4818,
+                 lambda_: float = 0.9896, frame_rate: int = 30,
+                 ema_alpha: float = 0.9, embed_dim: int = 512,
+                 min_confidence: float = 0.4, max_tracks: int = 128,
+                 max_dets: int = 64, device=None, **kwargs):
+        super().__init__(max_dets=max_dets, **kwargs)
+        self.params = dict(
+            track_high_thresh=track_high_thresh,
+            new_track_thresh=new_track_thresh, track_buffer=track_buffer,
+            match_thresh=match_thresh, proximity_thresh=proximity_thresh,
+            appearance_thresh=appearance_thresh, lambda_=lambda_,
+            frame_rate=frame_rate, ema_alpha=ema_alpha,
+            embed_dim=embed_dim, max_tracks=max_tracks, max_dets=max_dets)
+        self.min_confidence = min_confidence
+        self.embed_dim = embed_dim
+
+    def _make_config(self):
+        from tracklab_tpu.trackers.botsort import BotSortConfig
+        return BotSortConfig(**self.params)
+
+    def _scan3(self):
+        from tracklab_tpu.trackers.botsort import botsort_scan
+        return botsort_scan
+
+
+class DeepOCSORT(_EmbScanTrackerBase):
+    """Deep-OC-SORT wrapper; defaults mirror
+    tracklab/configs/modules/track/deep_oc_sort.yaml."""
+
+    def __init__(self, det_thresh: float = 0.0, max_age: int = 50,
+                 min_hits: int = 1, iou_threshold: float = 0.2214,
+                 delta_t: int = 1, asso_func: str = "giou",
+                 inertia: float = 0.3942,
+                 w_association_emb: float = 0.75,
+                 alpha_fixed_emb: float = 0.95, aw_param: float = 0.5,
+                 embedding_off: bool = False, aw_off: bool = False,
+                 cmc_off: bool = False, new_kf_off: bool = False,
+                 embed_dim: int = 512, min_confidence: float = 0.4,
+                 max_tracks: int = 128, max_dets: int = 64, device=None,
+                 **kwargs):
+        super().__init__(max_dets=max_dets, **kwargs)
+        if new_kf_off:
+            log.warning("DeepOCSORT: new_kf_off is not supported — the "
+                        "TPU build always uses the xywh dynamic-noise KF")
+        self.params = dict(
+            det_thresh=det_thresh, max_age=max_age, min_hits=min_hits,
+            iou_threshold=iou_threshold, delta_t=delta_t,
+            asso_func=asso_func, inertia=inertia,
+            w_association_emb=w_association_emb,
+            alpha_fixed_emb=alpha_fixed_emb, aw_param=aw_param,
+            embedding_off=embedding_off, aw_off=aw_off,
+            embed_dim=embed_dim, max_tracks=max_tracks,
+            max_dets=max_dets)
+        self.min_confidence = min_confidence
+        self.embed_dim = embed_dim
+        self.cmc_off = cmc_off
+
+    def _make_config(self):
+        from tracklab_tpu.trackers.deepocsort import DeepOCSortConfig
+        return DeepOCSortConfig(**self.params)
+
+    def _scan3(self):
+        from tracklab_tpu.trackers.deepocsort import deepocsort_scan
+        return deepocsort_scan
 
 
 class ByteTrack(_ScanTrackerBase):

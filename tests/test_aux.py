@@ -1,0 +1,162 @@
+"""Aux subsystem tests: majority vote, online video engine, visualization,
+external-video dataset."""
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class TestMajorityVote:
+    def test_weighted_vote(self):
+        from tracklab_tpu.wrappers.tracklet_agg import MajorityVoteTracklet
+        dets = pd.DataFrame({
+            "track_id": [1, 1, 1, 2, 2],
+            "team_detection": ["A", "B", "B", "A", "A"],
+            "team_confidence": [0.9, 0.3, 0.3, 0.5, 0.5],
+        })
+        mod = MajorityVoteTracklet(attributes=["team"])
+        out = mod.process(dets, None)
+        assert list(out["team"]) == ["A", "A", "A", "A", "A"]
+        # without the high-conf vote, B wins for track 1
+        dets2 = dets.copy()
+        dets2.loc[0, "team_confidence"] = 0.1
+        out2 = mod.process(dets2, None)
+        assert list(out2["team"])[:3] == ["B", "B", "B"]
+
+    def test_handles_nan_and_missing_track(self):
+        from tracklab_tpu.wrappers.tracklet_agg import MajorityVoteTracklet
+        dets = pd.DataFrame({
+            "track_id": [1, np.nan],
+            "role_detection": ["gk", "df"],
+            "role_confidence": [1.0, 1.0],
+        })
+        mod = MajorityVoteTracklet(attributes=["role"])
+        out = mod.process(dets, None)
+        assert out.loc[0, "role"] == "gk"
+
+
+def make_test_video(path, n_frames=20, size=(320, 240)):
+    """mp4 with a bright moving square on dark background."""
+    import cv2
+    writer = cv2.VideoWriter(str(path),
+                             cv2.VideoWriter_fourcc(*"mp4v"), 30, size)
+    for f in range(n_frames):
+        img = np.full((size[1], size[0], 3), 20, np.uint8)
+        x = 20 + 8 * f
+        y = 60
+        img[y:y + 60, x:x + 40] = 255
+        writer.write(img)
+    writer.release()
+
+
+def _make_bright_detector():
+    """Tiny test detector: finds the bright square by thresholding."""
+    from tracklab_tpu.pipeline.levels import ImageLevelModule
+    from tracklab_tpu.utils.collate import default_collate, Unbatchable
+
+    class Bright(ImageLevelModule):
+        input_columns = []
+        output_columns = ["image_id", "video_id", "category_id",
+                          "bbox_ltwh", "bbox_conf"]
+        collate_fn = staticmethod(default_collate)
+
+        def __init__(self):
+            super().__init__(batch_size=1)
+            self.id = 0
+
+        def preprocess(self, image, detections, metadata):
+            return {"image": Unbatchable(image)}
+
+        def process(self, batch, detections, metadatas):
+            rows = []
+            for image, (image_id, md) in zip(batch["image"],
+                                             metadatas.iterrows()):
+                mask = image[..., 0] > 128
+                ys, xs = np.nonzero(mask)
+                if len(xs):
+                    l, t = xs.min(), ys.min()
+                    w, h = xs.max() - l + 1, ys.max() - t + 1
+                    rows.append(pd.Series(dict(
+                        image_id=image_id, video_id=md["video_id"],
+                        category_id=1,
+                        bbox_ltwh=np.array([l, t, w, h], np.float32),
+                        bbox_conf=0.95), name=self.id))
+                    self.id += 1
+            return rows
+
+    return Bright()
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_online_video_engine(tmp_path):
+    import cv2  # noqa: F401 — skip when OpenCV can't write mp4
+    from tracklab_tpu.wrappers.dataset.external_video import ExternalVideo
+    from tracklab_tpu.wrappers.track import OCSORT
+    from tracklab_tpu.engine.video import VideoOnlineTrackingEngine
+    from tracklab_tpu.datastruct.tracker_state import TrackerState
+    from tracklab_tpu.pipeline.module import Pipeline
+
+    vid = tmp_path / "clip.mp4"
+    make_test_video(vid)
+    ds = ExternalVideo(str(vid))
+    ts = ds.sets["val"]
+    assert len(ts.image_metadatas) == 20
+
+    detector = _make_bright_detector()
+    tracker = OCSORT(min_hits=1, det_thresh=0.4, max_dets=8,
+                     max_tracks=8)
+    pipeline = Pipeline([detector, tracker])
+    state = TrackerState(ts, pipeline)
+    engine = VideoOnlineTrackingEngine(
+        tracker_state=state, modules=[detector, tracker], callbacks=[])
+    engine.track_dataset()
+    dets = state.detections_pred
+    assert dets is not None and len(dets) >= 18
+    tids = dets["track_id"].dropna().unique()
+    # single moving object -> single identity throughout
+    assert len(tids) == 1
+
+
+def test_visualization_engine(tmp_path):
+    import cv2
+    from tracklab_tpu.visualization import (
+        VisualizationEngine, DefaultDetectionVisualizer,
+        TrackingLineVisualizer, FrameCounterVisualizer,
+    )
+
+    # synthetic frames on disk
+    img_dir = tmp_path / "frames"
+    img_dir.mkdir()
+    image_rows, det_rows = [], []
+    for f in range(6):
+        img = np.full((120, 160, 3), 30, np.uint8)
+        p = img_dir / f"{f:06d}.jpg"
+        cv2.imwrite(str(p), img)
+        image_rows.append(dict(id=f, video_id=0, frame=f + 1,
+                               file_path=str(p)))
+        det_rows.append(dict(id=f, image_id=f, video_id=0,
+                             track_id=1.0,
+                             bbox_ltwh=np.array([10 + 5 * f, 20, 30, 40],
+                                                np.float32),
+                             bbox_conf=0.9))
+    image_pred = pd.DataFrame(image_rows).set_index("id")
+    detections = pd.DataFrame(det_rows).set_index("id")
+
+    class FakeState:
+        detections_gt = pd.DataFrame()
+
+    class FakeEngine:
+        tracker_state = FakeState()
+
+    viz = VisualizationEngine(
+        visualizers=[DefaultDetectionVisualizer(),
+                     TrackingLineVisualizer(),
+                     FrameCounterVisualizer()],
+        save_videos=True, save_images=True,
+        save_folder=str(tmp_path / "out"), fps=10)
+    viz.on_video_loop_end(FakeEngine(), pd.Series({"name": "demo"}), 0,
+                          detections, image_pred)
+    assert (tmp_path / "out" / "demo.mp4").exists()
+    assert len(list((tmp_path / "out" / "demo").glob("*.jpg"))) == 6
+    # drawn frame differs from blank
+    drawn = cv2.imread(str(tmp_path / "out" / "demo" / "000000.jpg"))
+    assert (drawn != 30).any()

@@ -124,10 +124,76 @@ class _ScanTrackerBase(VideoLevelModule):
         self.n_frame_bucket = n_frame_bucket
 
     def reset(self):
-        pass  # scan trackers are stateless between videos by construction
+        # online state (streaming mode via process_online)
+        self._online_state = None
 
     def _make_config(self):
         raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # Streaming mode: one jitted step per frame with persistent device
+    # state — used by VideoOnlineTrackingEngine for webcams/raw videos
+    # where the whole video isn't available up front.
+    # ------------------------------------------------------------------
+    def _init_state(self, cfg):
+        raise NotImplementedError
+
+    def _step_fn(self):
+        raise NotImplementedError
+
+    @property
+    def _jitted_step(self):
+        import jax
+        if not hasattr(self, "_jit_step_cache"):
+            cfg = self._make_config()
+            step = self._step_fn()
+            self._jit_step_cache = jax.jit(
+                lambda s, d: step(cfg, s, d))
+        return self._jit_step_cache
+
+    def process_online(self, detections: pd.DataFrame,
+                       metadata: pd.Series) -> pd.DataFrame:
+        """Track one frame; carries tracker state across calls until
+        reset()."""
+        from tracklab_tpu.trackers.common import pad_detections
+        cfg = self._make_config()
+        if getattr(self, "_online_state", None) is None:
+            self._online_state = self._init_state(cfg)
+            self._online_lut = {}
+        if len(detections):
+            boxes = np.stack(detections["bbox_ltwh"].to_numpy())
+            refs = np.arange(len(detections))
+            for i, idx in enumerate(detections.index):
+                self._online_lut[i] = idx
+            det = pad_detections(
+                C.ltwh_to_ltrb(boxes),
+                detections["bbox_conf"].to_numpy(np.float32),
+                pd.to_numeric(detections.get("category_id", 1),
+                              errors="coerce").fillna(1.0).to_numpy()
+                if "category_id" in detections else None,
+                refs, capacity=self.max_dets)
+        else:
+            det = pad_detections(np.zeros((0, 4)), np.zeros(0),
+                                 capacity=self.max_dets)
+        self._online_state, out = self._jitted_step(
+            self._online_state, det)
+        valid = np.asarray(out.valid)
+        rows, data = [], []
+        ltrb = np.asarray(out.ltrb)
+        for t in np.nonzero(valid)[0]:
+            r = int(out.ref[t])
+            if r < 0 or r not in self._online_lut:
+                continue
+            rows.append(self._online_lut[r])
+            data.append((float(out.track_id[t]),
+                         C.ltrb_to_ltwh(ltrb[t]).astype(np.float32),
+                         float(out.conf[t])))
+        self._online_lut = {}
+        result = pd.DataFrame(index=rows)
+        result["track_id"] = [d[0] for d in data]
+        result["track_bbox_ltwh"] = [d[1] for d in data]
+        result["track_bbox_conf"] = [d[2] for d in data]
+        return result[~result.index.duplicated(keep="last")]
 
     def _scan_fn(self):
         raise NotImplementedError
@@ -193,6 +259,14 @@ class OCSORT(_ScanTrackerBase):
     def _scan_fn(self):
         from tracklab_tpu.trackers.ocsort import ocsort_scan
         return ocsort_scan
+
+    def _init_state(self, cfg):
+        from tracklab_tpu.trackers.ocsort import ocsort_init
+        return ocsort_init(cfg)
+
+    def _step_fn(self):
+        from tracklab_tpu.trackers.ocsort import ocsort_step
+        return ocsort_step
 
 
 class _EmbScanTrackerBase(_ScanTrackerBase):
@@ -379,3 +453,11 @@ class ByteTrack(_ScanTrackerBase):
     def _scan_fn(self):
         from tracklab_tpu.trackers.bytetrack import bytetrack_scan
         return bytetrack_scan
+
+    def _init_state(self, cfg):
+        from tracklab_tpu.trackers.bytetrack import bytetrack_init
+        return bytetrack_init(cfg)
+
+    def _step_fn(self):
+        from tracklab_tpu.trackers.bytetrack import bytetrack_step
+        return bytetrack_step

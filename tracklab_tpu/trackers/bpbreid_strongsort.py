@@ -1,0 +1,300 @@
+"""BPBReID-StrongSORT as a jitted ``lax.scan`` step (TPU-native).
+
+Re-design of the reference's own tracker
+(plugins/track/bpbreid_strong_sort/): StrongSORT driven by externally
+computed *part-based* ReID embeddings (from the KPReID module) with:
+
+  * part-based appearance distance (sort/nn_matching.py:99-136 via
+    torchreid compute_distance_matrix_using_bp_features): per-part cosine
+    distance weighted by the product of part visibility scores, averaged
+    over commonly-visible parts, halved to [0, 1]
+  * visibility-aware part-feature EMA (sort/track.py:150-169): parts
+    visible on both sides blend by ema_alpha; one-sided parts keep the
+    visible side's features; never-seen parts are set to 1
+  * selectable motion cost for the spatio-temporal stage: IoU of the KF
+    prediction or OKS between the tracks' last detection keypoints and the
+    new detections (sort/oks_matching.py)
+  * the strong_sort_matching cascade (sort/tracker.py:242-334): gated ReID
+    stage on confirmed tracks, then the motion stage over unconfirmed +
+    just-missed tracks
+  * NSA Kalman (same as StrongSORT) and Tentative/Confirmed lifecycle.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tracklab_tpu.ops import boxes as B
+from tracklab_tpu.ops.assignment import matching_forced
+from tracklab_tpu.ops.kalman import XYAHNSAFilter as KF, CHI2INV95_4D, \
+    CHI2INV95_2D
+from tracklab_tpu.ops.oks import oks_matrix
+from tracklab_tpu.trackers.common import Detections, claim_slots
+from tracklab_tpu.trackers.strongsort import (
+    _clamped_matching, _invert, _mean_to_ltrb, _apply_warp,
+)
+
+__all__ = ["BPBReIDStrongSortConfig", "BPBReIDStrongSortState",
+           "bpbreid_init", "bpbreid_step", "bpbreid_scan"]
+
+TENTATIVE = 1
+CONFIRMED = 2
+INFTY_COST = 1e5
+
+
+@dataclass(frozen=True)
+class BPBReIDStrongSortConfig:
+    """Defaults mirror tracklab/configs/modules/track/
+    bpbreid_strong_sort.yaml."""
+    max_dist: float = 0.2
+    motion_criterium: str = "iou"     # or "oks"
+    max_iou_distance: float = 0.7
+    max_oks_distance: float = 0.7
+    max_age: int = 30
+    n_init: int = 3
+    mc_lambda: float = 0.995
+    ema_alpha: float = 0.9
+    only_position: bool = False
+    n_parts: int = 6                  # KPR part count (+1 global)
+    embed_dim: int = 512
+    n_keypoints: int = 17
+    max_tracks: int = 128
+    max_dets: int = 64
+
+
+class BPBReIDStrongSortState(NamedTuple):
+    mean: jnp.ndarray           # (T, 8)
+    cov: jnp.ndarray            # (T, 8, 8)
+    feat: jnp.ndarray           # (T, P, E) part features (unnormalized EMA)
+    vis: jnp.ndarray            # (T, P) visibility scores
+    kps: jnp.ndarray            # (T, K, 3) last detection keypoints
+    tstate: jnp.ndarray
+    hits: jnp.ndarray
+    age: jnp.ndarray
+    time_since_update: jnp.ndarray
+    conf: jnp.ndarray
+    cls: jnp.ndarray
+    ref: jnp.ndarray
+    track_id: jnp.ndarray
+    active: jnp.ndarray
+    next_id: jnp.ndarray
+    frame: jnp.ndarray
+
+
+class BPBReIDStrongSortOutput(NamedTuple):
+    ltrb: jnp.ndarray
+    track_id: jnp.ndarray
+    cls: jnp.ndarray
+    conf: jnp.ndarray
+    ref: jnp.ndarray
+    hits: jnp.ndarray
+    age: jnp.ndarray
+    time_since_update: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def bpbreid_init(cfg: BPBReIDStrongSortConfig,
+                 dtype=jnp.float32) -> BPBReIDStrongSortState:
+    T, P, E, K = (cfg.max_tracks, cfg.n_parts, cfg.embed_dim,
+                  cfg.n_keypoints)
+    i32 = jnp.int32
+    return BPBReIDStrongSortState(
+        mean=jnp.zeros((T, 8), dtype),
+        cov=jnp.zeros((T, 8, 8), dtype),
+        feat=jnp.zeros((T, P, E), dtype),
+        vis=jnp.zeros((T, P), dtype),
+        kps=jnp.zeros((T, K, 3), dtype),
+        tstate=jnp.zeros(T, i32),
+        hits=jnp.zeros(T, i32),
+        age=jnp.zeros(T, i32),
+        time_since_update=jnp.zeros(T, i32),
+        conf=jnp.zeros(T, dtype),
+        cls=jnp.zeros(T, dtype),
+        ref=jnp.full(T, -1, i32),
+        track_id=jnp.zeros(T, i32),
+        active=jnp.zeros(T, bool),
+        next_id=jnp.zeros((), i32),
+        frame=jnp.zeros((), i32),
+    )
+
+
+def part_based_distance(trk_feat, trk_vis, det_feat, det_vis):
+    """Part-weighted cosine distance (T, D): per-part cosine distance of
+    L2-normalized features, weighted by visibility products, averaged over
+    parts with weight mass; empty overlap -> max distance (1.0)."""
+    eps = 1e-12
+    tf = trk_feat / jnp.maximum(
+        jnp.linalg.norm(trk_feat, axis=-1, keepdims=True), eps)
+    df = det_feat / jnp.maximum(
+        jnp.linalg.norm(det_feat, axis=-1, keepdims=True), eps)
+    # (T, P, D): cosine distance per part, halved to [0, 1]
+    d = (1.0 - jnp.einsum("tpe,dpe->tpd", tf, df)) / 2.0
+    w = trk_vis[:, :, None] * det_vis.T[None, :, :]      # (T, P, D)
+    wsum = jnp.sum(w, axis=1)
+    out = jnp.sum(d * w, axis=1) / jnp.maximum(wsum, eps)
+    return jnp.where(wsum > eps, out, 1.0)
+
+
+def bpbreid_step(cfg: BPBReIDStrongSortConfig,
+                 st: BPBReIDStrongSortState, inputs):
+    det, feat, vis, kps, warp = inputs
+    T = cfg.max_tracks
+    st = st._replace(frame=st.frame + 1)
+
+    warped = _apply_warp(st.mean, warp)
+    mean_in = jnp.where(st.active[:, None], warped, st.mean)
+    pred_mean, pred_cov = KF.predict_batch(mean_in, st.cov)
+    st = st._replace(
+        mean=jnp.where(st.active[:, None], pred_mean, st.mean),
+        cov=jnp.where(st.active[:, None, None], pred_cov, st.cov),
+        age=st.age + st.active.astype(jnp.int32),
+        time_since_update=(st.time_since_update
+                           + st.active.astype(jnp.int32)),
+    )
+
+    det_xyah = B.ltwh_to_xyah(B.ltrb_to_ltwh(det.ltrb))
+
+    # --- stage A: part-based ReID on confirmed tracks, KF-gated ---
+    confirmed = st.active & (st.tstate == CONFIRMED)
+    app = part_based_distance(st.feat, st.vis, feat, vis).T   # (D, T)
+    gating = jax.vmap(
+        lambda m, c: KF.gating_distance(m, c, det_xyah,
+                                        cfg.only_position)
+    )(st.mean, st.cov).T
+    gthr = CHI2INV95_2D if cfg.only_position else CHI2INV95_4D
+    app = jnp.where(gating > gthr, INFTY_COST, app)
+    app = cfg.mc_lambda * app + (1 - cfg.mc_lambda) * gating
+    d2t_a = _clamped_matching(app, det.valid, confirmed, cfg.max_dist)
+    t2d_a = _invert(d2t_a, T)
+
+    # --- stage B: motion cost (iou on KF prediction / oks on last kps)
+    unconfirmed = st.active & (st.tstate == TENTATIVE)
+    recent = confirmed & (t2d_a < 0) & (st.time_since_update == 1)
+    cand = unconfirmed | recent
+    u_det = det.valid & (d2t_a < 0)
+    if cfg.motion_criterium == "oks":
+        sim = oks_matrix(st.kps, kps).T                    # (D, T)
+        sim = jnp.where(jnp.isfinite(sim), sim, 0.0)
+        motion_cost = 1.0 - sim
+        motion_max = cfg.max_oks_distance
+    else:
+        iou = B.iou_matrix(det.ltrb, _mean_to_ltrb(st.mean))
+        motion_cost = 1.0 - iou
+        motion_max = cfg.max_iou_distance
+    ok = u_det[:, None] & cand[None, :]
+    motion_cost = jnp.where(ok, motion_cost, INFTY_COST)
+    d2t_b = _clamped_matching(motion_cost, u_det, cand, motion_max)
+    t2d_b = _invert(d2t_b, T)
+
+    trk2det = jnp.where(t2d_a >= 0, t2d_a, t2d_b)
+    matched = trk2det >= 0
+
+    # --- matched updates: NSA KF + part EMA + lifecycle ---
+    safe = jnp.where(matched, trk2det, 0)
+    z = det_xyah[safe]
+    z_conf = det.conf[safe]
+    upd_mean, upd_cov = jax.vmap(KF.update)(st.mean, st.cov, z, z_conf)
+    new_hits = st.hits + matched.astype(jnp.int32)
+    promote = matched & (st.tstate == TENTATIVE) & (new_hits >= cfg.n_init)
+
+    # visibility-aware EMA (track.py:150-169)
+    dfeat = feat[safe]                       # (T, P, E)
+    dvis = vis[safe]                         # (T, P)
+    both = st.vis * dvis
+    xor = jnp.logical_xor(st.vis > 0, dvis > 0).astype(st.vis.dtype)
+    w_trk = both * cfg.ema_alpha + xor * st.vis
+    w_det = both * (1 - cfg.ema_alpha) + xor * dvis
+    smooth = w_trk[..., None] * st.feat + w_det[..., None] * dfeat
+    never = (w_trk == 0) & (w_det == 0)
+    smooth = jnp.where(never[..., None], 1.0, smooth)
+    new_vis = jnp.maximum(st.vis, dvis)
+    st = st._replace(
+        mean=jnp.where(matched[:, None], upd_mean, st.mean),
+        cov=jnp.where(matched[:, None, None], upd_cov, st.cov),
+        feat=jnp.where(matched[:, None, None], smooth, st.feat),
+        vis=jnp.where(matched[:, None], new_vis, st.vis),
+        kps=jnp.where(matched[:, None, None], kps[safe], st.kps),
+        hits=new_hits,
+        time_since_update=jnp.where(matched, 0, st.time_since_update),
+        tstate=jnp.where(promote, CONFIRMED, st.tstate),
+        conf=jnp.where(matched, z_conf, st.conf),
+        cls=jnp.where(matched, det.cls[safe], st.cls),
+        ref=jnp.where(matched, det.ref[safe], st.ref),
+    )
+
+    # --- mark_missed ---
+    unmatched_trk = st.active & (~matched)
+    kill = unmatched_trk & ((st.tstate == TENTATIVE)
+                            | (st.time_since_update > cfg.max_age))
+    st = st._replace(active=st.active & ~kill)
+
+    # --- births ---
+    still = det.valid & (d2t_a < 0) & (d2t_b < 0)
+    det2slot = claim_slots(~st.active, still)
+    D = det.ltrb.shape[0]
+    birth = det2slot >= 0
+    slot = jnp.where(birth, det2slot, T)
+
+    def scat(arr, val):
+        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+        return jnp.concatenate([arr, pad], axis=0).at[slot].set(val)[:T]
+
+    init_mean, init_cov = jax.vmap(KF.initiate)(det_xyah)
+    birth_ids = (st.next_id
+                 + jnp.cumsum(birth.astype(jnp.int32), dtype=jnp.int32) - 1)
+    st = st._replace(
+        mean=scat(st.mean, init_mean),
+        cov=scat(st.cov, init_cov),
+        feat=scat(st.feat, feat),
+        vis=scat(st.vis, vis),
+        kps=scat(st.kps, kps),
+        tstate=scat(st.tstate, jnp.full(D, TENTATIVE, jnp.int32)),
+        hits=scat(st.hits, jnp.ones(D, jnp.int32)),
+        age=scat(st.age, jnp.ones(D, jnp.int32)),
+        time_since_update=scat(st.time_since_update,
+                               jnp.zeros(D, jnp.int32)),
+        conf=scat(st.conf, det.conf),
+        cls=scat(st.cls, det.cls),
+        ref=scat(st.ref, det.ref),
+        track_id=scat(st.track_id, birth_ids),
+        active=scat(st.active, birth),
+        next_id=st.next_id + jnp.sum(birth, dtype=jnp.int32),
+    )
+
+    emit = (st.active & (st.tstate == CONFIRMED)
+            & (st.time_since_update <= 1))
+    out = BPBReIDStrongSortOutput(
+        ltrb=_mean_to_ltrb(st.mean),
+        track_id=st.track_id + 1,
+        cls=st.cls, conf=st.conf, ref=st.ref,
+        hits=st.hits, age=st.age,
+        time_since_update=st.time_since_update,
+        valid=emit,
+    )
+    return st, out
+
+
+def bpbreid_scan(cfg: BPBReIDStrongSortConfig, dets: Detections,
+                 feat: jnp.ndarray, vis: jnp.ndarray,
+                 kps: Optional[jnp.ndarray] = None,
+                 warps: Optional[jnp.ndarray] = None,
+                 init: BPBReIDStrongSortState | None = None):
+    """Whole-video tracking. feat (F, D, P, E) part features,
+    vis (F, D, P) visibility, kps (F, D, K, 3) keypoints (zeros fine for
+    iou motion), warps optional (F, 2, 3)."""
+    if init is None:
+        init = bpbreid_init(cfg, dets.ltrb.dtype)
+    F = dets.ltrb.shape[0]
+    if kps is None:
+        kps = jnp.zeros((F, dets.ltrb.shape[1], cfg.n_keypoints, 3),
+                        dets.ltrb.dtype)
+    if warps is None:
+        warps = jnp.broadcast_to(jnp.eye(2, 3, dtype=dets.ltrb.dtype),
+                                 (F, 2, 3))
+    return lax.scan(partial(bpbreid_step, cfg), init,
+                    (dets, feat, vis, kps, warps))

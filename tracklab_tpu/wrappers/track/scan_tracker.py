@@ -22,7 +22,8 @@ from tracklab_tpu.utils import coordinates as C
 
 log = logging.getLogger(__name__)
 
-__all__ = ["OCSORT", "ByteTrack", "StrongSORT", "BotSORT", "DeepOCSORT"]
+__all__ = ["OCSORT", "ByteTrack", "StrongSORT", "BotSORT", "DeepOCSORT",
+           "BPBReIDStrongSORT"]
 
 
 def _collect_embeddings(dets_in, dets, lut, n_frames, embed_dim):
@@ -430,6 +431,120 @@ class DeepOCSORT(_EmbScanTrackerBase):
     def _scan3(self):
         from tracklab_tpu.trackers.deepocsort import deepocsort_scan
         return deepocsort_scan
+
+
+class BPBReIDStrongSORT(_EmbScanTrackerBase):
+    """BPBReID-StrongSORT wrapper: part-based ReID embeddings +
+    visibility scores (from KPReID) and optional keypoints for OKS
+    motion. Output columns match the reference wrapper
+    (track/bpbreid_strong_sort_api.py:14-118): KF boxes plus track
+    lifecycle counters."""
+
+    input_columns = ["bbox_ltwh", "bbox_conf", "category_id",
+                     "embeddings", "visibility_scores"]
+    output_columns = ["track_id", "track_bbox_ltwh", "track_bbox_conf",
+                      "track_bbox_kf_ltwh", "hits", "age",
+                      "time_since_update"]
+
+    def __init__(self, max_dist: float = 0.2,
+                 motion_criterium: str = "iou",
+                 max_iou_distance: float = 0.7,
+                 max_oks_distance: float = 0.7, max_age: int = 30,
+                 n_init: int = 3, mc_lambda: float = 0.995,
+                 ema_alpha: float = 0.9, only_position: bool = False,
+                 n_parts: int = 6, embed_dim: int = 512,
+                 n_keypoints: int = 17, min_confidence: float = 0.0,
+                 max_tracks: int = 128, max_dets: int = 64, device=None,
+                 **kwargs):
+        super().__init__(max_dets=max_dets, **kwargs)
+        self.params = dict(
+            max_dist=max_dist, motion_criterium=motion_criterium,
+            max_iou_distance=max_iou_distance,
+            max_oks_distance=max_oks_distance, max_age=max_age,
+            n_init=n_init, mc_lambda=mc_lambda, ema_alpha=ema_alpha,
+            only_position=only_position, n_parts=n_parts,
+            embed_dim=embed_dim, n_keypoints=n_keypoints,
+            max_tracks=max_tracks, max_dets=max_dets)
+        self.min_confidence = min_confidence
+        self.n_parts = n_parts
+        self.embed_dim = embed_dim
+        self.n_keypoints = n_keypoints
+
+    def _make_config(self):
+        from tracklab_tpu.trackers.bpbreid_strongsort import (
+            BPBReIDStrongSortConfig,
+        )
+        return BPBReIDStrongSortConfig(**self.params)
+
+    @property
+    def _jitted(self):
+        import jax
+        if not hasattr(self, "_jit_cache"):
+            from tracklab_tpu.trackers.bpbreid_strongsort import (
+                bpbreid_scan,
+            )
+            cfg = self._make_config()
+            self._jit_cache = jax.jit(
+                lambda d, fe, vi, kp, w: bpbreid_scan(cfg, d, fe, vi, kp,
+                                                      w))
+        return self._jit_cache
+
+    def process(self, detections: pd.DataFrame,
+                metadatas: pd.DataFrame) -> pd.DataFrame:
+        if len(detections) == 0:
+            return detections
+        import jax.numpy as jnp
+        dets_in = detections[
+            detections["bbox_conf"] > self.min_confidence] \
+            if self.min_confidence > 0 else detections
+        dets, n_frames, lut = _pad_video(
+            dets_in, metadatas, self.max_dets, self.n_frame_bucket)
+        F, D = dets.valid.shape
+        P, E, K = self.n_parts, self.embed_dim, self.n_keypoints
+        feat = np.zeros((F, D, P, E), np.float32)
+        vis = np.zeros((F, D, P), np.float32)
+        kps = np.zeros((F, D, K, 3), np.float32)
+        ref_np = np.asarray(dets.ref)
+        valid_np = np.asarray(dets.valid)
+        emb_by_row = {i: np.asarray(e, np.float32)
+                      for i, e in dets_in["embeddings"].items()}
+        vis_by_row = {i: np.asarray(v, np.float32)
+                      for i, v in dets_in["visibility_scores"].items()}
+        kp_by_row = ({i: np.asarray(k, np.float32)
+                      for i, k in dets_in["keypoints_xyc"].items()}
+                     if "keypoints_xyc" in dets_in.columns else {})
+        for f in range(n_frames):
+            for d in np.nonzero(valid_np[f])[0]:
+                row = lut[ref_np[f, d]]
+                e = emb_by_row.get(row)
+                if e is not None:
+                    feat[f, d] = e.reshape(P, E)[:P, :E]
+                v = vis_by_row.get(row)
+                if v is not None:
+                    vis[f, d, :min(len(v), P)] = v[:P]
+                kk = kp_by_row.get(row)
+                if kk is not None:
+                    kps[f, d, :min(len(kk), K)] = kk[:K]
+        warps = _collect_warps(metadatas, n_frames, F)
+        _, out = self._jitted(dets, jnp.asarray(feat), jnp.asarray(vis),
+                              jnp.asarray(kps), jnp.asarray(warps))
+        valid = np.asarray(out.valid[:n_frames])
+        fs, ts = np.nonzero(valid)
+        rows = lut[np.asarray(out.ref[:n_frames])[fs, ts]]
+        ltrb = np.asarray(out.ltrb[:n_frames])[fs, ts]
+        result = pd.DataFrame(index=rows)
+        result["track_id"] = np.asarray(
+            out.track_id[:n_frames])[fs, ts].astype(float)
+        kf_ltwh = C.ltrb_to_ltwh(ltrb).astype(np.float32)
+        result["track_bbox_ltwh"] = list(kf_ltwh)
+        result["track_bbox_kf_ltwh"] = list(kf_ltwh)
+        result["track_bbox_conf"] = np.asarray(
+            out.conf[:n_frames])[fs, ts].astype(float)
+        result["hits"] = np.asarray(out.hits[:n_frames])[fs, ts]
+        result["age"] = np.asarray(out.age[:n_frames])[fs, ts]
+        result["time_since_update"] = np.asarray(
+            out.time_since_update[:n_frames])[fs, ts]
+        return result[~result.index.duplicated(keep="last")]
 
 
 class ByteTrack(_ScanTrackerBase):

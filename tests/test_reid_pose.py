@@ -1,0 +1,103 @@
+"""OSNet / pose model / ReID module tests (tiny shapes, CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pandas as pd
+import pytest
+
+
+class TestOSNet:
+    def test_forward_shapes(self):
+        from tracklab_tpu.models.osnet import OSNet
+        m = OSNet(variant="x0_25", feat_dim=64, n_parts=4)
+        x = jnp.zeros((2, 64, 32, 3))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out = m.apply(v, x, train=False)
+        assert out["embeddings"].shape == (2, 64)
+        assert out["part_features"].shape == (2, 5, 64)
+        assert out["visibility"].shape == (2, 5)
+        vis = np.asarray(out["visibility"])
+        assert (vis >= 0).all() and (vis <= 1 + 1e-6).all()
+
+
+class TestPoseDecode:
+    def test_heatmap_peak_decode(self):
+        from tracklab_tpu.models.pose import decode_heatmaps
+        hm = np.zeros((1, 16, 12, 2), np.float32)
+        hm[0, 5, 7, 0] = 1.0
+        hm[0, 5, 8, 0] = 0.5   # refinement pulls +x
+        hm[0, 10, 3, 1] = 0.8
+        kp = np.asarray(decode_heatmaps(jnp.asarray(hm)))
+        assert kp.shape == (1, 2, 3)
+        np.testing.assert_allclose(kp[0, 0, :2], [7.25, 5.0], atol=0.3)
+        np.testing.assert_allclose(kp[0, 1, :2], [3.0, 10.0], atol=0.3)
+        assert kp[0, 0, 2] == 1.0
+
+    def test_topdown_predict_shape(self):
+        from tracklab_tpu.models.pose import TopDownPose
+        m = TopDownPose(num_keypoints=5, variant="nano")
+        x = jnp.zeros((2, 64, 48, 3))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        kp = m.predict_keypoints(v, x)
+        assert kp.shape == (2, 5, 3)
+
+    def test_yoloxpose_predict_shape(self):
+        from tracklab_tpu.models.pose import YOLOXPose
+        m = YOLOXPose(num_classes=1, num_keypoints=5, variant="nano")
+        x = jnp.zeros((1, 64, 64, 3))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        decoded, kps = m.predict(v, x)
+        A = 8 * 8 + 4 * 4 + 2 * 2
+        assert decoded.shape == (1, A, 6)
+        assert kps.shape == (1, A, 5, 3)
+
+
+class TestReIdModule:
+    def test_embeddings_pipeline(self, tmp_path):
+        import cv2
+        from tracklab_tpu.wrappers.reid import OSNetReId
+        img_dir = tmp_path / "f"
+        img_dir.mkdir()
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (120, 160, 3), np.uint8)
+        cv2.imwrite(str(img_dir / "0.jpg"), img)
+        dets = pd.DataFrame({
+            "image_id": [0, 0],
+            "bbox_ltwh": [np.array([10, 10, 40, 80], np.float32),
+                          np.array([80, 20, 40, 80], np.float32)],
+        }, index=[100, 101])
+        module = OSNetReId(variant="x0_25", feat_dim=32, n_parts=4,
+                           crop_size=(64, 32), batch_size=2)
+        image = cv2.cvtColor(cv2.imread(str(img_dir / "0.jpg")),
+                             cv2.COLOR_BGR2RGB)
+        samples = [module.preprocess(image, dets.loc[i], None)
+                   for i in dets.index]
+        batch = module.collate_fn(samples)
+        out = module.process(batch, dets, None)
+        assert list(out.columns) == ["embeddings", "visibility_scores"]
+        assert out.loc[100, "embeddings"].shape == (5, 32)
+        assert out.loc[100, "visibility_scores"].shape == (5,)
+
+    def test_reid_training_smoke(self, tmp_path):
+        import cv2
+        from tracklab_tpu.wrappers.reid import OSNetReId
+        from tracklab_tpu.wrappers.dataset.synthetic import (
+            SyntheticDataset,
+        )
+        # render the synthetic frames to disk so crops exist
+        ds = SyntheticDataset(n_videos=1, n_frames=6, n_objects=3)
+        ts = ds.sets["train"]
+        rng = np.random.default_rng(0)
+        paths = {}
+        for image_id, meta in ts.image_metadatas.iterrows():
+            img = rng.integers(0, 255, (1080, 1920, 3), np.uint8)
+            p = tmp_path / f"{image_id}.jpg"
+            cv2.imwrite(str(p), img)
+            paths[image_id] = str(p)
+        ts.image_metadatas["file_path"] = [
+            paths[i] for i in ts.image_metadatas.index]
+        module = OSNetReId(variant="x0_25", feat_dim=32, n_parts=4,
+                           crop_size=(64, 32), batch_size=8)
+        metrics = module.train(ds, None, None, None, epochs=1,
+                               batch_size=8)
+        assert "loss" in metrics and np.isfinite(metrics["loss"][-1])

@@ -1,0 +1,6 @@
+from tracklab_tpu.wrappers.pose_estimator.topdown_api import (  # noqa
+    TopDownPoseEstimator,
+)
+from tracklab_tpu.wrappers.pose_estimator.bottomup_api import (  # noqa
+    BottomUpPoseEstimator,
+)

@@ -1,0 +1,114 @@
+"""ReID module: detection crops -> appearance embeddings.
+
+Rebuild of the reference KPReId wrapper (tracklab/wrappers/reid/
+kpreid_api.py:21-186): a DetectionLevelModule that crops each detection,
+runs the OSNet backbone and emits ``embeddings`` (global), plus
+``visibility_scores`` when part features are enabled (KPR interface).
+Crops are cut host-side to a fixed (256, 128) and batched; normalize +
+backbone run as one jitted device program. Training (module.train())
+runs the Flax ReID engine (models/reid_train.py) instead of delegating
+to torchreid.
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+
+from tracklab_tpu.pipeline.levels import DetectionLevelModule
+from tracklab_tpu.utils.collate import default_collate
+
+log = logging.getLogger(__name__)
+
+__all__ = ["OSNetReId"]
+
+IMAGENET_MEAN = (0.485 * 255, 0.456 * 255, 0.406 * 255)
+IMAGENET_STD = (0.229 * 255, 0.224 * 255, 0.225 * 255)
+
+
+class OSNetReId(DetectionLevelModule):
+    input_columns = ["bbox_ltwh"]
+    output_columns = ["embeddings", "visibility_scores"]
+    training_enabled = True
+    collate_fn = staticmethod(default_collate)
+
+    def __init__(self, variant: str = "x1_0", feat_dim: int = 512,
+                 n_parts: int = 6, crop_size=(256, 128),
+                 batch_size: int = 32, use_parts: bool = True,
+                 checkpoint_path: str | None = None, device=None,
+                 **kwargs):
+        super().__init__(batch_size)
+        self.variant = variant
+        self.feat_dim = feat_dim
+        self.n_parts = n_parts
+        self.crop_h, self.crop_w = crop_size
+        self.use_parts = use_parts
+        self.checkpoint_path = checkpoint_path
+        self._infer = None
+        self.variables = None
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+        from tracklab_tpu.models.osnet import OSNet
+
+        model = OSNet(variant=self.variant, feat_dim=self.feat_dim,
+                      n_parts=self.n_parts)
+        shape = (1, self.crop_h, self.crop_w, 3)
+        if self.checkpoint_path:
+            from tracklab_tpu.models.convert import load_checkpoint
+            self.variables = load_checkpoint(self.checkpoint_path, model,
+                                             shape)
+        elif self.variables is None:
+            log.warning("OSNetReId: no checkpoint — random weights")
+            self.variables = model.init(
+                jax.random.PRNGKey(0), jnp.zeros(shape), train=False)
+        self.model = model
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+        variables = self.variables
+
+        def infer(crops):
+            x = (crops.astype(jnp.float32) - mean) / std
+            return self.model.apply(variables, x, train=False)
+
+        self._infer = jax.jit(infer)
+
+    def preprocess(self, image, detection: pd.Series, metadata: pd.Series):
+        import cv2
+        from tracklab_tpu.utils.cv2 import crop_bbox
+        crop = crop_bbox(image, detection["bbox_ltwh"])
+        crop = cv2.resize(crop, (self.crop_w, self.crop_h),
+                          interpolation=cv2.INTER_LINEAR)
+        return {"crop": crop}
+
+    def process(self, batch, detections: pd.DataFrame,
+                metadatas: pd.DataFrame):
+        if self._infer is None:
+            self._build()
+        out = self._infer(batch["crop"])
+        emb = np.asarray(out["embeddings"], np.float32)
+        parts = np.asarray(out["part_features"], np.float32)
+        vis = np.asarray(out["visibility"], np.float32)
+        result = pd.DataFrame(index=detections.index)
+        if self.use_parts:
+            result["embeddings"] = list(parts)
+            result["visibility_scores"] = list(vis)
+        else:
+            result["embeddings"] = list(emb)
+            result["visibility_scores"] = [
+                np.ones(1, np.float32)] * len(detections)
+        return result
+
+    # ------------------------------------------------------------------
+    def train(self, tracking_dataset, pipeline, evaluator, dataset_cfg,
+              epochs: int = 5, **kwargs):
+        """Train on GT crops of the dataset's train split
+        (reference: kpreid_api.py:184-186 -> torchreid engine; here the
+        Flax engine in models/reid_train.py)."""
+        from tracklab_tpu.models.reid_train import train_reid
+        self.variables, metrics = train_reid(
+            self, tracking_dataset, epochs=epochs, **kwargs)
+        self._infer = None  # rebuild with the trained weights
+        return metrics

@@ -16,7 +16,10 @@ from dataclasses import dataclass, field
 from typing import Dict, List
 
 import numpy as np
-from scipy.optimize import linear_sum_assignment
+
+# native C++ LAPJV with scipy fallback — eval solves one LSA per frame
+# per sequence, the host-side hot loop (SURVEY §2.6)
+from tracklab_tpu.native import linear_sum_assignment
 
 __all__ = ["SequenceData", "make_sequence_data", "hota_metrics",
            "clear_metrics", "identity_metrics", "evaluate_sequence",

@@ -1,0 +1,125 @@
+"""Pose metrics tests: OKS-HOTA on perfect/perturbed predictions, keypoint
+mAP golden behaviors, PoseTrack dataset loader round-trip."""
+import json
+import numpy as np
+import pandas as pd
+import pytest
+
+from tracklab_tpu.eval.metrics import evaluate_sequence
+from tracklab_tpu.eval.pose_metrics import (
+    make_pose_sequence_data, keypoint_map, np_oks_matrix,
+)
+
+
+def synth_pose_video(seed=0, n_frames=20, n_obj=3):
+    rng = np.random.default_rng(seed)
+    base = {}
+    for k in range(n_obj):
+        c = rng.uniform(200, 800, 2)
+        kp = np.zeros((17, 3))
+        kp[:, 0] = c[0] + np.linspace(0, 60, 17)
+        kp[:, 1] = c[1] + np.linspace(0, 150, 17)
+        kp[:, 2] = 1.0
+        base[k] = (kp, rng.uniform(-3, 3, 2))
+    frames = {}
+    for f in range(n_frames):
+        ids, kps = [], []
+        for k, (kp, vel) in base.items():
+            kk = kp.copy()
+            kk[:, :2] += vel * f
+            ids.append(k + 1)
+            kps.append(kk)
+        frames[f + 1] = (np.array(ids), np.stack(kps))
+    return frames
+
+
+class TestPoseHOTA:
+    def test_perfect_prediction_is_100(self):
+        gt = synth_pose_video()
+        data = make_pose_sequence_data(gt, gt)
+        res = evaluate_sequence(data)
+        assert res["HOTA"] > 99.9
+        assert res["MOTA"] > 99.9
+        assert res["IDF1"] > 99.9
+
+    def test_id_switch_hurts_assa(self):
+        gt = synth_pose_video()
+        pred = {}
+        for f, (ids, kps) in gt.items():
+            new_ids = ids.copy()
+            if f > 10:  # swap two identities mid-video
+                new_ids = np.where(ids == 1, 99, new_ids)
+            pred[f] = (new_ids, kps)
+        full = evaluate_sequence(make_pose_sequence_data(gt, gt))
+        broken = evaluate_sequence(make_pose_sequence_data(gt, pred))
+        assert broken["AssA"] < full["AssA"] - 5
+        assert broken["DetA"] == pytest.approx(full["DetA"], abs=1e-6)
+
+
+class TestKeypointMAP:
+    def test_perfect_is_100(self):
+        gt = synth_pose_video()
+        kp = {f: v[1] for f, v in gt.items()}
+        scores = {f: np.ones(len(v[1])) for f, v in gt.items()}
+        res = keypoint_map(kp, kp, scores)
+        assert res["kp_mAP"] > 99.0
+
+    def test_noise_degrades(self):
+        rng = np.random.default_rng(0)
+        gt = synth_pose_video()
+        kp = {f: v[1] for f, v in gt.items()}
+        noisy = {f: v + rng.normal(0, 10, v.shape) for f, v in kp.items()}
+        scores = {f: np.ones(len(v)) for f, v in kp.items()}
+        res_clean = keypoint_map(kp, kp, scores)
+        res_noisy = keypoint_map(kp, noisy, scores)
+        assert res_noisy["kp_mAP"] < res_clean["kp_mAP"]
+
+    def test_oks_matrix_device_host_agree(self):
+        import jax.numpy as jnp
+        from tracklab_tpu.ops.oks import oks_matrix
+        rng = np.random.default_rng(1)
+        gt = synth_pose_video(1)[1][1]
+        pred = gt + rng.normal(0, 5, gt.shape)
+        host = np_oks_matrix(gt, pred)
+        dev = np.asarray(oks_matrix(jnp.asarray(gt), jnp.asarray(pred)))
+        np.testing.assert_allclose(host, dev, rtol=1e-4)
+
+
+class TestPoseTrackDataset:
+    def test_json_roundtrip(self, tmp_path):
+        from tracklab_tpu.wrappers.dataset.posetrack import PoseTrack21
+        ann_dir = tmp_path / "anns" / "val"
+        ann_dir.mkdir(parents=True)
+        kp = (np.tile([100.0, 200.0, 1.0], 17)
+              + np.repeat(np.arange(17) * 3.0, 3)).tolist()
+        data = {
+            "images": [
+                {"id": 101, "file_name": "v1/000001.jpg",
+                 "is_labeled": True, "vid_id": "0001",
+                 "ignore_regions_x": [[0, 10, 10, 0]],
+                 "ignore_regions_y": [[0, 0, 10, 10]]},
+                {"id": 102, "file_name": "v1/000002.jpg",
+                 "is_labeled": True, "vid_id": "0001"},
+            ],
+            "annotations": [
+                {"image_id": 101, "track_id": 0, "person_id": 7,
+                 "bbox": [90, 190, 80, 160], "keypoints": kp,
+                 "category_id": 1},
+                {"image_id": 102, "track_id": 0, "person_id": 7,
+                 "keypoints": kp, "category_id": 1},
+            ],
+            "categories": [{"id": 1, "name": "person"}],
+        }
+        with open(ann_dir / "v1.json", "w") as fp:
+            json.dump(data, fp)
+        ds = PoseTrack21(str(tmp_path), str(tmp_path / "anns"))
+        ts = ds.sets["val"]
+        assert len(ts.video_metadatas) == 1
+        assert len(ts.image_metadatas) == 2
+        assert len(ts.detections_gt) == 2
+        det = ts.detections_gt.iloc[0]
+        assert det["keypoints_xyc"].shape == (17, 3)
+        np.testing.assert_allclose(det["bbox_ltwh"], [90, 190, 80, 160])
+        # second annotation has no bbox -> derived from keypoints
+        det2 = ts.detections_gt.iloc[1]
+        assert det2["bbox_ltwh"][2] > 0

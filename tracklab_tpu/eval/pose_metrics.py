@@ -1,0 +1,150 @@
+"""Pose evaluation: OKS-similarity HOTA/MOTA/IDF1 and keypoint mAP.
+
+Rebuild of the capability of the vendored PoseTrack21 eval stack
+(plugins/eval/PoseTrack21/posetrack21/.../metrics/hota_pose.py, map.py —
+SURVEY §2.4): the core metrics are similarity-agnostic, so pose tracking
+reuses tracklab_tpu.eval.metrics with an OKS similarity matrix instead of
+IoU; keypoint detection quality uses COCO-style AP over OKS thresholds.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from tracklab_tpu.eval.metrics import SequenceData
+from tracklab_tpu.native import linear_sum_assignment
+
+__all__ = ["make_pose_sequence_data", "keypoint_map", "np_oks_matrix"]
+
+# COCO kappa (same constants as ops/oks.py, host copy)
+KAPPA = np.array([
+    0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,
+    0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089,
+])
+
+
+def _np_oks(gt_kp, pred_kps, kappa):
+    """Reference-skeleton OKS (host numpy twin of ops/oks.py)."""
+    visible = gt_kp[:, 2] > 0
+    if not visible.any():
+        return np.zeros(len(pred_kps))
+    tl = gt_kp[visible, :2].min(0)
+    br = gt_kp[visible, :2].max(0)
+    area = (br[0] - tl[0]) * (br[1] - tl[1])
+    ttl, tbr = gt_kp[:, :2].min(0), gt_kp[:, :2].max(0)
+    total = (tbr[0] - ttl[0]) * (tbr[1] - ttl[1])
+    c = s = np.sqrt(0.5)
+    rot = np.array([[c, -s], [s, c]])
+    r = gt_kp[:, :2] @ rot.T
+    rv = r[visible]
+    a45 = (rv[:, 0].max() - rv[:, 0].min()) * (rv[:, 1].max()
+                                               - rv[:, 1].min())
+    t45 = (r[:, 0].max() - r[:, 0].min()) * (r[:, 1].max()
+                                             - r[:, 1].min())
+    factor = np.sqrt(min(total / area if area > 0.1 else np.inf,
+                         t45 / a45 if a45 > 0.1 else np.inf))
+    scale = np.sqrt(max(area, 0)) * min(5.0, factor)
+    if scale < 0.1 or not np.isfinite(scale):
+        return np.zeros(len(pred_kps))
+    d2 = ((gt_kp[None, :, 0] - pred_kps[:, :, 0]) ** 2
+          + (gt_kp[None, :, 1] - pred_kps[:, :, 1]) ** 2)
+    k = kappa[: gt_kp.shape[0]]
+    per = np.exp(-d2 / (2 * scale ** 2 * k[None] ** 2)) \
+        * visible[None].astype(float)
+    return per.sum(1) / visible.sum()
+
+
+def np_oks_matrix(gt_kps, pred_kps, kappa=None):
+    """(G, K, 3) x (P, K, 3) -> (G, P) OKS similarity."""
+    if kappa is None:
+        kappa = KAPPA
+    if len(gt_kps) == 0 or len(pred_kps) == 0:
+        return np.zeros((len(gt_kps), len(pred_kps)))
+    return np.stack([_np_oks(g, pred_kps, kappa) for g in gt_kps])
+
+
+def make_pose_sequence_data(gt_frames: Dict[int, tuple],
+                            pred_frames: Dict[int, tuple]) -> SequenceData:
+    """Like metrics.make_sequence_data but with OKS similarity.
+    Frames map to (ids, keypoints (N, K, 3))."""
+    frames = sorted(set(gt_frames) | set(pred_frames))
+    gt_id_map, pred_id_map = {}, {}
+    gt_ids, pred_ids, sims = [], [], []
+    n_gt = n_pred = 0
+    for f in frames:
+        gids, gkps = gt_frames.get(f, (np.zeros(0, int),
+                                       np.zeros((0, 17, 3))))
+        pids, pkps = pred_frames.get(f, (np.zeros(0, int),
+                                         np.zeros((0, 17, 3))))
+        for i in gids:
+            gt_id_map.setdefault(i, len(gt_id_map))
+        for i in pids:
+            pred_id_map.setdefault(i, len(pred_id_map))
+        gt_ids.append(np.array([gt_id_map[i] for i in gids], int))
+        pred_ids.append(np.array([pred_id_map[i] for i in pids], int))
+        sims.append(np_oks_matrix(np.asarray(gkps), np.asarray(pkps)))
+        n_gt += len(gids)
+        n_pred += len(pids)
+    return SequenceData(len(gt_id_map), len(pred_id_map), n_gt, n_pred,
+                        gt_ids, pred_ids, sims)
+
+
+def keypoint_map(gt_frames, pred_frames, pred_scores,
+                 thresholds=None) -> dict:
+    """COCO-style keypoint AP over OKS thresholds.
+
+    gt_frames / pred_frames: {frame: (N, K, 3) keypoints};
+    pred_scores: {frame: (N,) confidence}.
+    """
+    if thresholds is None:
+        thresholds = np.arange(0.5, 0.99, 0.05)
+    all_matches = []   # (score, {thr: tp})
+    n_gt = 0
+    for f in sorted(set(gt_frames) | set(pred_frames)):
+        g = np.asarray(gt_frames.get(f, np.zeros((0, 17, 3))))
+        p = np.asarray(pred_frames.get(f, np.zeros((0, 17, 3))))
+        s = np.asarray(pred_scores.get(f, np.zeros(len(p))))
+        n_gt += len(g)
+        if len(p) == 0:
+            continue
+        oks = np_oks_matrix(g, p) if len(g) else np.zeros((0, len(p)))
+        order = np.argsort(-s)
+        taken = {float(t): np.zeros(len(g), bool) for t in thresholds}
+        for j in order:
+            rec = {"score": float(s[j]), "tp": {}}
+            for t in thresholds:
+                t = float(t)
+                best, best_g = 0.0, -1
+                for gi in range(len(g)):
+                    if taken[t][gi]:
+                        continue
+                    if oks[gi, j] > best:
+                        best, best_g = oks[gi, j], gi
+                if best >= t and best_g >= 0:
+                    taken[t][best_g] = True
+                    rec["tp"][t] = True
+                else:
+                    rec["tp"][t] = False
+            all_matches.append(rec)
+    if n_gt == 0 or not all_matches:
+        return {"kp_mAP": 0.0, "kp_AP50": 0.0, "kp_AP75": 0.0}
+    all_matches.sort(key=lambda r: -r["score"])
+    aps = {}
+    for t in thresholds:
+        t = float(t)
+        tp = np.array([r["tp"][t] for r in all_matches], float)
+        fp = 1.0 - tp
+        ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+        recall = ctp / n_gt
+        precision = ctp / np.maximum(ctp + cfp, 1e-12)
+        # 101-point interpolation
+        ap = 0.0
+        for r in np.linspace(0, 1, 101):
+            mask = recall >= r
+            ap += precision[mask].max() if mask.any() else 0.0
+        aps[t] = ap / 101
+    m = float(np.mean(list(aps.values())))
+    return {"kp_mAP": m * 100,
+            "kp_AP50": aps[min(aps, key=lambda k: abs(k - 0.5))] * 100,
+            "kp_AP75": aps[min(aps, key=lambda k: abs(k - 0.75))] * 100}

@@ -1,0 +1,128 @@
+"""Calibration pipeline modules.
+
+- :class:`TVCalibration` — image-level: per-frame camera parameters, by
+  batched JAX gradient descent (calibration/tvcalib.py) over pitch-line
+  observations from the ``pitch_lines`` image column, or passed through
+  from dataset-provided parameters. Emits the ``parameters`` image column
+  (the reference's camera supercategory payload).
+- :class:`PitchProjection` — video-level: back-projects each detection's
+  bbox bottom edge onto the pitch plane with its frame's camera, emitting
+  the GSR ``bbox_pitch`` detection column
+  (reference pipeline: sn-gamestate's calibration + projection stages over
+  plugins/calibration/tvcalib).
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+
+from tracklab_tpu.pipeline.levels import ImageLevelModule, VideoLevelModule
+from tracklab_tpu.utils.collate import Unbatchable, default_collate
+
+log = logging.getLogger(__name__)
+
+__all__ = ["TVCalibration", "PitchProjection"]
+
+
+class TVCalibration(ImageLevelModule):
+    input_columns = {"image": [], "detection": []}
+    output_columns = {"image": ["parameters"], "detection": []}
+    collate_fn = staticmethod(default_collate)
+
+    def __init__(self, steps: int = 300, lr: float = 0.05,
+                 image_width: int = 1920, image_height: int = 1080,
+                 batch_size: int = 16, device=None, **kwargs):
+        super().__init__(batch_size)
+        from tracklab_tpu.calibration.tvcalib import TVCalibConfig
+        self.cfg = TVCalibConfig(steps=steps, lr=lr,
+                                 image_width=image_width,
+                                 image_height=image_height)
+
+    def preprocess(self, image, detections, metadata):
+        return {"pitch_lines": Unbatchable(
+            metadata.get("pitch_lines", {}))}
+
+    def process(self, batch, detections, metadatas: pd.DataFrame):
+        from tracklab_tpu.calibration.tvcalib import optimize_cameras
+        observations = batch["pitch_lines"]
+        rows = []
+        have_obs = [bool(o) for o in observations]
+        if any(have_obs):
+            cams, err = optimize_cameras(
+                [o if o else {} for o in observations], self.cfg)
+            for (image_id, _), cam, e in zip(metadatas.iterrows(), cams,
+                                             err):
+                cam = dict(cam)
+                cam.pop("latent", None)
+                cam["relative_mean_reproj"] = float(e)
+                rows.append(pd.Series({"parameters": cam},
+                                      name=image_id))
+        else:
+            for image_id, md in metadatas.iterrows():
+                if md.get("parameters") is not None:
+                    rows.append(pd.Series(
+                        {"parameters": md["parameters"]}, name=image_id))
+        return [], rows
+
+
+class PitchProjection(VideoLevelModule):
+    input_columns = {"detection": ["bbox_ltwh"], "image": ["parameters"]}
+    output_columns = {"detection": ["bbox_pitch"], "image": []}
+
+    def __init__(self, image_width: int = 1920, image_height: int = 1080,
+                 device=None, **kwargs):
+        self.image_width = image_width
+        self.image_height = image_height
+
+    @staticmethod
+    def _camera_from_params(p, width, height):
+        import jax.numpy as jnp
+        from tracklab_tpu.calibration.camera import CameraParams
+        pp = p.get("principal_point", [width / 2, height / 2])
+        pos = p.get("position_meters", [0.0, 45.0, 15.0])
+        return CameraParams(
+            pan=jnp.deg2rad(jnp.asarray(p.get("pan_degrees", 0.0))),
+            tilt=jnp.deg2rad(jnp.asarray(p.get("tilt_degrees", 70.0))),
+            roll=jnp.deg2rad(jnp.asarray(p.get("roll_degrees", 0.0))),
+            focal=jnp.asarray(p.get("x_focal_length", 2500.0)),
+            position=jnp.asarray([float(v) for v in pos]),
+            principal=jnp.asarray([float(v) for v in pp]))
+
+    def process(self, detections: pd.DataFrame,
+                metadatas: pd.DataFrame) -> pd.DataFrame:
+        from tracklab_tpu.calibration.camera import backproject_to_pitch
+        import jax.numpy as jnp
+        if len(detections) == 0 or "parameters" not in metadatas.columns:
+            return pd.DataFrame(index=detections.index,
+                                columns=["bbox_pitch"])
+        out = {}
+        for image_id, md in metadatas.iterrows():
+            params = md.get("parameters")
+            dets = detections[detections["image_id"] == image_id]
+            if params is None or len(dets) == 0:
+                continue
+            cam = self._camera_from_params(params, self.image_width,
+                                           self.image_height)
+            boxes = np.stack(dets["bbox_ltwh"].to_numpy()).astype(float)
+            bl = np.stack([boxes[:, 0], boxes[:, 1] + boxes[:, 3]], 1)
+            br = np.stack([boxes[:, 0] + boxes[:, 2],
+                           boxes[:, 1] + boxes[:, 3]], 1)
+            bm = (bl + br) / 2
+            pix = np.concatenate([bl, br, bm], axis=0)
+            world = np.asarray(backproject_to_pitch(
+                cam, jnp.asarray(pix)))
+            n = len(boxes)
+            for i, idx in enumerate(dets.index):
+                out[idx] = {
+                    "x_bottom_left": float(world[i, 0]),
+                    "y_bottom_left": float(world[i, 1]),
+                    "x_bottom_right": float(world[n + i, 0]),
+                    "y_bottom_right": float(world[n + i, 1]),
+                    "x_bottom_middle": float(world[2 * n + i, 0]),
+                    "y_bottom_middle": float(world[2 * n + i, 1]),
+                }
+        result = pd.DataFrame(index=list(out.keys()))
+        result["bbox_pitch"] = list(out.values())
+        return result

@@ -117,11 +117,25 @@ def _resolve_node(node, root, stack=()):
     return node
 
 
+def _search_dirs(config_dir: Path):
+    from tracklab_tpu.config.plugins import discover_plugin_config_dirs
+    return [config_dir] + discover_plugin_config_dirs()
+
+
 def _load_group(config_dir: Path, group: str, option: str,
                 root_dir: Optional[Path] = None) -> OmegaDict:
     root_dir = root_dir or config_dir
-    group_dir = config_dir / group.replace(".", "/").replace("//", "/")
+    rel = group.replace(".", "/").replace("//", "/")
+    group_dir = config_dir / rel
     path = group_dir / f"{option}.yaml"
+    if not path.exists():
+        # search third-party plugin config packages (config/plugins.py)
+        for alt in _search_dirs(root_dir)[1:]:
+            alt_path = alt / rel / f"{option}.yaml"
+            if alt_path.exists():
+                path = alt_path
+                group_dir = alt / rel
+                break
     if not path.exists():
         raise FileNotFoundError(f"Config group file not found: {path}")
     cfg = load_yaml(path)

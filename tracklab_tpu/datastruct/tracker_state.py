@@ -16,6 +16,7 @@ import zipfile
 from pathlib import Path
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 
 from tracklab_tpu.pipeline.module import Pipeline
@@ -54,6 +55,10 @@ class TrackerState:
         self.image_pred: Optional[pd.DataFrame] = None
         self.video_id = None
         self.zf = {}
+
+        if json_file is not None:
+            self.json_detections_pred = self._load_json_detections(
+                json_file)
 
         # GT bootstrap (tracker_state.py:123-146): GT acts as a fake
         # upstream module so downstream modules (trackers, ReID...) can run
@@ -101,10 +106,45 @@ class TrackerState:
             cols |= set(base)
             if load_from_groundtruth and level == "detection":
                 cols |= set(self.detections_pred_gt.columns)
+            if json_file is not None and level == "detection":
+                cols |= set(self.json_detections_pred.columns)
             self.load_columns[level] = cols
         self.pipeline.validate(self.load_columns)
 
     # ------------------------------------------------------------------
+    def _load_json_detections(self, json_file):
+        """COCO-style external detections bootstrap
+        (tracker_state.py:153-208): a JSON list/dict of records with
+        image_id, bbox (ltwh), score, optional keypoints/category_id."""
+        with open(json_file) as fp:
+            data = json.load(fp)
+        records = data if isinstance(data, list) else \
+            data.get("annotations", data.get("detections", []))
+        rows = []
+        img_video = self.image_metadatas["video_id"]
+        for i, rec in enumerate(records):
+            image_id = rec.get("image_id")
+            if image_id not in img_video.index:
+                continue
+            row = {
+                "image_id": image_id,
+                "video_id": img_video.loc[image_id],
+                "bbox_ltwh": np.asarray(rec.get("bbox",
+                                                rec.get("bbox_ltwh")),
+                                        np.float32),
+                "bbox_conf": float(rec.get("score",
+                                           rec.get("bbox_conf", 1.0))),
+                "category_id": int(rec.get("category_id", 1)),
+            }
+            if "keypoints" in rec:
+                kp = np.asarray(rec["keypoints"],
+                                np.float32).reshape(-1, 3)
+                row["keypoints_xyc"] = kp
+            rows.append(row)
+        df = pd.DataFrame(rows)
+        df.index.name = "id"
+        return df
+
     def _stored_columns(self):
         if self.load_file is None or not self.load_file.exists():
             return {}
@@ -155,6 +195,13 @@ class TrackerState:
         (tracker_state.py:322-359)."""
         assert self.video_id is not None, \
             "load() must be called inside the per-video context manager"
+        if self.json_file is not None:
+            video_detections = self.json_detections_pred[
+                self.json_detections_pred.video_id == self.video_id]
+            video_images = self.image_metadatas[
+                self.image_metadatas.video_id == self.video_id]
+            self.update(video_detections, video_images)
+            return video_detections, video_images
         video_detections = pd.DataFrame()
         video_images = self.image_metadatas[
             self.image_metadatas.video_id == self.video_id]

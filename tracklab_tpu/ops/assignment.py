@@ -40,9 +40,24 @@ def solve_square(cost: jnp.ndarray) -> jnp.ndarray:
     """Exact min-cost perfect matching on a square (K, K) float matrix.
 
     Returns ``col2row``: for each column j, the row assigned to it, shape
-    (K,) int32. All costs must be finite. O(K^3) worst case; column scans
-    are vectorized (VPU-friendly), rows are sequential.
+    (K,) int32. All costs must be finite. O(K^3) worst case.
+
+    On TPU this dispatches to the single-kernel Pallas implementation
+    (ops/assignment_pallas.py) — the whole algorithm runs inside one
+    Mosaic program instead of one XLA op-sequence per augmenting step.
+    Elsewhere (CPU tests, interpreters) the pure-lax path below runs:
+    column scans vectorized, rows sequential.
     """
+    from tracklab_tpu.ops.assignment_pallas import solve_square_pallas
+
+    return lax.platform_dependent(
+        cost,
+        tpu=lambda c: solve_square_pallas(c),
+        default=_solve_square_lax,
+    )
+
+
+def _solve_square_lax(cost: jnp.ndarray) -> jnp.ndarray:
     K = cost.shape[0]
     assert cost.shape == (K, K)
     dt = cost.dtype

@@ -142,6 +142,59 @@ class XYSRFilter:
         return lax.fori_loop(0, max_gap, body, (x_frozen, P_frozen))
 
     @staticmethod
+    def oru_replay_batch(x_frozen, P_frozen, z_prev, z_new, gap, need):
+        """Batched ORU replay over all track slots at once.
+
+        Unlike vmapping :func:`oru_replay` (which always runs max_gap
+        iterations), this runs a single while_loop to the LARGEST needed
+        gap this frame — typically 1-3 steps instead of max_age — with
+        per-track masking. Identical results for masked tracks.
+
+        Shapes: x_frozen (T, 7), P_frozen (T, 7, 7), z_prev/z_new (T, 4),
+        gap (T,) int, need (T,) bool.
+        """
+        dtype = x_frozen.dtype
+        x1, y1, s1, r1 = (z_prev[:, 0], z_prev[:, 1], z_prev[:, 2],
+                          z_prev[:, 3])
+        x2, y2, s2, r2 = (z_new[:, 0], z_new[:, 1], z_new[:, 2],
+                          z_new[:, 3])
+        w1 = jnp.sqrt(jnp.maximum(s1 * r1, 1e-12))
+        h1 = jnp.sqrt(jnp.maximum(s1 / jnp.maximum(r1, 1e-12), 1e-12))
+        w2 = jnp.sqrt(jnp.maximum(s2 * r2, 1e-12))
+        h2 = jnp.sqrt(jnp.maximum(s2 / jnp.maximum(r2, 1e-12), 1e-12))
+        tg = jnp.maximum(gap, 1).astype(dtype)
+        dx, dy = (x2 - x1) / tg, (y2 - y1) / tg
+        dw, dh = (w2 - w1) / tg, (h2 - h1) / tg
+        max_steps = jnp.max(jnp.where(need, gap, 0))
+
+        def cond(carry):
+            i, _, _ = carry
+            return i < max_steps
+
+        def body(carry):
+            i, x, P = carry
+            active = need & (i < gap)
+            t = (i + 1).astype(dtype)
+            vx = x1 + t * dx
+            vy = y1 + t * dy
+            vw = w1 + t * dw
+            vh = h1 + t * dh
+            vz = jnp.stack([vx, vy, vw * vh,
+                            vw / jnp.maximum(vh, 1e-12)], axis=1)
+            x_u, P_u = XYSRFilter.update_batch(x, P, vz)
+            do_pred = active & (i < gap - 1)
+            x_p, P_p = XYSRFilter.predict_batch(x_u, P_u)
+            x_next = jnp.where(do_pred[:, None], x_p, x_u)
+            P_next = jnp.where(do_pred[:, None, None], P_p, P_u)
+            x = jnp.where(active[:, None], x_next, x)
+            P = jnp.where(active[:, None, None], P_next, P)
+            return i + 1, x, P
+
+        _, x, P = lax.while_loop(
+            cond, body, (jnp.int32(0), x_frozen, P_frozen))
+        return x, P
+
+    @staticmethod
     def to_ltrb(x):
         """State -> ltrb box (ocsort.py:36-46 convert_x_to_bbox)."""
         w = jnp.sqrt(x[2] * x[3])

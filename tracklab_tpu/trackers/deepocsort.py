@@ -108,27 +108,37 @@ def _nkf_update(x, P, z):
     return x_new, P_new
 
 
-def _nkf_oru_replay(x_f, P_f, z_prev, z_new, gap, max_gap: int):
-    """Linear xywh replay between the last real measurement and the new
-    one, predict-update per virtual step (clean-space variant — see module
-    docstring)."""
-    tg = jnp.maximum(gap, 1).astype(x_f.dtype)
+def _nkf_oru_replay_batch(x_f, P_f, z_prev, z_new, gap, need):
+    """Batched linear xywh replay, bounded by the largest needed gap this
+    frame (clean-space variant — see module docstring). Shapes: (T, 8),
+    (T, 8, 8), (T, 4), (T, 4), (T,), (T,)."""
+    dtype = x_f.dtype
+    tg = jnp.maximum(gap, 1).astype(dtype)[:, None]
     dz = (z_new - z_prev) / tg
+    max_steps = jnp.max(jnp.where(need, gap, 0))
+    upd = jax.vmap(_nkf_update)
+    pred = jax.vmap(lambda x, P: _nkf_predict(x, P, jnp.asarray(False)))
 
-    def body(i, carry):
-        x, P = carry
-        active = i < gap
-        t = (i + 1).astype(x.dtype)
+    def cond(carry):
+        i, _, _ = carry
+        return i < max_steps
+
+    def body(carry):
+        i, x, P = carry
+        active = need & (i < gap)
+        t = (i + 1).astype(dtype)
         vz = z_prev + t * dz
-        x_u, P_u = _nkf_update(x, P, vz)
-        do_predict = active & (i < gap - 1)
-        x_p, P_p = _nkf_predict(x_u, P_u, jnp.asarray(False))
-        x_next = jnp.where(do_predict, x_p, x_u)
-        P_next = jnp.where(do_predict, P_p, P_u)
-        return (jnp.where(active, x_next, x),
-                jnp.where(active, P_next, P))
+        x_u, P_u = upd(x, P, vz)
+        do_pred = active & (i < gap - 1)
+        x_p, P_p = pred(x_u, P_u)
+        x_next = jnp.where(do_pred[:, None], x_p, x_u)
+        P_next = jnp.where(do_pred[:, None, None], P_p, P_u)
+        x = jnp.where(active[:, None], x_next, x)
+        P = jnp.where(active[:, None, None], P_next, P)
+        return i + 1, x, P
 
-    return lax.fori_loop(0, max_gap, body, (x_f, P_f))
+    _, x, P = lax.while_loop(cond, body, (jnp.int32(0), x_f, P_f))
+    return x, P
 
 
 # ---------------------------------------------------------------------------
@@ -434,14 +444,8 @@ def deepocsort_step(cfg: DeepOCSortConfig, st: DeepOCSortState, inputs):
     z = B.ltrb_to_xywh(z_ltrb)
     need_oru = matched & st.active & (~st.observed) & st.has_frozen
     gap = jnp.maximum(st.age - st.last_obs_age, 1)
-
-    def run_replay(_):
-        return jax.vmap(
-            partial(_nkf_oru_replay, max_gap=cfg.max_age + 2)
-        )(st.frozen_x, st.frozen_P, st.frozen_z, z, gap)
-
-    rep_x, rep_P = lax.cond(jnp.any(need_oru), run_replay,
-                            lambda _: (st.kf_x, st.kf_P), None)
+    rep_x, rep_P = _nkf_oru_replay_batch(
+        st.frozen_x, st.frozen_P, st.frozen_z, z, gap, need_oru)
     base_x = jnp.where(need_oru[:, None], rep_x, st.kf_x)
     base_P = jnp.where(need_oru[:, None, None], rep_P, st.kf_P)
     upd_x, upd_P = jax.vmap(_nkf_update)(base_x, base_P, z)

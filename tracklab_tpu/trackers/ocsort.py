@@ -252,19 +252,14 @@ def _apply_updates(cfg, st: OCSortState, det: Detections, trk2det):
     z = B.ltrb_to_xysr(z_ltrb)                        # (T, 4)
 
     # --- ORU: tracks re-observed after a gap rewind to the frozen state ---
-    # lax.cond skips the (max_age-bounded) replay loop on frames with no
-    # re-observation, the common case.
+    # batched replay runs only to the largest needed gap this frame
+    # (typically 1-3 steps), with per-track masking; no replay work at all
+    # on frames with no re-observation (max_steps == 0).
     need_oru = matched & st.active & (~st.observed) & st.has_frozen
     gap = jnp.maximum(st.age - st.last_obs_age, 1)
     z_prev = B.ltrb_to_xysr(st.last_obs[:, :4])
-
-    def run_replay(_):
-        return jax.vmap(
-            partial(KF.oru_replay, max_gap=cfg.max_age + 2)
-        )(st.frozen_x, st.frozen_P, z_prev, z, gap)
-
-    replay_x, replay_P = lax.cond(
-        jnp.any(need_oru), run_replay, lambda _: (st.kf_x, st.kf_P), None)
+    replay_x, replay_P = KF.oru_replay_batch(
+        st.frozen_x, st.frozen_P, z_prev, z, gap, need_oru)
     base_x = jnp.where(need_oru[:, None], replay_x, st.kf_x)
     base_P = jnp.where(need_oru[:, None, None], replay_P, st.kf_P)
 

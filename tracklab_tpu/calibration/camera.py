@@ -18,15 +18,18 @@ __all__ = ["CameraParams", "camera_matrix", "project_points",
 
 
 class CameraParams(NamedTuple):
-    """All angles in radians; position in pitch meters (z up negative —
-    camera above the pitch has z < 0 in the SoccerNet convention, we use
-    z = height > 0 and handle signs internally)."""
+    """All angles in radians; position in pitch meters, z = height above
+    the pitch (world z up). ``distortion`` carries radial (k1, k2)
+    coefficients like the SoccerNet baseline Camera
+    (plugins/calibration/sn_calibration_baseline/camera.py); zeros
+    disable distortion."""
     pan: jnp.ndarray      # ()
     tilt: jnp.ndarray     # ()
     roll: jnp.ndarray     # ()
     focal: jnp.ndarray    # () pixels
     position: jnp.ndarray  # (3,) [x, y, z(height)]
     principal: jnp.ndarray  # (2,) [cx, cy] pixels
+    distortion: jnp.ndarray = jnp.zeros(2)  # (k1, k2)
 
 
 def _rotation(pan, tilt, roll):
@@ -65,14 +68,24 @@ def camera_matrix(cam: CameraParams):
 
 
 def project_points(cam: CameraParams, points3d):
-    """(N, 3) world points -> (N, 2) pixels + (N,) in-front mask."""
-    P = camera_matrix(cam)
-    ph = jnp.concatenate(
-        [points3d, jnp.ones((points3d.shape[0], 1))], axis=1)
-    proj = ph @ P.T
-    z = proj[:, 2]
-    xy = proj[:, :2] / jnp.where(jnp.abs(z) > 1e-8, z, 1e-8)[:, None]
-    return xy, z > 0
+    """(N, 3) world points -> (N, 2) pixels + (N,) in-front mask.
+
+    Radial distortion (k1, k2) is applied in normalized camera
+    coordinates when cam.distortion is nonzero."""
+    R = _rotation(cam.pan, cam.tilt, cam.roll)
+    xc = (points3d - cam.position) @ R.T
+    z = xc[:, 2]
+    zsafe = jnp.where(jnp.abs(z) > 1e-8, z, 1e-8)
+    xn = xc[:, 0] / zsafe
+    yn = xc[:, 1] / zsafe
+    r2 = xn * xn + yn * yn
+    k1, k2 = cam.distortion[0], cam.distortion[1]
+    radial = 1.0 + k1 * r2 + k2 * r2 * r2
+    xn = xn * radial
+    yn = yn * radial
+    px = cam.focal * xn + cam.principal[0]
+    py = cam.focal * yn + cam.principal[1]
+    return jnp.stack([px, py], axis=1), z > 0
 
 
 def backproject_to_pitch(cam: CameraParams, pixels):

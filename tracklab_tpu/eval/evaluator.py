@@ -74,6 +74,13 @@ class TrackEvalEvaluator(Evaluator):
             log.warning("No '%s' column in predictions — did a tracker "
                         "run?", self.pred_track_column)
             return {}
+        # drop predictions flagged by the IgnoredRegions callback
+        if "in_ignored_region" in pred.columns:
+            flagged = pred["in_ignored_region"].fillna(False)
+            if flagged.any():
+                log.info("Excluding %d detections inside ignore regions",
+                         int(flagged.sum()))
+                pred = pred[~flagged.astype(bool)]
 
         # optional MOT-format export (same artifacts as the reference)
         if self.save_folder:

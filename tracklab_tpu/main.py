@@ -22,6 +22,18 @@ CONFIG_DIR = Path(__file__).parent / "configs"
 
 def init_environment(cfg):
     import jax
+    # hydra-style run dir: outputs/${experiment_name}/${date}/${time}
+    # (reference: configs/config.yaml:52-59 run-dir policy with chdir)
+    if cfg.get("use_run_dir", False):
+        import datetime
+        import os
+        now = datetime.datetime.now()
+        run_dir = (Path(cfg.get("output_dir", "outputs"))
+                   / str(cfg.get("experiment_name", "run"))
+                   / now.strftime("%Y-%m-%d") / now.strftime("%H-%M-%S"))
+        run_dir.mkdir(parents=True, exist_ok=True)
+        os.chdir(run_dir)
+        log.info("Run dir: %s", run_dir)
     level = logging.DEBUG if cfg.get("verbose") else logging.INFO
     handlers = None
     if cfg.get("use_rich", True):

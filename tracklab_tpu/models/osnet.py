@@ -38,6 +38,7 @@ class ConvBn(nn.Module):
     stride: int = 1
     groups: int = 1
     act: bool = True
+    ibn: bool = False   # instance-batch norm (osnet_ibn_* variants)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -47,8 +48,19 @@ class ConvBn(nn.Module):
                     padding=[(self.kernel // 2, self.kernel // 2)] * 2,
                     feature_group_count=self.groups, use_bias=False,
                     dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train,
-                         dtype=jnp.float32)(x)
+        if self.ibn:
+            # IBN: instance norm on the first half channels, batch norm
+            # on the rest (the osnet_ibn_x1_0 default of the reference's
+            # StrongSORT/BoT-SORT configs)
+            half = self.features // 2
+            a = nn.GroupNorm(num_groups=half, epsilon=1e-5,
+                             dtype=jnp.float32)(x[..., :half])
+            b = nn.BatchNorm(use_running_average=not train,
+                             dtype=jnp.float32)(x[..., half:])
+            x = jnp.concatenate([a, b], axis=-1)
+        else:
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=jnp.float32)(x)
         return nn.relu(x) if self.act else x
 
 
@@ -121,13 +133,15 @@ class OSNet(nn.Module):
     variant: str = "x1_0"
     feat_dim: int = 512
     n_parts: int = 6
+    ibn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         v = OSNET_VARIANTS[self.variant]
         chans = v["channels"]
-        x = ConvBn(chans[0], 7, 2, dtype=self.dtype)(x, train)
+        x = ConvBn(chans[0], 7, 2, ibn=self.ibn, dtype=self.dtype)(x,
+                                                                   train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         for stage, (c, n) in enumerate(zip(chans[1:], v["blocks"])):
             for _ in range(n):

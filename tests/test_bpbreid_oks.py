@@ -72,7 +72,7 @@ class TestOKS:
 
 
 class TestBPBReIDStrongSort:
-    def _run(self, motion):
+    def _run(self, motion, strategy="strong_sort"):
         from tracklab_tpu.trackers.bpbreid_strongsort import (
             BPBReIDStrongSortConfig, bpbreid_scan,
         )
@@ -80,7 +80,8 @@ class TestBPBReIDStrongSort:
         rng = np.random.default_rng(0)
         F, D, P, E, K = 30, 8, 4, 16, 17
         cfg = BPBReIDStrongSortConfig(
-            motion_criterium=motion, n_parts=P, embed_dim=E,
+            motion_criterium=motion, matching_strategy=strategy,
+            n_parts=P, embed_dim=E,
             n_keypoints=K, max_tracks=16, max_dets=D, n_init=2,
             max_dist=0.3)
         n_obj = 4
@@ -136,6 +137,9 @@ class TestBPBReIDStrongSort:
 
     def test_iou_motion(self):
         self._run("iou")
+
+    def test_bot_sort_strategy(self):
+        self._run("iou", strategy="bot_sort")
 
     def test_oks_motion(self):
         self._run("oks")

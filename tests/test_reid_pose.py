@@ -78,6 +78,32 @@ class TestReIdModule:
         assert out.loc[100, "embeddings"].shape == (5, 32)
         assert out.loc[100, "visibility_scores"].shape == (5,)
 
+    def test_keypoint_prompts(self, tmp_path):
+        import cv2
+        from tracklab_tpu.wrappers.reid import OSNetReId
+        rng = np.random.default_rng(0)
+        image = rng.integers(0, 255, (120, 160, 3), np.uint8)
+        kp = np.zeros((17, 3), np.float32)
+        kp[:, 0] = 20 + rng.uniform(0, 40, 17)
+        kp[:, 1] = 15 + rng.uniform(0, 70, 17)
+        kp[:, 2] = 1.0
+        kp[13:, 2] = 0.0  # legs/feet invisible
+        det = pd.Series({
+            "bbox_ltwh": np.array([15, 10, 50, 80], np.float32),
+            "keypoints_xyc": kp,
+        }, name=7)
+        module = OSNetReId(variant="x0_25", feat_dim=32, n_parts=6,
+                           crop_size=(64, 32), batch_size=1,
+                           use_keypoints=True)
+        sample = module.preprocess(image, det, None)
+        assert sample["crop"].shape == (64, 32, 3 + 5)
+        batch = module.collate_fn([sample])
+        out = module.process(batch, pd.DataFrame(index=[7]), None)
+        vis = out.loc[7, "visibility_scores"]
+        assert vis[0] == 1.0          # global part
+        assert vis[1] > 0.9           # head visible
+        assert vis[4] == 0.0 and vis[5] == 0.0   # legs/feet invisible
+
     def test_reid_training_smoke(self, tmp_path):
         import cv2
         from tracklab_tpu.wrappers.reid import OSNetReId

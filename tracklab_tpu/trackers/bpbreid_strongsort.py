@@ -60,6 +60,14 @@ class BPBReIDStrongSortConfig:
     mc_lambda: float = 0.995
     ema_alpha: float = 0.9
     only_position: bool = False
+    # matching strategy (sort/tracker.py:242-364): "strong_sort" = gated
+    # ReID cascade then motion stage; "bot_sort" = one LSA over the
+    # weighted sum of KF-gating / ReID / spatio-temporal costs
+    matching_strategy: str = "strong_sort"
+    w_kfgd: float = 1.0
+    w_reid: float = 1.0
+    w_st: float = 1.0
+    gating_thres_factor: float = 1.0
     n_parts: int = 6                  # KPR part count (+1 global)
     embed_dim: int = 512
     n_keypoints: int = 17
@@ -159,7 +167,6 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
 
     det_xyah = B.ltwh_to_xyah(B.ltrb_to_ltwh(det.ltrb))
 
-    # --- stage A: part-based ReID on confirmed tracks, KF-gated ---
     confirmed = st.active & (st.tstate == CONFIRMED)
     app = part_based_distance(st.feat, st.vis, feat, vis).T   # (D, T)
     gating = jax.vmap(
@@ -167,29 +174,56 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
                                         cfg.only_position)
     )(st.mean, st.cov).T
     gthr = CHI2INV95_2D if cfg.only_position else CHI2INV95_4D
-    app = jnp.where(gating > gthr, INFTY_COST, app)
-    app = cfg.mc_lambda * app + (1 - cfg.mc_lambda) * gating
-    d2t_a = _clamped_matching(app, det.valid, confirmed, cfg.max_dist)
-    t2d_a = _invert(d2t_a, T)
 
-    # --- stage B: motion cost (iou on KF prediction / oks on last kps)
-    unconfirmed = st.active & (st.tstate == TENTATIVE)
-    recent = confirmed & (t2d_a < 0) & (st.time_since_update == 1)
-    cand = unconfirmed | recent
-    u_det = det.valid & (d2t_a < 0)
-    if cfg.motion_criterium == "oks":
-        sim = oks_matrix(st.kps, kps).T                    # (D, T)
-        sim = jnp.where(jnp.isfinite(sim), sim, 0.0)
-        motion_cost = 1.0 - sim
-        motion_max = cfg.max_oks_distance
-    else:
+    def motion_cost_matrix():
+        if cfg.motion_criterium == "oks":
+            sim = oks_matrix(st.kps, kps).T                # (D, T)
+            sim = jnp.where(jnp.isfinite(sim), sim, 0.0)
+            return 1.0 - sim, cfg.max_oks_distance
         iou = B.iou_matrix(det.ltrb, _mean_to_ltrb(st.mean))
-        motion_cost = 1.0 - iou
-        motion_max = cfg.max_iou_distance
-    ok = u_det[:, None] & cand[None, :]
-    motion_cost = jnp.where(ok, motion_cost, INFTY_COST)
-    d2t_b = _clamped_matching(motion_cost, u_det, cand, motion_max)
-    t2d_b = _invert(d2t_b, T)
+        return 1.0 - iou, cfg.max_iou_distance
+
+    if cfg.matching_strategy == "bot_sort":
+        # one LSA over all tracks: weighted sum of sqrt-Mahalanobis,
+        # part-ReID and spatio-temporal costs, OR-gated
+        # (sort/tracker.py:169-240,335-363)
+        pos_cost = jnp.sqrt(jnp.maximum(gating, 0.0)) / (
+            jnp.sqrt(gthr) * cfg.gating_thres_factor)
+        st_cost, motion_max = motion_cost_matrix()
+        wsum = cfg.w_kfgd + cfg.w_reid + cfg.w_st
+        cost = (cfg.w_kfgd * pos_cost + cfg.w_reid * app
+                + cfg.w_st * st_cost) / wsum
+        gate = jnp.zeros_like(cost, bool)
+        if cfg.w_kfgd > 0:
+            gate |= pos_cost > 1.0
+        if cfg.w_reid > 0:
+            gate |= app > cfg.max_dist
+        if cfg.w_st > 0:
+            gate |= st_cost > motion_max
+        cost = jnp.where(gate, INFTY_COST, cost)
+        d2t_a = _clamped_matching(cost, det.valid, st.active,
+                                  cfg.max_dist)
+        t2d_a = _invert(d2t_a, T)
+        d2t_b = jnp.full(det.ltrb.shape[0], -1, jnp.int32)
+        t2d_b = _invert(d2t_b, T)
+    else:
+        # --- stage A: part-based ReID on confirmed tracks, KF-gated ---
+        app_g = jnp.where(gating > gthr, INFTY_COST, app)
+        app_g = cfg.mc_lambda * app_g + (1 - cfg.mc_lambda) * gating
+        d2t_a = _clamped_matching(app_g, det.valid, confirmed,
+                                  cfg.max_dist)
+        t2d_a = _invert(d2t_a, T)
+
+        # --- stage B: motion cost (iou on prediction / oks on last kps)
+        unconfirmed = st.active & (st.tstate == TENTATIVE)
+        recent = confirmed & (t2d_a < 0) & (st.time_since_update == 1)
+        cand = unconfirmed | recent
+        u_det = det.valid & (d2t_a < 0)
+        motion_cost, motion_max = motion_cost_matrix()
+        ok = u_det[:, None] & cand[None, :]
+        motion_cost = jnp.where(ok, motion_cost, INFTY_COST)
+        d2t_b = _clamped_matching(motion_cost, u_det, cand, motion_max)
+        t2d_b = _invert(d2t_b, T)
 
     trk2det = jnp.where(t2d_a >= 0, t2d_a, t2d_b)
     matched = trk2det >= 0

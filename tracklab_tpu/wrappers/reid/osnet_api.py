@@ -33,9 +33,20 @@ class OSNetReId(DetectionLevelModule):
     training_enabled = True
     collate_fn = staticmethod(default_collate)
 
+    # COCO-17 keypoint groups -> body parts (KPR's part structure):
+    # head, torso, arms, legs, feet
+    KP_GROUPS = [
+        [0, 1, 2, 3, 4],
+        [5, 6, 11, 12],
+        [7, 8, 9, 10],
+        [13, 14],
+        [15, 16],
+    ]
+
     def __init__(self, variant: str = "x1_0", feat_dim: int = 512,
                  n_parts: int = 6, crop_size=(256, 128),
                  batch_size: int = 32, use_parts: bool = True,
+                 use_keypoints: bool = False, ibn: bool = False,
                  checkpoint_path: str | None = None, device=None,
                  **kwargs):
         super().__init__(batch_size)
@@ -44,9 +55,20 @@ class OSNetReId(DetectionLevelModule):
         self.n_parts = n_parts
         self.crop_h, self.crop_w = crop_size
         self.use_parts = use_parts
+        self.use_keypoints = use_keypoints
+        self.ibn = ibn
         self.checkpoint_path = checkpoint_path
         self._infer = None
         self.variables = None
+        if use_keypoints:
+            # keypoint prompt masks ride as extra input channels and
+            # part visibility comes from keypoint confidence per group
+            # (the KPR prompt mechanism, reference kpreid_api.py)
+            self.input_columns = ["bbox_ltwh", "keypoints_xyc"]
+
+    @property
+    def _in_channels(self):
+        return 3 + (len(self.KP_GROUPS) if self.use_keypoints else 0)
 
     def _build(self):
         import jax
@@ -54,8 +76,8 @@ class OSNetReId(DetectionLevelModule):
         from tracklab_tpu.models.osnet import OSNet
 
         model = OSNet(variant=self.variant, feat_dim=self.feat_dim,
-                      n_parts=self.n_parts)
-        shape = (1, self.crop_h, self.crop_w, 3)
+                      n_parts=self.n_parts, ibn=self.ibn)
+        shape = (1, self.crop_h, self.crop_w, self._in_channels)
         if self.checkpoint_path:
             from tracklab_tpu.models.convert import load_checkpoint
             self.variables = load_checkpoint(self.checkpoint_path, model,
@@ -70,7 +92,10 @@ class OSNetReId(DetectionLevelModule):
         variables = self.variables
 
         def infer(crops):
-            x = (crops.astype(jnp.float32) - mean) / std
+            rgb = (crops[..., :3].astype(jnp.float32) - mean) / std
+            x = jnp.concatenate(
+                [rgb, crops[..., 3:].astype(jnp.float32)], axis=-1) \
+                if crops.shape[-1] > 3 else rgb
             return self.model.apply(variables, x, train=False)
 
         self._infer = jax.jit(infer)
@@ -80,8 +105,29 @@ class OSNetReId(DetectionLevelModule):
         from tracklab_tpu.utils.cv2 import crop_bbox
         crop = crop_bbox(image, detection["bbox_ltwh"])
         crop = cv2.resize(crop, (self.crop_w, self.crop_h),
-                          interpolation=cv2.INTER_LINEAR)
-        return {"crop": crop}
+                          interpolation=cv2.INTER_LINEAR).astype(
+                              np.float32)
+        sample = {"crop": crop}
+        if self.use_keypoints:
+            from tracklab_tpu.wrappers.reid.reid_dataset import (
+                gaussian_keypoint_masks,
+            )
+            kp = detection.get("keypoints_xyc")
+            G = len(self.KP_GROUPS)
+            prompts = np.zeros((self.crop_h, self.crop_w, G), np.float32)
+            kp_vis = np.zeros(G, np.float32)
+            if kp is not None and isinstance(kp, np.ndarray):
+                masks = gaussian_keypoint_masks(
+                    kp, (self.crop_h, self.crop_w),
+                    detection["bbox_ltwh"])
+                for g, idxs in enumerate(self.KP_GROUPS):
+                    idxs = [i for i in idxs if i < len(kp)]
+                    if idxs:
+                        prompts[..., g] = masks[idxs].max(axis=0)
+                        kp_vis[g] = float(np.max(kp[idxs, 2]))
+            sample["crop"] = np.concatenate([crop, prompts], axis=-1)
+            sample["kp_vis"] = kp_vis
+        return sample
 
     def process(self, batch, detections: pd.DataFrame,
                 metadatas: pd.DataFrame):
@@ -91,6 +137,13 @@ class OSNetReId(DetectionLevelModule):
         emb = np.asarray(out["embeddings"], np.float32)
         parts = np.asarray(out["part_features"], np.float32)
         vis = np.asarray(out["visibility"], np.float32)
+        if self.use_keypoints and "kp_vis" in batch:
+            # keypoint-derived part visibility (global part stays 1);
+            # stripe parts beyond the keypoint groups keep activation mass
+            kv = np.asarray(batch["kp_vis"], np.float32)
+            vis = vis.copy()
+            g = min(kv.shape[1], vis.shape[1] - 1)
+            vis[:, 1:1 + g] = kv[:, :g]
         result = pd.DataFrame(index=detections.index)
         if self.use_parts:
             result["embeddings"] = list(parts)

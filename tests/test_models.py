@@ -155,3 +155,64 @@ class TestParallel:
     def test_dryrun_multichip(self):
         import __graft_entry__
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestSimOTA:
+    def test_simota_train_step(self):
+        import optax
+        from tracklab_tpu.models.yolox import YOLOX
+        from tracklab_tpu.models.train import (
+            create_train_state, make_train_step,
+        )
+        model = YOLOX(num_classes=2, variant="nano")
+        tx = optax.adam(1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   (1, 64, 64, 3), tx)
+        rng = np.random.default_rng(1)
+        boxes = np.zeros((2, 3, 5), np.float32)
+        boxes[..., 0:2] = rng.uniform(16, 48, (2, 3, 2))
+        boxes[..., 2:4] = rng.uniform(10, 20, (2, 3, 2))
+        boxes[..., 4] = rng.integers(0, 2, (2, 3))
+        batch = {"images": np.asarray(
+            rng.uniform(0, 1, (2, 64, 64, 3)), np.float32),
+            "gt_boxes": boxes, "gt_valid": np.ones((2, 3), bool)}
+        step = jax.jit(make_train_step(model, tx, (64, 64)))
+        state, loss0 = step(state, batch)
+        for _ in range(8):
+            state, loss = step(state, batch)
+        assert np.isfinite(float(loss)) and float(loss) < float(loss0)
+
+
+class TestPoseTrain:
+    def test_heatmap_targets_and_step(self):
+        import optax
+        from tracklab_tpu.models.pose import TopDownPose
+        from tracklab_tpu.models.pose_train import (
+            gaussian_heatmaps, make_pose_train_step, PoseTrainState,
+        )
+        kp = jnp.asarray([[16.0, 24.0, 1.0], [5.0, 5.0, 0.0]])
+        hm = gaussian_heatmaps(kp, (16, 8), (64, 32))
+        assert hm.shape == (16, 8, 2)
+        got = np.asarray(hm)
+        # peak at the scaled keypoint location for visible kp
+        iy, ix = np.unravel_index(got[..., 0].argmax(), (16, 8))
+        assert (ix, iy) == (4, 6)
+        assert got[..., 1].max() == 0.0  # invisible kp -> empty map
+
+        model = TopDownPose(num_keypoints=2, variant="nano")
+        tx = optax.adam(1e-3)
+        rng = np.random.default_rng(0)
+        crops = jnp.asarray(rng.uniform(0, 1, (2, 64, 32, 3)),
+                            jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), crops, train=True)
+        state = PoseTrainState(variables["params"],
+                               variables.get("batch_stats", {}),
+                               tx.init(variables["params"]),
+                               jnp.zeros((), jnp.int32))
+        kps = jnp.asarray(rng.uniform(5, 25, (2, 2, 3)), jnp.float32)
+        kps = kps.at[..., 2].set(1.0)
+        step = jax.jit(make_pose_train_step(model, tx, (64, 32)))
+        state, loss0 = step(state, {"crops": crops, "keypoints": kps})
+        for _ in range(10):
+            state, loss = step(state, {"crops": crops, "keypoints": kps})
+        assert float(loss) < float(loss0)

@@ -70,7 +70,7 @@ class TopDownPose(nn.Module):
         y = c5
         for _ in range(3):  # /32 -> /4
             y = nn.ConvTranspose(256, (4, 4), strides=(2, 2),
-                                 padding=((1, 1), (1, 1)),
+                                 padding="SAME",
                                  use_bias=False, dtype=self.dtype)(y)
             y = nn.BatchNorm(use_running_average=not train,
                              dtype=jnp.float32)(y)

@@ -19,6 +19,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 import optax
+from jax import lax
 
 from tracklab_tpu.models.yolox import YOLOX, decode_outputs
 
@@ -71,10 +72,48 @@ def _anchor_centers(input_hw, strides=(8, 16, 32)):
     return jnp.concatenate(centers), jnp.concatenate(stride_arr)
 
 
+def _simota_assign(pos_mat, iou, cls_logit, obj_logit, tgt_cls_ids,
+                   valid, num_classes, topk_ious: int = 10):
+    """SimOTA dynamic-k assignment (the YOLOX assigner, vectorized).
+
+    pos_mat: (A, G) center-prior candidates; iou: (A, G) pred-GT IoU.
+    Returns refined (A, G) positive matrix: per GT, the dynamic-k
+    lowest-cost candidate anchors; anchor conflicts resolve to min cost.
+    """
+    A, G = pos_mat.shape
+    # per-pair cost: cls BCE (one-hot target) + 3 * (-log iou) + prior
+    probs = jax.nn.sigmoid(cls_logit) * jax.nn.sigmoid(
+        obj_logit)[:, None]                                 # (A, C)
+    onehot = jax.nn.one_hot(tgt_cls_ids, num_classes)        # (G, C)
+    p = jnp.clip(probs[:, None, :], 1e-6, 1 - 1e-6)          # (A, 1, C)
+    cls_cost = -jnp.sum(
+        onehot[None] * jnp.log(p) + (1 - onehot[None]) * jnp.log(1 - p),
+        axis=-1)                                             # (A, G)
+    iou_cost = -jnp.log(jnp.clip(iou, 1e-8, 1.0))
+    cost = cls_cost + 3.0 * iou_cost + 1e5 * (~pos_mat)
+    # dynamic k per GT: sum of top-10 candidate IoUs, >= 1
+    iou_cand = jnp.where(pos_mat, iou, 0.0)
+    topv = lax.top_k(iou_cand.T, min(topk_ious, A))[0]        # (G, k)
+    dyn_k = jnp.clip(jnp.sum(topv, axis=1).astype(jnp.int32), 1,
+                     min(topk_ious, A))
+    # per GT take the dyn_k lowest-cost anchors: rank anchors per column
+    order = jnp.argsort(cost, axis=0)                         # (A, G)
+    rank = jnp.argsort(order, axis=0)                         # rank of a
+    chosen = (rank < dyn_k[None, :]) & pos_mat & valid[None, :]
+    # conflicts: anchor claimed by several GTs -> keep min-cost GT
+    multi = jnp.sum(chosen, axis=1) > 1
+    best_g = jnp.argmin(jnp.where(chosen, cost, jnp.inf), axis=1)
+    keep = jax.nn.one_hot(best_g, G, dtype=bool) & chosen
+    return jnp.where(multi[:, None], keep, chosen)
+
+
 def detection_loss(outputs, gt_boxes, gt_valid, input_hw,
-                   num_classes: int, center_radius: float = 2.5):
+                   num_classes: int, center_radius: float = 2.5,
+                   simota: bool = True):
     """outputs: per-level raw maps; gt_boxes: (B, G, 5) [xywh, cls];
-    gt_valid: (B, G) bool."""
+    gt_valid: (B, G) bool. With ``simota`` the center-prior candidates
+    are refined by the dynamic-k SimOTA assigner (the YOLOX strategy);
+    otherwise the plain center prior assigns directly."""
     decoded = decode_outputs(outputs, apply_sigmoid=False)  # (B, A, 5+C)
     centers, strides = _anchor_centers(input_hw)            # (A, 2), (A,)
 
@@ -93,8 +132,12 @@ def detection_loss(outputs, gt_boxes, gt_valid, input_hw,
         in_center = ((jnp.abs(centers[:, 0][:, None] - gx[None]) < r)
                      & (jnp.abs(centers[:, 1][:, None] - gy[None]) < r))
         pos_mat = in_box & in_center & valid[None, :]        # (A, G)
-        # each anchor -> best-IoU GT among its candidates
         iou = _pairwise_iou_xywh(pred_xywh, boxes[:, :4])
+        if simota:
+            pos_mat = _simota_assign(
+                pos_mat, iou, cls_logit, obj_logit,
+                boxes[:, 4].astype(jnp.int32), valid, num_classes)
+        # each anchor -> best-IoU GT among its candidates
         iou_masked = jnp.where(pos_mat, iou, -1.0)
         best_gt = jnp.argmax(iou_masked, axis=1)
         is_pos = jnp.any(pos_mat, axis=1)

@@ -85,3 +85,25 @@ def test_e2e_noisy_synthetic_reasonable():
     parts, results = run(cfg)
     combined = results["COMBINED_SEQ"]
     assert combined["HOTA"] > 60.0, combined
+
+
+def test_batched_engine_matches_sequential():
+    """8 videos tracked as one stacked scan == sequential per-video runs."""
+    args = [
+        "engine=batched", "engine.video_batch_size=8",
+        "dataset.n_videos=8", "dataset.n_frames=25",
+        "dataset.n_objects=4",
+        "state.load_from_groundtruth={detection: [bbox_ltwh, bbox_conf, category_id]}",
+        "use_rich=false",
+    ]
+    cfg = compose(CONFIG_DIR, "config", args)
+    parts, results = run(cfg)
+    assert results["COMBINED_SEQ"]["HOTA"] > 99.0
+    assert len(results["per_seq"]) == 8
+
+    cfg_seq = compose(CONFIG_DIR, "config", args[2:])
+    parts2, results2 = run(cfg_seq)
+    # identical detections/tracks either way
+    a = parts["tracker_state"].detections_pred.sort_index()
+    b = parts2["tracker_state"].detections_pred.sort_index()
+    assert (a["track_id"].fillna(-1) == b["track_id"].fillna(-1)).all()

@@ -208,6 +208,66 @@ class _ScanTrackerBase(VideoLevelModule):
             self._jit_cache = jax.jit(lambda d: scan(cfg, d))
         return self._jit_cache
 
+    # ------------------------------------------------------------------
+    # Batched multi-video mode (BASELINE config 5): pad every video to a
+    # common frame bucket, stack on a leading video axis, and run ONE
+    # vmapped (single chip) or shard_mapped (mesh) scan for the whole
+    # batch.
+    # ------------------------------------------------------------------
+    def process_video_batch(self, items, mesh=None):
+        """items: list of (detections_df, metadatas_df). Returns a list of
+        per-video output DataFrames (same semantics as process())."""
+        import jax
+        import jax.numpy as jnp
+        from tracklab_tpu.trackers.common import Detections
+
+        padded, luts, lens = [], [], []
+        max_frames = max((len(m) for _, m in items), default=0)
+        bucket = max(((max_frames + self.n_frame_bucket - 1)
+                      // self.n_frame_bucket) * self.n_frame_bucket,
+                     self.n_frame_bucket)
+        for dets_df, metas in items:
+            d, n, lut = _pad_video(dets_df, metas, self.max_dets, bucket)
+            # _pad_video buckets independently; re-bucket to the common F
+            padded.append(d)
+            luts.append(lut)
+            lens.append(n)
+        stacked = Detections(*[
+            jnp.stack([getattr(d, f) for d in padded])
+            for f in Detections._fields])
+        cfg = self._make_config()
+        scan = self._scan_fn()
+        if mesh is not None:
+            from tracklab_tpu.parallel.mesh import tracker_videos_sharded
+            run = tracker_videos_sharded(
+                lambda c, d: scan(c, d), cfg, mesh, axis="video")
+            _, out = run(stacked)
+        else:
+            _, out = jax.jit(jax.vmap(lambda d: scan(cfg, d)))(stacked)
+        results = []
+        for v, (lut, n) in enumerate(zip(luts, lens)):
+            results.append(self._emissions_to_df(
+                jax.tree_util.tree_map(lambda x: x[v], out), n, lut))
+        return results
+
+    def _emissions_to_df(self, out, n_frames, lut):
+        valid = np.asarray(out.valid[:n_frames])
+        track_id = np.asarray(out.track_id[:n_frames])
+        ltrb = np.asarray(out.ltrb[:n_frames])
+        conf = np.asarray(out.conf[:n_frames])
+        ref = np.asarray(out.ref[:n_frames])
+        fs, ts = np.nonzero(valid)
+        ok = ref[fs, ts] >= 0
+        fs, ts = fs[ok], ts[ok]
+        rows = lut[ref[fs, ts]] if len(fs) else np.zeros(0, int)
+        result = pd.DataFrame(index=rows)
+        result["track_id"] = track_id[fs, ts].astype(float)
+        result["track_bbox_ltwh"] = list(
+            C.ltrb_to_ltwh(ltrb[fs, ts]).astype(np.float32)) \
+            if len(fs) else []
+        result["track_bbox_conf"] = conf[fs, ts].astype(float)
+        return result[~result.index.duplicated(keep="last")]
+
     def process(self, detections: pd.DataFrame,
                 metadatas: pd.DataFrame) -> pd.DataFrame:
         if len(detections) == 0:

@@ -129,6 +129,11 @@ class TrackingDataset:
         frame,id,bb_left,bb_top,bb_width,bb_height,conf,x,y,z)."""
         save_path = Path(save_folder)
         save_path.mkdir(parents=True, exist_ok=True)
+        # seqmaps file for external TrackEval compatibility
+        seqmap = ["name"] + [str(v["name"])
+                             for _, v in video_metadatas.iterrows()]
+        (save_path.parent / "seqmaps.txt").write_text(
+            "\n".join(seqmap) + "\n")
         if detections.empty:
             for _, video in video_metadatas.iterrows():
                 (save_path / f"{video['name']}.txt").write_text("")
@@ -148,6 +153,13 @@ class TrackingDataset:
             out["track_id"] = out["track_id"].astype(int)
             out.to_csv(save_path / f"{video['name']}.txt",
                        header=False, index=False)
+        if save_zip:
+            import zipfile
+            zf_path = save_path.parent / f"{save_path.name}.zip"
+            with zipfile.ZipFile(zf_path, "w",
+                                 zipfile.ZIP_DEFLATED) as zf:
+                for txt in sorted(save_path.glob("*.txt")):
+                    zf.write(txt, arcname=txt.name)
 
     def process_trackeval_results(self, results, dataset_config,
                                   eval_config):

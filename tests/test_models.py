@@ -216,3 +216,34 @@ class TestPoseTrain:
         for _ in range(10):
             state, loss = step(state, {"crops": crops, "keypoints": kps})
         assert float(loss) < float(loss0)
+
+
+class TestYOLOv8:
+    def test_forward_and_decode(self):
+        from tracklab_tpu.models.yolov8 import YOLOv8
+        m = YOLOv8(num_classes=3, variant="n")
+        x = jnp.zeros((1, 64, 64, 3))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        outs = m.apply(v, x, train=False)
+        assert len(outs) == 3
+        assert outs[0].shape == (1, 8, 8, 4 * 16 + 3)
+        dec = m.apply(v, x, method=YOLOv8.predict)
+        A = 64 + 16 + 4
+        assert dec.shape == (1, A, 8)
+        d = np.asarray(dec)
+        assert (d[..., 4] == 1.0).all()               # obj placeholder
+        assert (d[..., 5:] >= 0).all() and (d[..., 5:] <= 1).all()
+        # decoded sizes bounded by (reg_max-1)*2*stride
+        assert (d[..., 2] >= 0).all() and (d[..., 2] <= 30 * 32 + 1).all()
+
+    def test_decode_geometry(self):
+        from tracklab_tpu.models.yolov8 import decode_v8
+        # craft logits so DFL puts all mass on bin 2 for each side
+        out = np.full((1, 2, 2, 4 * 16 + 1), -20.0, np.float32)
+        for side in range(4):
+            out[..., side * 16 + 2] = 20.0   # distance = 2 cells
+        out[..., 64] = 0.0                   # cls logit -> 0.5
+        dec = np.asarray(decode_v8([jnp.asarray(out)], 1, strides=(8,)))
+        # anchor (0.5, 0.5): box = (0.5 +/- 2) * 8 -> size 32, center 4
+        np.testing.assert_allclose(dec[0, 0, :4], [4.0, 4.0, 32.0, 32.0],
+                                   atol=1e-4)

@@ -1,0 +1,193 @@
+"""YOLOv8 detector in Flax (NHWC, anchor-free DFL head).
+
+JAX port of the architecture behind the reference's ultralytics wrapper
+(tracklab/wrappers/bbox_detector/yolo_ultralytics_api.py:22-72 — the
+BASELINE config-1 detector, YOLOv8n): C2f backbone + SPPF, PAN neck, and
+the decoupled head regressing per-side distance distributions (DFL over
+``reg_max`` bins) plus class logits. Decode runs fully vectorized on
+device; boxes come out in input pixels ready for ops/nms.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["YOLOv8", "YOLOV8_VARIANTS", "decode_v8"]
+
+# depth_mult, width_mult, max_channels
+YOLOV8_VARIANTS = {
+    "n": dict(d=0.33, w=0.25, mc=1024),
+    "s": dict(d=0.33, w=0.50, mc=1024),
+    "m": dict(d=0.67, w=0.75, mc=768),
+    "l": dict(d=1.00, w=1.00, mc=512),
+    "x": dict(d=1.00, w=1.25, mc=512),
+}
+
+
+def _ch(c, w, mc):
+    return min(int(round(c * w / 8)) * 8, int(mc)) or 8
+
+
+def _n(n, d):
+    return max(int(round(n * d)), 1)
+
+
+class Conv(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=self.stride,
+                    padding=[(self.kernel // 2,) * 2] * 2,
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=jnp.float32)(x)
+        return nn.silu(x)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        y = Conv(self.features, 3, dtype=self.dtype)(x, train)
+        y = Conv(self.features, 3, dtype=self.dtype)(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.features \
+            else y
+
+
+class C2f(nn.Module):
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c = self.features // 2
+        y = Conv(2 * c, 1, dtype=self.dtype)(x, train)
+        parts = [y[..., :c], y[..., c:]]
+        for _ in range(self.n):
+            parts.append(Bottleneck(c, self.shortcut,
+                                    dtype=self.dtype)(parts[-1], train))
+        return Conv(self.features, 1,
+                    dtype=self.dtype)(jnp.concatenate(parts, -1), train)
+
+
+class SPPF(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c = x.shape[-1] // 2
+        x = Conv(c, 1, dtype=self.dtype)(x, train)
+        pools = [x]
+        for _ in range(3):
+            pools.append(nn.max_pool(pools[-1], (5, 5), strides=(1, 1),
+                                     padding=[(2, 2)] * 2))
+        return Conv(self.features, 1,
+                    dtype=self.dtype)(jnp.concatenate(pools, -1), train)
+
+
+def _up2(x):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
+
+
+class YOLOv8(nn.Module):
+    num_classes: int = 80
+    variant: str = "n"
+    reg_max: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        v = YOLOV8_VARIANTS[self.variant]
+        d, w, mc = v["d"], v["w"], v["mc"]
+        ch = lambda c: _ch(c, w, mc)
+        nn_ = lambda k: _n(k, d)
+
+        # backbone
+        x = Conv(ch(64), 3, 2, dtype=self.dtype)(x, train)       # /2
+        x = Conv(ch(128), 3, 2, dtype=self.dtype)(x, train)      # /4
+        x = C2f(ch(128), nn_(3), dtype=self.dtype)(x, train)
+        x = Conv(ch(256), 3, 2, dtype=self.dtype)(x, train)      # /8
+        p3 = C2f(ch(256), nn_(6), dtype=self.dtype)(x, train)
+        x = Conv(ch(512), 3, 2, dtype=self.dtype)(p3, train)     # /16
+        p4 = C2f(ch(512), nn_(6), dtype=self.dtype)(x, train)
+        x = Conv(ch(1024), 3, 2, dtype=self.dtype)(p4, train)    # /32
+        x = C2f(ch(1024), nn_(3), dtype=self.dtype)(x, train)
+        p5 = SPPF(ch(1024), dtype=self.dtype)(x, train)
+
+        # PAN neck
+        u4 = C2f(ch(512), nn_(3), shortcut=False, dtype=self.dtype)(
+            jnp.concatenate([_up2(p5), p4], -1), train)
+        u3 = C2f(ch(256), nn_(3), shortcut=False, dtype=self.dtype)(
+            jnp.concatenate([_up2(u4), p3], -1), train)
+        d4 = C2f(ch(512), nn_(3), shortcut=False, dtype=self.dtype)(
+            jnp.concatenate(
+                [Conv(ch(256), 3, 2, dtype=self.dtype)(u3, train), u4],
+                -1), train)
+        d5 = C2f(ch(1024), nn_(3), shortcut=False, dtype=self.dtype)(
+            jnp.concatenate(
+                [Conv(ch(512), 3, 2, dtype=self.dtype)(d4, train), p5],
+                -1), train)
+
+        # decoupled DFL head per level
+        outs = []
+        for f in (u3, d4, d5):
+            c_reg = max(16, f.shape[-1] // 4, self.reg_max * 4)
+            c_cls = max(f.shape[-1], min(self.num_classes, 100))
+            r = Conv(c_reg, 3, dtype=self.dtype)(f, train)
+            r = Conv(c_reg, 3, dtype=self.dtype)(r, train)
+            reg = nn.Conv(4 * self.reg_max, (1, 1),
+                          dtype=self.dtype)(r)
+            c = Conv(c_cls, 3, dtype=self.dtype)(f, train)
+            c = Conv(c_cls, 3, dtype=self.dtype)(c, train)
+            cls = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(c)
+            outs.append(jnp.concatenate([reg, cls], -1))
+        return outs
+
+    def predict(self, images, train=False):
+        outs = self(images, train=train)
+        return decode_v8(outs, self.num_classes, self.reg_max)
+
+
+def decode_v8(outputs, num_classes, reg_max=16, strides=(8, 16, 32)):
+    """Per-level (B, H, W, 4*reg_max + C) -> (B, A, 5 + C) decoded
+    [xywh, obj=1 placeholder, cls scores] in input pixels, matching the
+    (xywh, obj, cls) layout consumed by ops/nms.postprocess_detections
+    (YOLOv8 has no objectness branch; obj is fixed to 1)."""
+    decoded = []
+    for out, stride in zip(outputs, strides):
+        b, h, w, _ = out.shape
+        out = out.astype(jnp.float32)
+        reg = out[..., : 4 * reg_max].reshape(b, h, w, 4, reg_max)
+        dist = jnp.sum(jax.nn.softmax(reg, axis=-1)
+                       * jnp.arange(reg_max, dtype=jnp.float32), axis=-1)
+        gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+        gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+        x1 = (gx - dist[..., 0]) * stride
+        y1 = (gy - dist[..., 1]) * stride
+        x2 = (gx + dist[..., 2]) * stride
+        y2 = (gy + dist[..., 3]) * stride
+        cx = (x1 + x2) / 2
+        cy = (y1 + y2) / 2
+        bw = x2 - x1
+        bh = y2 - y1
+        cls = jax.nn.sigmoid(out[..., 4 * reg_max:])
+        obj = jnp.ones((b, h, w, 1), jnp.float32)
+        dec = jnp.concatenate(
+            [jnp.stack([cx, cy, bw, bh], -1), obj, cls], -1)
+        decoded.append(dec.reshape(b, h * w, 5 + num_classes))
+    return jnp.concatenate(decoded, axis=1)

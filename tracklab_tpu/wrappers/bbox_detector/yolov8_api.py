@@ -1,0 +1,48 @@
+"""YOLOv8 detector module (the reference's YOLOUltralytics role,
+tracklab/wrappers/bbox_detector/yolo_ultralytics_api.py:22-72): images ->
+bbox columns through the Flax YOLOv8 + device NMS."""
+from __future__ import annotations
+
+import logging
+
+from tracklab_tpu.wrappers.bbox_detector.yolox_api import YOLOXDetector
+
+log = logging.getLogger(__name__)
+
+__all__ = ["YOLOv8Detector"]
+
+
+class YOLOv8Detector(YOLOXDetector):
+    """Same pipeline surface as YOLOXDetector with the YOLOv8 backbone
+    and DFL decode."""
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+        from tracklab_tpu.models.yolov8 import YOLOv8
+        from tracklab_tpu.ops.nms import postprocess_detections
+
+        model = YOLOv8(num_classes=self.num_classes,
+                       variant=self.variant)
+        h, w = self.input_size
+        if self.checkpoint_path:
+            from tracklab_tpu.models.convert import load_checkpoint
+            variables = load_checkpoint(self.checkpoint_path, model,
+                                        (1, h, w, 3))
+        else:
+            log.warning("YOLOv8Detector: no checkpoint_path given — "
+                        "running with random weights")
+            variables = model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, h, w, 3)), train=False)
+
+        def infer(images):
+            images = images.astype(jnp.float32) / 255.0
+            decoded = model.apply(variables, images,
+                                  method=YOLOv8.predict)
+            return postprocess_detections(
+                decoded, conf_threshold=self.min_confidence,
+                iou_threshold=self.nms_iou, max_out=self.max_dets)
+
+        self._model = model
+        self._variables = variables
+        self._infer = jax.jit(infer)

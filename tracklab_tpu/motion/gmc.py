@@ -32,7 +32,8 @@ class GMC:
 
     methods: "sparseOptFlow" (goodFeaturesToTrack + pyramidal LK +
     estimateAffinePartial2D/RANSAC — gmc.py:239-303), "ecc"
-    (findTransformECC euclidean — gmc.py:80-111), "none".
+    (findTransformECC euclidean — gmc.py:80-111), "lk_jax" (the
+    device-side dense pyramidal LK, motion/lk_jax.py), "none".
     """
 
     def __init__(self, method: str = "sparseOptFlow", downscale: int = 2):
@@ -53,6 +54,19 @@ class GMC:
         cur-frame coords (full resolution)."""
         if self.method == "none" or prev is None:
             return IDENTITY.copy()
+        if self.method == "lk_jax":
+            import jax.numpy as jnp
+            from tracklab_tpu.motion.lk_jax import estimate_affine_lk
+            prev_g = self._prep(prev)
+            cur_g = self._prep(cur)
+            H = np.asarray(estimate_affine_lk(
+                jnp.asarray(prev_g), jnp.asarray(cur_g)),
+                dtype=np.float32)
+            if self.downscale > 1:
+                H = H.copy()
+                H[0, 2] *= self.downscale
+                H[1, 2] *= self.downscale
+            return H
         import cv2
         prev_g = self._prep(prev)
         cur_g = self._prep(cur)

@@ -176,10 +176,25 @@ def compose(config_dir, config_name: str = "config",
     # group overrides (`dataset=mot20`) replace defaults-list selections
     group_overrides: Dict[str, str] = {}
     value_overrides: List[tuple] = []
+    experiment_bodies: List[OmegaDict] = []
     for ov in overrides:
         if ov.startswith("+"):
             key, _, val = ov[1:].partition("=")
-            value_overrides.append((key, _parse_value(val)))
+            candidate = config_dir / key.replace(".", "/") / f"{val}.yaml"
+            if candidate.exists():
+                # experiment-style global-package config: its defaults
+                # entries act as group overrides (whole-subtree replace),
+                # its body merges into the root after _self_
+                exp = load_yaml(candidate)
+                for entry in exp.pop("defaults", []):
+                    if entry == "_self_":
+                        continue
+                    if isinstance(entry, dict):
+                        (g, opt), = entry.items()
+                        group_overrides[str(g).lstrip("/")] = str(opt)
+                experiment_bodies.append(exp)
+            else:
+                value_overrides.append((key, _parse_value(val)))
             continue
         key, _, val = ov.partition("=")
         candidate = config_dir / key.replace(".", "/") / f"{val}.yaml"
@@ -207,6 +222,20 @@ def compose(config_dir, config_name: str = "config",
     for group, option in group_overrides.items():
         sub = _load_group(config_dir, group, option)
         cfg.set_dotted(group.replace("/", "."), sub)
+    for body in experiment_bodies:
+        for k, v in body.items():
+            if not isinstance(v, dict):
+                cfg.set_dotted(k, v)
+                continue
+            for k2, v2 in v.items():
+                existing = cfg.select(f"{k}.{k2}")
+                if isinstance(v2, dict) and "_target_" in v2:
+                    # whole-subtree replacement for new module defs
+                    cfg.set_dotted(f"{k}.{k2}", OmegaDict.wrap(v2))
+                elif isinstance(v2, dict) and isinstance(existing, dict):
+                    existing.merge(v2)
+                else:
+                    cfg.set_dotted(f"{k}.{k2}", v2)
     for key, val in value_overrides:
         cfg.set_dotted(key, val)
 

@@ -185,8 +185,12 @@ def clear_metrics(data: SequenceData, threshold: float = 0.5) -> dict:
     prev_match = np.full(data.num_gt_ids, -1)        # last matched pred id
     gt_tracked_prev = np.zeros(data.num_gt_ids, bool)
     gt_seen = np.zeros(data.num_gt_ids, bool)
+    gt_frames = np.zeros(data.num_gt_ids, int)       # presence count
+    gt_matched_frames = np.zeros(data.num_gt_ids, int)
 
     for gids, pids, sim in zip(data.gt_ids, data.pred_ids, data.similarity):
+        if len(gids):
+            np.add.at(gt_frames, gids, 1)
         if len(gids) == 0:
             fp += len(pids)
             gt_tracked_prev = np.zeros(data.num_gt_ids, bool)
@@ -221,17 +225,26 @@ def clear_metrics(data: SequenceData, threshold: float = 0.5) -> dict:
             prev_match[g] = p
             gt_seen[g] = True
             gt_tracked_now[g] = True
+            gt_matched_frames[g] += 1
         gt_tracked_prev = gt_tracked_now
 
     num_gt = data.num_gt_dets
     mota = 1.0 - (fn + fp + idsw) / max(num_gt, 1)
     motp = motp_sum / max(tp, 1)
+    # trajectory coverage (TrackEval MT/PT/ML: >=80% / 20-80% / <20%)
+    present = gt_frames > 0
+    ratio = gt_matched_frames[present] / np.maximum(
+        gt_frames[present], 1)
+    mt = int(np.sum(ratio >= 0.8))
+    ml = int(np.sum(ratio < 0.2))
+    pt = int(present.sum()) - mt - ml
     return {
         "CLR_TP": tp, "CLR_FN": fn, "CLR_FP": fp, "IDSW": idsw,
         "Frag": frag, "MOTP_sum": motp_sum, "CLR_gt": num_gt,
         "MOTA": float(mota * 100), "MOTP": float(motp * 100),
         "CLR_Re": float(tp / max(num_gt, 1) * 100),
         "CLR_Pr": float(tp / max(tp + fp, 1) * 100),
+        "MT": mt, "PT": pt, "ML": ml,
     }
 
 
@@ -300,7 +313,7 @@ def combine_sequences(per_seq: Dict[str, dict]) -> dict:
            ["HOTA_TP", "HOTA_FN", "HOTA_FP", "AssA_num", "LocA_sum"]}
     counts = {k: 0.0 for k in
               ["CLR_TP", "CLR_FN", "CLR_FP", "IDSW", "Frag", "MOTP_sum",
-               "CLR_gt", "IDTP", "IDFN", "IDFP"]}
+               "CLR_gt", "IDTP", "IDFN", "IDFP", "MT", "PT", "ML"]}
     for res in per_seq.values():
         for k in agg:
             agg[k] = agg[k] + res[k]
@@ -313,6 +326,7 @@ def combine_sequences(per_seq: Dict[str, dict]) -> dict:
     out.update({
         "CLR_TP": tp, "CLR_FN": fn, "CLR_FP": fp, "IDSW": idsw,
         "Frag": counts["Frag"],
+        "MT": counts["MT"], "PT": counts["PT"], "ML": counts["ML"],
         "MOTA": float((1 - (fn + fp + idsw) / max(num_gt, 1)) * 100),
         "MOTP": float(counts["MOTP_sum"] / max(tp, 1) * 100),
         "CLR_Re": float(tp / max(num_gt, 1) * 100),

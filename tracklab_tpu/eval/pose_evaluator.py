@@ -118,3 +118,12 @@ class PoseTrackEvaluator(Evaluator):
         for k in ("HOTA", "MOTA", "IDF1"):
             log.info("  box %-6s %10.3f", k, results["COMBINED_SEQ"][k])
         return results
+
+
+class PoseTrack21Evaluator(PoseTrackEvaluator):
+    """Name-compatible alias (reference:
+    wrappers/eval/posetrack/posetrack21_evaluator.py)."""
+
+
+class PoseTrack18Evaluator(PoseTrackEvaluator):
+    """Name-compatible alias (reference: posetrack18_evaluator.py)."""

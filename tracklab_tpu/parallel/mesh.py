@@ -98,3 +98,18 @@ def tracker_videos_sharded(scan_fn, cfg, mesh: Mesh,
         return fn(dets_batched)
 
     return run
+
+
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Multi-host (DCN) initialization for video-level data parallelism
+    across hosts (SURVEY §2.7: per-host video subsets; only eval
+    reductions cross hosts). Thin wrapper over jax.distributed —
+    harmless no-op on a single host."""
+    import jax
+    if num_processes in (None, 0, 1):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return True

@@ -15,3 +15,6 @@ from tracklab_tpu.visualization.image import FrameCounterVisualizer  # noqa
 from tracklab_tpu.visualization.visualization_engine import (  # noqa
     VisualizationEngine,
 )
+from tracklab_tpu.visualization.detection import (  # noqa
+    DetectionStatsVisualizer, IgnoreRegionVisualizer,
+)

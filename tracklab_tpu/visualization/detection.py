@@ -84,3 +84,52 @@ class DebugDetectionVisualizer(DetectionVisualizer):
         elif detection_gt is not None:
             draw_bbox(image, detection_gt["bbox_ltwh"], color=self.FN,
                       thickness=1, text="FN")
+
+
+class DetectionStatsVisualizer(DetectionVisualizer):
+    """Prints per-detection stats next to each box (confidence, track
+    costs when present) — the reference's per-detection debug printer
+    (tracklab/visualization/detection.py stats zoo)."""
+
+    def __init__(self, fields=("bbox_conf", "track_bbox_conf"), **kwargs):
+        self.fields = list(fields)
+
+    def draw_detection(self, image, detection_pred, detection_gt):
+        if detection_pred is None:
+            return
+        box = detection_pred.get("track_bbox_ltwh",
+                                 detection_pred.get("bbox_ltwh"))
+        if box is None:
+            return
+        lines = []
+        for f in self.fields:
+            v = detection_pred.get(f)
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                continue
+            lines.append(f"{f.split('_')[-1]}={float(v):.2f}")
+        l, t = int(box[0]), int(box[1])
+        for i, text in enumerate(lines):
+            draw_text(image, text, (l, t + 14 * (i + 1)), scale=0.4,
+                      color=(255, 255, 0))
+
+
+class IgnoreRegionVisualizer(DetectionVisualizer):
+    """Shades dataset ignore-region polygons
+    (tracklab/visualization ignore-region overlay)."""
+
+    def draw_frame(self, image, detections_pred, detections_gt,
+                   image_metadata):
+        import cv2
+        xs = image_metadata.get("ignore_regions_x")
+        ys = image_metadata.get("ignore_regions_y")
+        if not xs:
+            return
+        overlay = image.copy()
+        for rx, ry in zip(xs, ys):
+            poly = np.stack([np.asarray(rx), np.asarray(ry)],
+                            axis=1).astype(np.int32)
+            cv2.fillPoly(overlay, [poly], (90, 90, 90))
+        cv2.addWeighted(overlay, 0.45, image, 0.55, 0, dst=image)
+
+    def draw_detection(self, image, detection_pred, detection_gt):
+        pass

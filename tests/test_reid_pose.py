@@ -127,3 +127,31 @@ class TestReIdModule:
         metrics = module.train(ds, None, None, None, epochs=1,
                                batch_size=8)
         assert "loss" in metrics and np.isfinite(metrics["loss"][-1])
+
+
+class TestBatchedReId:
+    def test_device_crops_pipeline(self, tmp_path):
+        import cv2
+        from tracklab_tpu.wrappers.reid import OSNetReIdBatched
+        rng = np.random.default_rng(0)
+        image = rng.integers(0, 255, (240, 320, 3), np.uint8)
+        dets = pd.DataFrame({
+            "image_id": [0, 0, 0],
+            "bbox_ltwh": [np.array([10, 10, 40, 80], np.float32),
+                          np.array([100, 30, 50, 90], np.float32),
+                          np.array([200, 50, 40, 100], np.float32)],
+        }, index=[7, 8, 9])
+        module = OSNetReIdBatched(
+            variant="x0_25", feat_dim=32, n_parts=4,
+            crop_size=(64, 32), work_size=(128, 160), max_dets=4,
+            batch_size=1)
+        sample = module.preprocess(image, dets, pd.Series({"video_id": 0}))
+        assert sample["image"].shape == (128, 160, 3)
+        batch = module.collate_fn([sample])
+        out = module.process(batch, dets, None)
+        assert sorted(out.index) == [7, 8, 9]
+        assert out.loc[7, "embeddings"].shape == (5, 32)
+        # different crops -> different embeddings
+        a = out.loc[7, "embeddings"].ravel()
+        b = out.loc[8, "embeddings"].ravel()
+        assert np.abs(a - b).max() > 1e-4

@@ -1,1 +1,2 @@
 from tracklab_tpu.wrappers.reid.osnet_api import OSNetReId  # noqa
+from tracklab_tpu.wrappers.reid.batched_api import OSNetReIdBatched  # noqa

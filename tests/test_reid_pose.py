@@ -155,3 +155,27 @@ class TestBatchedReId:
         a = out.loc[7, "embeddings"].ravel()
         b = out.loc[8, "embeddings"].ravel()
         assert np.abs(a - b).max() > 1e-4
+
+
+class TestViTPose:
+    def test_forward_and_decode(self):
+        from tracklab_tpu.models.vitpose import ViTPose
+        m = ViTPose(num_keypoints=4, variant="tiny")
+        x = jnp.zeros((2, 64, 48, 3))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        hm = m.apply(v, x, train=False)
+        assert hm.shape == (2, 16, 12, 4)
+        kp = m.predict_keypoints(v, x)
+        assert kp.shape == (2, 4, 3)
+
+    def test_wrapper_vit_backend(self):
+        from tracklab_tpu.wrappers.pose_estimator import (
+            TopDownPoseEstimator,
+        )
+        mod = TopDownPoseEstimator(backbone="vit", variant="tiny",
+                                   num_keypoints=4, crop_size=(64, 48),
+                                   batch_size=2)
+        mod._build()
+        import jax.numpy as jnp2
+        kp = np.asarray(mod._infer(np.zeros((2, 64, 48, 3), np.uint8)))
+        assert kp.shape == (2, 4, 3)

@@ -27,22 +27,29 @@ class TopDownPoseEstimator(DetectionLevelModule):
 
     def __init__(self, variant: str = "s", num_keypoints: int = 17,
                  crop_size=(256, 192), batch_size: int = 32,
+                 backbone: str = "csp",
                  checkpoint_path: str | None = None, device=None,
                  **kwargs):
         super().__init__(batch_size)
         self.variant = variant
         self.num_keypoints = num_keypoints
         self.crop_h, self.crop_w = crop_size
+        self.backbone = backbone
         self.checkpoint_path = checkpoint_path
         self._infer = None
 
     def _build(self):
         import jax
         import jax.numpy as jnp
-        from tracklab_tpu.models.pose import TopDownPose
 
-        model = TopDownPose(num_keypoints=self.num_keypoints,
+        if self.backbone == "vit":
+            from tracklab_tpu.models.vitpose import ViTPose
+            model = ViTPose(num_keypoints=self.num_keypoints,
                             variant=self.variant)
+        else:
+            from tracklab_tpu.models.pose import TopDownPose
+            model = TopDownPose(num_keypoints=self.num_keypoints,
+                                variant=self.variant)
         shape = (1, self.crop_h, self.crop_w, 3)
         if self.checkpoint_path:
             from tracklab_tpu.models.convert import load_checkpoint

@@ -247,3 +247,49 @@ class TestYOLOv8:
         # anchor (0.5, 0.5): box = (0.5 +/- 2) * 8 -> size 32, center 4
         np.testing.assert_allclose(dec[0, 0, :4], [4.0, 4.0, 32.0, 32.0],
                                    atol=1e-4)
+
+
+class TestRTDETR:
+    def test_forward_predict_and_loss(self):
+        import optax
+        from tracklab_tpu.models.rtdetr import RTDETR, rtdetr_loss
+        m = RTDETR(num_classes=2, num_queries=8, dim=32, dec_layers=1,
+                   variant="nano")
+        x = jnp.asarray(np.random.default_rng(3).uniform(
+            0, 1, (1, 64, 64, 3)), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        logits, boxes = m.apply(v, x, train=False)
+        assert logits.shape == (1, 8, 2)
+        assert boxes.shape == (1, 8, 4)
+        b = np.asarray(boxes)
+        assert (b >= 0).all() and (b <= 1).all()
+        xywh, scores, classes = m.apply(v, x, method=RTDETR.predict)
+        assert xywh.shape == (1, 8, 4)
+
+        # hungarian set loss trains
+        rng = np.random.default_rng(0)
+        gt = jnp.asarray(rng.uniform(0.2, 0.8, (1, 3, 4)), jnp.float32)
+        gc = jnp.asarray([[0, 1, 0]], jnp.int32)
+        gv = jnp.ones((1, 3), bool)
+        tx = optax.adam(1e-3)
+        params = v["params"]
+        stats = v.get("batch_stats", {})
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, stats, opt):
+            def loss_fn(p):
+                (lg, bx), mut = m.apply(
+                    {"params": p, "batch_stats": stats}, x, train=True,
+                    mutable=["batch_stats"])
+                return rtdetr_loss(lg, bx, gt, gc, gv, 2), \
+                    mut["batch_stats"]
+            (l, st), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            u, opt2 = tx.update(g, opt, params)
+            import optax as ox
+            return ox.apply_updates(params, u), st, opt2, l
+
+        params, stats, opt, l0 = step(params, stats, opt)
+        for _ in range(10):
+            params, stats, opt, l = step(params, stats, opt)
+        assert np.isfinite(float(l)) and float(l) < float(l0)

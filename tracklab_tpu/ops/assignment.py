@@ -135,7 +135,7 @@ def _col2row_to_row2col(col2row: jnp.ndarray, n_rows_total: int) -> jnp.ndarray:
     return row2col[:n_rows_total]
 
 
-def matching_forced(cost, row_mask, col_mask):
+def matching_forced(cost, row_mask, col_mask, solver=None):
     """scipy-style forced rectangular matching on a padded matrix.
 
     Matches every valid row/col up to min(#valid rows, #valid cols),
@@ -164,7 +164,7 @@ def matching_forced(cost, row_mask, col_mask):
     c_hat = jnp.clip(jnp.where(finite, cost, 0.0) / scale, -1.0, 1.0) - 2.0
     sq = jnp.zeros((S, S), cost.dtype)
     sq = sq.at[:R, :C].set(jnp.where(valid, c_hat, 0.0))
-    col2row = solve_square(sq)
+    col2row = (solver or solve_square)(sq)
     row2col = _col2row_to_row2col(col2row, R)
     # Strip pairs that used absorbing edges or invalid slots.
     cols_ok = (row2col >= 0) & (row2col < C)

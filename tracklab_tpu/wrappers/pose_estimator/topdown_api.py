@@ -83,7 +83,8 @@ class TopDownPoseEstimator(DetectionLevelModule):
                 metadatas: pd.DataFrame):
         if self._infer is None:
             self._build()
-        kp = np.asarray(self._infer(batch["crop"]), np.float32)
+        kp = np.array(self._infer(batch["crop"]), np.float32,
+                      copy=True)
         kp[..., 0] = kp[..., 0] * batch["scale"][:, 0:1] \
             + batch["origin"][:, 0:1]
         kp[..., 1] = kp[..., 1] * batch["scale"][:, 1:2] \

@@ -121,4 +121,13 @@ class TrackEvalEvaluator(Evaluator):
             if k in combined:
                 log.info("  %-8s %10.3f", k, combined[k])
         results = {"COMBINED_SEQ": combined, "per_seq": per_seq}
+        # W&B logging like the reference's per-dataset hook
+        # (mot_like/common.py:242-258) — no-op when wandb is absent
+        from tracklab_tpu.utils import wandb as wb
+        wb.log_metrics({k: v for k, v in combined.items()
+                        if isinstance(v, (int, float))}, prefix="eval")
+        for name, res in per_seq.items():
+            wb.log_metrics({k: v for k, v in res.items()
+                            if isinstance(v, (int, float))},
+                           prefix=f"eval/{name}")
         return results

@@ -28,7 +28,9 @@ class RTDETRDetector(YOLOXDetector):
                        num_queries=self.num_queries,
                        variant=self.variant)
         h, w = self.input_size
-        if self.checkpoint_path:
+        if self._variables is not None:
+            variables = self._variables
+        elif self.checkpoint_path:
             from tracklab_tpu.models.convert import load_checkpoint
             variables = load_checkpoint(self.checkpoint_path, model,
                                         (1, h, w, 3))
@@ -60,3 +62,8 @@ class RTDETRDetector(YOLOXDetector):
         self._model = model
         self._variables = variables
         self._infer = jax.jit(infer)
+
+    def train(self, *args, **kwargs):
+        raise NotImplementedError(
+            "Use models.rtdetr.rtdetr_loss with a custom loop; the "
+            "wrapper-level engine currently targets the YOLOX head")

@@ -25,7 +25,9 @@ class YOLOv8Detector(YOLOXDetector):
         model = YOLOv8(num_classes=self.num_classes,
                        variant=self.variant)
         h, w = self.input_size
-        if self.checkpoint_path:
+        if self._variables is not None:
+            variables = self._variables
+        elif self.checkpoint_path:
             from tracklab_tpu.models.convert import load_checkpoint
             variables = load_checkpoint(self.checkpoint_path, model,
                                         (1, h, w, 3))
@@ -46,3 +48,8 @@ class YOLOv8Detector(YOLOXDetector):
         self._model = model
         self._variables = variables
         self._infer = jax.jit(infer)
+
+    def train(self, *args, **kwargs):
+        raise NotImplementedError(
+            "YOLOv8 fine-tuning needs a DFL-aware loss (planned); "
+            "train the YOLOX detector or convert YOLOv8 weights")

@@ -61,7 +61,9 @@ class YOLOXDetector(ImageLevelModule):
 
         model = YOLOX(num_classes=self.num_classes, variant=self.variant)
         h, w = self.input_size
-        if self.checkpoint_path:
+        if self._variables is not None:
+            variables = self._variables
+        elif self.checkpoint_path:
             from tracklab_tpu.models.convert import load_checkpoint
             variables = load_checkpoint(self.checkpoint_path, model,
                                         (1, h, w, 3))
@@ -135,3 +137,14 @@ class YOLOXDetector(ImageLevelModule):
                 ), name=self.id))
                 self.id += 1
         return rows
+
+    # ------------------------------------------------------------------
+    def train(self, tracking_dataset, pipeline=None, evaluator=None,
+              dataset_cfg=None, **kwargs):
+        """Fine-tune on the dataset's GT boxes (the reference's
+        module.train() hook, main.py:44-46) via the Flax detection
+        engine."""
+        from tracklab_tpu.models.detector_train_engine import (
+            train_detector,
+        )
+        return train_detector(self, tracking_dataset, **kwargs)

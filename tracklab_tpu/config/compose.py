@@ -197,9 +197,15 @@ def compose(config_dir, config_name: str = "config",
                 value_overrides.append((key, _parse_value(val)))
             continue
         key, _, val = ov.partition("=")
-        candidate = config_dir / key.replace(".", "/") / f"{val}.yaml"
+        group_dir = config_dir / key.replace(".", "/")
+        candidate = group_dir / f"{val}.yaml"
         if candidate.exists():
             group_overrides[key] = str(val)
+        elif group_dir.is_dir():
+            options = sorted(p.stem for p in group_dir.glob("*.yaml"))
+            raise FileNotFoundError(
+                f"Unknown option '{val}' for config group '{key}'. "
+                f"Available: {options}")
         else:
             value_overrides.append((key, _parse_value(val)))
 

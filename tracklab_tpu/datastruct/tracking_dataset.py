@@ -31,6 +31,22 @@ class TrackingSet:
         self.image_gt = image_gt if image_gt is not None else \
             image_metadatas.copy()
 
+    def filter_videos(self, video_ids) -> "TrackingSet":
+        """Restrict the set (in place) to the given video ids
+        (tracking_dataset.py:89-91 filter_videos used by set splitting)."""
+        video_ids = list(video_ids)
+        self.video_metadatas = self.video_metadatas[
+            self.video_metadatas.index.isin(video_ids)]
+        self.image_metadatas = self.image_metadatas[
+            self.image_metadatas["video_id"].isin(video_ids)]
+        if len(self.detections_gt):
+            self.detections_gt = self.detections_gt[
+                self.detections_gt["video_id"].isin(video_ids)]
+        if self.image_gt is not None and len(self.image_gt):
+            self.image_gt = self.image_gt[
+                self.image_gt.index.isin(self.image_metadatas.index)]
+        return self
+
 
 class SetsDict(dict):
     def __getitem__(self, key):
@@ -44,13 +60,52 @@ class SetsDict(dict):
 class TrackingDataset:
     def __init__(self, dataset_path: str, sets: dict,
                  nvid: int = -1, nframes: int = -1,
-                 vids_dict: Optional[dict] = None, *args, **kwargs):
+                 vids_dict: Optional[dict] = None,
+                 set_split_idxs: Optional[dict] = None, *args, **kwargs):
         self.dataset_path = Path(dataset_path)
         self.sets = SetsDict(sets)
         vids_dict = vids_dict or {}
         for split, s in self.sets.items():
             self.sets[split] = self._subsample(
                 s, nvid, nframes, vids_dict.get(split))
+        # person-disjoint split selection (tracking_dataset.py:64-91):
+        # {"train": 0} replaces the train set by half 0 of its 2-way
+        # person-disjoint split (e.g. ReID train vs. held-out identities)
+        self.set_splits: dict = {}
+        self.set_split_idxs = set_split_idxs or {}
+        for set_name, split_idx in self.set_split_idxs.items():
+            self.set_splits[set_name] = self.split_set(set_name)
+            self.sets[set_name] = self.set_splits[set_name][split_idx]
+
+    def split_set(self, set_name: str, num_splits: int = 2,
+                  person_column: str = "person_id"):
+        """Partition a split's videos into ``num_splits`` person-disjoint
+        groups (tracking_dataset.py:71-91 _split_set): videos that share
+        any identity land in the same group; otherwise videos go to the
+        smallest group (greedy balance, largest-identity-count first).
+        Falls back to ``track_id`` when no person_id column exists."""
+        import copy as _copy
+        src = self.sets[set_name]
+        gt = src.detections_gt
+        if person_column not in gt.columns:
+            person_column = "track_id"
+        order = (gt.groupby("video_id")[person_column].nunique()
+                 .sort_values(ascending=False).index)
+        groups = [[] for _ in range(num_splits)]
+        people = [set() for _ in range(num_splits)]
+        for video_id in order:
+            vid_people = set(gt.loc[gt.video_id == video_id,
+                                    person_column].dropna())
+            for g in range(num_splits):
+                if people[g] & vid_people:
+                    target = g
+                    break
+            else:
+                target = int(np.argmin([len(g) for g in groups]))
+            groups[target].append(video_id)
+            people[target].update(vid_people)
+        return [_copy.deepcopy(src).filter_videos(vids)
+                for vids in groups]
 
     def _subsample(self, tracking_set: Optional[TrackingSet], nvid, nframes,
                    vids_names):

@@ -94,3 +94,72 @@ class GameStateEvaluator(Evaluator):
                  "jerseys=%s)", combined["GS-HOTA"], self.dist_tol,
                  self.use_roles, self.use_teams, self.use_jerseys)
         return {"COMBINED_SEQ": combined, "per_seq": per_seq}
+
+
+class SoccerAccuracy(Evaluator):
+    """Per-attribute accuracy for game-state predictions.
+
+    Working replacement for the reference's broken stub
+    (tracklab/wrappers/eval/soccernet/soccer_accuracy.py:6-11, whose run()
+    body is a bare expression): match predictions to GT per frame by
+    IoU >= iou_threshold (greedy LSA), then report accuracy for each
+    attribute column present in both (role, team, jersey_number)."""
+
+    def __init__(self, cfg=None, eval_set: str = "valid",
+                 iou_threshold: float = 0.5,
+                 attributes=("role", "team", "jersey_number"), **kwargs):
+        super().__init__(cfg)
+        self.eval_set = eval_set
+        self.iou_threshold = iou_threshold
+        self.attributes = list(attributes)
+
+    def run(self, tracker_state):
+        from tracklab_tpu.native import linear_sum_assignment
+
+        gt = tracker_state.detections_gt
+        pred = tracker_state.detections_pred
+        if pred is None or len(pred) == 0 or len(gt) == 0:
+            log.warning("SoccerAccuracy: nothing to evaluate")
+            return {}
+        attrs = [a for a in self.attributes
+                 if a in gt.columns and a in pred.columns]
+        correct = {a: 0 for a in attrs}
+        total = {a: 0 for a in attrs}
+        n_matched = 0
+        for image_id, g in gt.groupby("image_id"):
+            p = pred[pred.image_id == image_id]
+            g = g.dropna(subset=["bbox_ltwh"])
+            p = p.dropna(subset=["bbox_ltwh"])
+            if len(g) == 0 or len(p) == 0:
+                continue
+            gb = np.stack(g.bbox_ltwh.to_numpy()).astype(float)
+            pb = np.stack(p.bbox_ltwh.to_numpy()).astype(float)
+            l = np.maximum(gb[:, None, 0], pb[None, :, 0])
+            t = np.maximum(gb[:, None, 1], pb[None, :, 1])
+            r = np.minimum(gb[:, None, 0] + gb[:, None, 2],
+                           pb[None, :, 0] + pb[None, :, 2])
+            b = np.minimum(gb[:, None, 1] + gb[:, None, 3],
+                           pb[None, :, 1] + pb[None, :, 3])
+            inter = np.clip(r - l, 0, None) * np.clip(b - t, 0, None)
+            union = (gb[:, None, 2] * gb[:, None, 3]
+                     + pb[None, :, 2] * pb[None, :, 3] - inter)
+            iou = inter / np.maximum(union, 1e-9)
+            rows, cols = linear_sum_assignment(1.0 - iou)
+            for i, j in zip(rows, cols):
+                if iou[i, j] < self.iou_threshold:
+                    continue
+                n_matched += 1
+                for a in attrs:
+                    gv, pv = g.iloc[i][a], p.iloc[j][a]
+                    if pd.isna(gv):
+                        continue
+                    total[a] += 1
+                    if not pd.isna(pv) and str(pv) == str(gv):
+                        correct[a] += 1
+        results = {f"{a}_accuracy":
+                   100.0 * correct[a] / total[a] if total[a] else float("nan")
+                   for a in attrs}
+        results["matched_detections"] = n_matched
+        for k, v in results.items():
+            log.info("  %-20s %10.3f", k, v)
+        return results

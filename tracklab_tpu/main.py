@@ -118,5 +118,16 @@ def main(argv=None):
     return run(cfg)
 
 
+def cli(argv=None) -> int:
+    """Console entry point: exit nonzero on failure (unlike ``main``,
+    which returns the run parts for programmatic use)."""
+    try:
+        main(argv)
+    except Exception:
+        log.exception("Run failed")
+        return 1
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    sys.exit(cli())

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["solve_square", "matching_forced", "matching_limit",
-           "greedy_unique_match"]
+           "min_cost_matching", "greedy_unique_match"]
 
 _INF = jnp.inf
 
@@ -190,26 +190,97 @@ def matching_limit(cost, row_mask, col_mask, limit):
     S = R + C
     valid = row_mask[:, None] & col_mask[None, :]
     finite = jnp.isfinite(cost) & valid
-    mag = jnp.maximum(jnp.max(jnp.where(finite, jnp.abs(cost), 0.0)),
-                      jnp.abs(limit))
-    scale = jnp.maximum(mag, 1e-9)
-    c_hat = jnp.clip(jnp.where(finite, cost, 0.0) / scale, -1.0, 1.0)
-    l_hat = limit / scale
-    half = l_hat * 0.5
-    # Valid block entries above the limit (or non-finite / capacity-invalid)
-    # are priced strictly worse than their dummy route so they never match.
-    block = jnp.where(finite, c_hat, half * 2 + 4.0)
-    sq = jnp.full((S, S), half, cost.dtype)
-    sq = sq.at[:R, :C].set(block)
-    sq = sq.at[R:, C:].set(0.0)
-    col2row = solve_square(sq)
-    row2col = _col2row_to_row2col(col2row, R)
-    cols_ok = (row2col >= 0) & (row2col < C)
-    safe_col = jnp.where(cols_ok, row2col, 0)
-    pair_valid = cols_ok & row_mask & col_mask[safe_col] & finite[
-        jnp.arange(R), safe_col
-    ]
-    return jnp.where(pair_valid, row2col, -1)
+
+    # Exact fast path: edges costing more than ``limit`` never match (the
+    # dummy route is cheaper), and when the strictly-sub-limit candidate
+    # graph is a unique partial matching M, every optimum contains all of
+    # M (for (r, c) in M: r and c each route through dummies or edges
+    # > limit otherwise, totalling >= limit > cost(r, c)). Edges exactly
+    # at the limit tie with their dummy route, so their presence forces
+    # the slow path to keep solver-tie behavior identical.
+    sub = finite & (cost < limit)
+    at_limit = jnp.any(finite & (cost == limit))
+    is_unique, fast_r2c = _unique_partial_matching(sub)
+    is_unique = is_unique & ~at_limit
+
+    def fast(_):
+        return fast_r2c
+
+    def slow(_):
+        mag = jnp.maximum(jnp.max(jnp.where(finite, jnp.abs(cost), 0.0)),
+                          jnp.abs(limit))
+        scale = jnp.maximum(mag, 1e-9)
+        c_hat = jnp.clip(jnp.where(finite, cost, 0.0) / scale, -1.0, 1.0)
+        l_hat = limit / scale
+        half = l_hat * 0.5
+        # Valid block entries above the limit (or non-finite /
+        # capacity-invalid) are priced strictly worse than their dummy
+        # route so they never match.
+        block = jnp.where(finite, c_hat, half * 2 + 4.0)
+        sq = jnp.full((S, S), half, cost.dtype)
+        sq = sq.at[:R, :C].set(block)
+        sq = sq.at[R:, C:].set(0.0)
+        col2row = solve_square(sq)
+        row2col = _col2row_to_row2col(col2row, R)
+        cols_ok = (row2col >= 0) & (row2col < C)
+        safe_col = jnp.where(cols_ok, row2col, 0)
+        pair_valid = cols_ok & row_mask & col_mask[safe_col] & finite[
+            jnp.arange(R), safe_col
+        ]
+        return jnp.where(pair_valid, row2col, -1)
+
+    return lax.cond(is_unique, fast, slow, None)
+
+
+def _unique_partial_matching(sub):
+    """(is_unique, row2col) for a boolean candidate matrix with at most
+    one candidate per row and per column. row2col only meaningful when
+    is_unique."""
+    counts_r = jnp.sum(sub.astype(jnp.int32), axis=1)
+    counts_c = jnp.sum(sub.astype(jnp.int32), axis=0)
+    is_unique = (jnp.max(counts_r, initial=0) <= 1) \
+        & (jnp.max(counts_c, initial=0) <= 1)
+    any_row = jnp.any(sub, axis=1)
+    row2col = jnp.where(any_row, jnp.argmax(sub, axis=1).astype(jnp.int32),
+                        jnp.int32(-1))
+    return is_unique, row2col
+
+
+def min_cost_matching(cost, row_mask, col_mask, max_distance, solver=None):
+    """DeepSORT-family ``min_cost_matching`` semantics
+    (strong_sort/sort/linear_assignment.py:55-73): clamp costs above
+    ``max_distance`` to max+1e-5, run forced LSA, drop matched pairs whose
+    true cost exceeds the threshold.
+
+    Fast path (exact): when the sub-threshold candidate graph has at most
+    one candidate per row and per column, that partial matching M *is* the
+    answer — for any edge (r, c) in M, rerouting r and c through clamped
+    or absorbing edges costs >= max_distance + 1e-5 each while cost(r, c)
+    <= max_distance, so every optimum contains all of M; any extra pairs
+    the forced LSA matches are clamped edges the post-filter drops. In
+    tracking, assignments are unambiguous on most frames, so this skips
+    the O(K^3) sequential JV solve almost always (the same shape of
+    shortcut the reference applies to IoU matrices in
+    oc_sort/association.py:267-271 — here it is exactness-preserving
+    rather than a semantic variant).
+    """
+    valid = row_mask[:, None] & col_mask[None, :] & jnp.isfinite(cost)
+    sub = valid & (cost <= max_distance)
+    is_unique, fast_r2c = _unique_partial_matching(sub)
+
+    def fast(_):
+        return fast_r2c
+
+    def slow(_):
+        clamped = jnp.minimum(cost, max_distance + 1e-5)
+        d2t = matching_forced(clamped, row_mask, col_mask, solver)
+        got = d2t >= 0
+        safe = jnp.where(got, d2t, 0)
+        keep = got & (cost[jnp.arange(cost.shape[0]), safe]
+                      <= max_distance)
+        return jnp.where(keep, d2t, -1)
+
+    return lax.cond(is_unique, fast, slow, None)
 
 
 def greedy_unique_match(score, row_mask, col_mask, threshold):

@@ -128,15 +128,10 @@ def _mean_to_ltrb(mean):
 
 
 def _clamped_matching(cost, row_mask, col_mask, max_distance):
-    """min_cost_matching semantics (linear_assignment.py:55-73): clamp
-    costs above the threshold to max+1e-5, forced LSA, filter > max."""
-    clamped = jnp.minimum(cost, max_distance + 1e-5)
-    d2t = matching_forced(clamped, row_mask, col_mask)
-    d_idx = jnp.arange(cost.shape[0])
-    got = d2t >= 0
-    safe = jnp.where(got, d2t, 0)
-    keep = got & (cost[d_idx, safe] <= max_distance)
-    return jnp.where(keep, d2t, -1)
+    """min_cost_matching semantics (linear_assignment.py:55-73), with the
+    exact unique-candidate fast path (ops/assignment.py)."""
+    from tracklab_tpu.ops.assignment import min_cost_matching
+    return min_cost_matching(cost, row_mask, col_mask, max_distance)
 
 
 def _invert(det2trk, T):

@@ -46,15 +46,29 @@ def _video_reader(path: str) -> VideoReader:
     return VideoReader(path)
 
 
+_VIRTUAL_RENDERERS: dict = {}
+
+
+def register_virtual_renderer(scheme: str, fn):
+    """Register a loader for ``{scheme}://rest`` virtual image paths
+    (e.g. the synthetic dataset renders its frames procedurally). ``fn``
+    takes the path remainder and returns an RGB uint8 array."""
+    _VIRTUAL_RENDERERS[scheme] = fn
+
+
 def cv2_load_image(file_path) -> np.ndarray:
-    """Load an RGB image from a file path or a ``vid://path:frame`` virtual
-    frame reference (cv2.py:52-72)."""
+    """Load an RGB image from a file path, a ``vid://path:frame`` virtual
+    frame reference (cv2.py:52-72), or a registered virtual scheme."""
     import cv2
     file_path = str(file_path)
     if file_path.startswith("vid://"):
         rest = file_path[len("vid://"):]
         path, frame = rest.rsplit(":", 1)
         return _video_reader(path)[int(frame)]
+    if "://" in file_path:
+        scheme, _, rest = file_path.partition("://")
+        if scheme in _VIRTUAL_RENDERERS:
+            return _VIRTUAL_RENDERERS[scheme](rest)
     image = cv2.imread(file_path)
     if image is None:
         raise FileNotFoundError(file_path)

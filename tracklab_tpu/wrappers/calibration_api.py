@@ -23,7 +23,94 @@ from tracklab_tpu.utils.collate import Unbatchable, default_collate
 
 log = logging.getLogger(__name__)
 
-__all__ = ["TVCalibration", "PitchProjection"]
+__all__ = ["PitchLineDetector", "TVCalibration", "PitchProjection"]
+
+
+class PitchLineDetector(ImageLevelModule):
+    """Image-level pitch-line segmentation front-end: emits the
+    ``pitch_lines`` image column (segment name -> (N,2) pixel points)
+    that :class:`TVCalibration` optimizes against.
+
+    The reference's equivalent is InferenceSegmentationModel
+    (plugins/calibration/tvcalib/inference.py:83-161): DeepLabV3 argmax
+    class map -> per-line point picking on the host. Here the whole
+    image -> fixed-shape per-class points contract is one jitted device
+    program (models/segmentation.py)."""
+
+    input_columns = {"image": [], "detection": []}
+    output_columns = {"image": ["pitch_lines"], "detection": []}
+    collate_fn = staticmethod(default_collate)
+
+    def __init__(self, variant: str = "s", input_size=(288, 512),
+                 points_per_line: int = 32,
+                 checkpoint_path: str | None = None,
+                 batch_size: int = 8, device=None, **kwargs):
+        super().__init__(batch_size)
+        from tracklab_tpu.calibration.pitch import pitch_segments
+        self.segment_names = list(pitch_segments())
+        self.num_classes = len(self.segment_names) + 1
+        self.variant = variant
+        self.input_size = tuple(input_size)
+        self.points_per_line = points_per_line
+        self.checkpoint_path = checkpoint_path
+        self._infer = None
+        self._variables = None
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+        from tracklab_tpu.models.segmentation import (
+            PitchSegNet, extract_segment_points,
+        )
+        model = PitchSegNet(num_classes=self.num_classes,
+                            variant=self.variant)
+        h, w = self.input_size
+        if self._variables is not None:
+            variables = self._variables
+        elif self.checkpoint_path:
+            from tracklab_tpu.models.convert import load_checkpoint
+            variables = load_checkpoint(self.checkpoint_path, model,
+                                        (1, h, w, 3))
+        else:
+            log.warning("PitchLineDetector: random weights")
+            variables = model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, h, w, 3)), train=False)
+
+        def infer(images):
+            cmap = model.apply(variables, images,
+                               method=PitchSegNet.predict)
+            return jax.vmap(lambda m: extract_segment_points(
+                m, self.num_classes, self.points_per_line))(cmap)
+
+        self._variables = variables
+        import jax as _jax
+        self._infer = _jax.jit(infer)
+
+    def preprocess(self, image, detections, metadata):
+        import cv2
+        h, w = self.input_size
+        resized = cv2.resize(image, (w, h),
+                             interpolation=cv2.INTER_LINEAR)
+        h0, w0 = image.shape[:2]
+        return {"image": resized.astype(np.float32),
+                "scale": np.array([w0 / w, h0 / h], np.float32)}
+
+    def process(self, batch, detections, metadatas: pd.DataFrame):
+        if self._infer is None:
+            self._build()
+        xy, valid = self._infer(batch["image"])
+        xy = np.asarray(xy)
+        valid = np.asarray(valid)
+        rows = []
+        for i, (image_id, _) in enumerate(metadatas.iterrows()):
+            scale = np.asarray(batch["scale"][i])
+            lines = {}
+            for c, name in enumerate(self.segment_names):
+                pts = xy[i, c][valid[i, c]] * scale
+                if len(pts):
+                    lines[name] = pts.astype(np.float32)
+            rows.append(pd.Series({"pitch_lines": lines}, name=image_id))
+        return [], rows
 
 
 class TVCalibration(ImageLevelModule):

@@ -17,11 +17,36 @@ from tracklab_tpu.datastruct.tracking_dataset import (
 
 __all__ = ["SyntheticDataset", "make_synthetic_set"]
 
+# ``synthetic://{video_id}/{frame}`` -> GT boxes for procedural rendering,
+# so image-level modules (detectors, calibration, ReID crops) run on the
+# synthetic dataset without files on disk.
+_RENDER_BOXES: dict = {}
+
+
+def _render_frame(rest: str) -> np.ndarray:
+    boxes, img_w, img_h = _RENDER_BOXES[rest]
+    img = np.full((img_h, img_w, 3), 15, np.uint8)
+    for k, (x, y, w, h) in enumerate(boxes):
+        color = np.array([60 + (k * 53) % 180, 60 + (k * 101) % 180,
+                          220 - (k * 37) % 160], np.uint8)
+        x1, y1 = int(max(x, 0)), int(max(y, 0))
+        x2 = int(min(x + w, img_w))
+        y2 = int(min(y + h, img_h))
+        if x2 > x1 and y2 > y1:
+            img[y1:y2, x1:x2] = color
+    return img
+
+
+def _ensure_renderer():
+    from tracklab_tpu.utils.cv2 import register_virtual_renderer
+    register_virtual_renderer("synthetic", _render_frame)
+
 
 def make_synthetic_set(n_videos=2, n_frames=100, n_objects=8, seed=0,
                        det_noise=0.0, det_dropout=0.0, fp_rate=0.0,
                        img_w=1920, img_h=1080, id_offset=0):
     rng = np.random.default_rng(seed)
+    _ensure_renderer()
     video_rows, image_rows, det_rows = [], [], []
     vid0, img0, det0 = id_offset, id_offset * 100000, id_offset * 1000000
     image_counter, det_counter = img0, det0
@@ -50,6 +75,9 @@ def make_synthetic_set(n_videos=2, n_frames=100, n_objects=8, seed=0,
                 hit = (pos[:, d] < 0) | (pos[:, d] > lim)
                 vel[hit, d] *= -1
             pos = np.clip(pos, 0, [img_w - 200, img_h - 200])
+            _RENDER_BOXES[f"{video_id}/{f}"] = (
+                np.concatenate([pos, size], axis=1).astype(np.float32),
+                img_w, img_h)
             for k in range(n_objects):
                 if det_dropout and rng.uniform() < det_dropout:
                     continue
@@ -92,14 +120,15 @@ class SyntheticDataset(TrackingDataset):
                  n_objects: int = 8, seed: int = 0,
                  det_noise: float = 0.0, det_dropout: float = 0.0,
                  fp_rate: float = 0.0, nvid: int = -1, nframes: int = -1,
-                 **kwargs):
+                 img_w: int = 1920, img_h: int = 1080, **kwargs):
         sets = {
             "train": make_synthetic_set(
                 n_videos, n_frames, n_objects, seed, det_noise,
-                det_dropout, fp_rate),
+                det_dropout, fp_rate, img_w=img_w, img_h=img_h),
             "val": make_synthetic_set(
                 n_videos, n_frames, n_objects, seed + 1, det_noise,
-                det_dropout, fp_rate, id_offset=n_videos),
+                det_dropout, fp_rate, img_w=img_w, img_h=img_h,
+                id_offset=n_videos),
         }
         super().__init__(dataset_path, sets, nvid=nvid, nframes=nframes,
                          **kwargs)

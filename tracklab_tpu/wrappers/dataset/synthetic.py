@@ -57,10 +57,14 @@ def make_synthetic_set(n_videos=2, n_frames=100, n_objects=8, seed=0,
             "nframes": n_frames, "frame_rate": 30,
             "seqlength": n_frames, "im_width": img_w, "im_height": img_h,
         })
-        pos = rng.uniform([100, 100], [img_w - 300, img_h - 300],
-                          (n_objects, 2))
+        # margins scale with the frame so small debug resolutions work
+        max_size = min(150.0, img_w / 6.0, img_h / 6.0)
+        min_size = max_size / 3.0
+        lo = [min(100.0, img_w / 10.0), min(100.0, img_h / 10.0)]
+        hi = [img_w - 2 * max_size, img_h - 2 * max_size]
+        pos = rng.uniform(lo, hi, (n_objects, 2))
         vel = rng.uniform(-6, 6, (n_objects, 2))
-        size = rng.uniform(40, 150, (n_objects, 2))
+        size = rng.uniform(min_size, max_size, (n_objects, 2))
         for f in range(1, n_frames + 1):
             image_id = image_counter
             image_counter += 1
@@ -71,10 +75,11 @@ def make_synthetic_set(n_videos=2, n_frames=100, n_objects=8, seed=0,
             })
             pos = pos + vel
             # bounce off borders
-            for d, lim in ((0, img_w - 200), (1, img_h - 200)):
+            lims = (img_w - 1.2 * max_size, img_h - 1.2 * max_size)
+            for d, lim in enumerate(lims):
                 hit = (pos[:, d] < 0) | (pos[:, d] > lim)
                 vel[hit, d] *= -1
-            pos = np.clip(pos, 0, [img_w - 200, img_h - 200])
+            pos = np.clip(pos, 0, list(lims))
             _RENDER_BOXES[f"{video_id}/{f}"] = (
                 np.concatenate([pos, size], axis=1).astype(np.float32),
                 img_w, img_h)

@@ -15,7 +15,8 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 __all__ = ["cv2_load_image", "VideoReader", "draw_bbox", "draw_keypoints",
-           "draw_text", "crop_bbox"]
+           "draw_text", "draw_heatmap", "crop_bbox",
+           "register_virtual_renderer"]
 
 
 class VideoReader:
@@ -138,3 +139,22 @@ def draw_keypoints(image, keypoints_xyc, color=(0, 255, 0), radius=3,
             cv2.circle(image, (int(x), int(y)), radius, color, -1,
                        cv2.LINE_AA)
     return image
+
+
+def draw_heatmap(image, heatmap, alpha: float = 0.5,
+                 colormap: int | None = None):
+    """Overlay a (h, w) float heatmap on an RGB image
+    (reference: tracklab/utils/cv2.py heatmap drawing). The heatmap is
+    normalized to [0, 1], resized to the image, colorized (JET) and
+    alpha-blended."""
+    import cv2
+    hm = np.asarray(heatmap, np.float32)
+    lo, hi = float(hm.min()), float(hm.max())
+    hm = (hm - lo) / (hi - lo) if hi > lo else np.zeros_like(hm)
+    hm = cv2.resize(hm, (image.shape[1], image.shape[0]))
+    cmap = cv2.COLORMAP_JET if colormap is None else colormap
+    colored = cv2.applyColorMap((hm * 255).astype(np.uint8), cmap)
+    colored = cv2.cvtColor(colored, cv2.COLOR_BGR2RGB)
+    out = (image.astype(np.float32) * (1 - alpha * hm[..., None])
+           + colored.astype(np.float32) * (alpha * hm[..., None]))
+    return out.astype(np.uint8)

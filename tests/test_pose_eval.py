@@ -123,3 +123,31 @@ class TestPoseTrackDataset:
         # second annotation has no bbox -> derived from keypoints
         det2 = ts.detections_gt.iloc[1]
         assert det2["bbox_ltwh"][2] > 0
+
+
+def test_fraga_penalizes_flip_flop():
+    """FragA (PoseTrack21 HOTA extension): same match counts, but
+    alternating between two pred ids every frame fragments the track and
+    must score far below two clean 5-frame halves."""
+    import numpy as np
+    from tracklab_tpu.eval.metrics import (
+        evaluate_sequence, make_sequence_data,
+    )
+
+    box = np.array([[10.0, 10.0, 20.0, 40.0]])
+
+    def seq(pred_id_per_frame):
+        gt = {f: (np.array([1]), box) for f in range(10)}
+        pred = {f: (np.array([pid]), box)
+                for f, pid in enumerate(pred_id_per_frame)}
+        return evaluate_sequence(make_sequence_data(gt, pred))
+
+    halves = seq([1] * 5 + [2] * 5)
+    flip = seq([1, 2] * 5)
+    perfect = seq([1] * 10)
+    assert perfect["FragA"] == pytest.approx(perfect["AssA"])
+    assert perfect["FragA"] == pytest.approx(100.0)
+    # same association counts -> same AssA; FragA sees the difference
+    assert halves["AssA"] == pytest.approx(flip["AssA"])
+    assert halves["FragA"] == pytest.approx(50.0)
+    assert flip["FragA"] == pytest.approx(10.0)

@@ -98,11 +98,13 @@ def hota_metrics(data: SequenceData) -> dict:
         res["HOTA_FN"] = np.full(A, float(data.num_gt_dets))
         res["LocA_sum"] = np.zeros(A)
         res["AssA_num"] = np.zeros(A)
+        res["FragA_num"] = np.zeros(A)
         return _hota_finalize(res)
     if data.num_gt_dets == 0:
         res["HOTA_FP"] = np.full(A, float(data.num_pred_dets))
         res["LocA_sum"] = np.zeros(A)
         res["AssA_num"] = np.zeros(A)
+        res["FragA_num"] = np.zeros(A)
         return _hota_finalize(res)
 
     potential = np.zeros((data.num_gt_ids, data.num_pred_ids))
@@ -124,6 +126,11 @@ def hota_metrics(data: SequenceData) -> dict:
     matches = [np.zeros((data.num_gt_ids, data.num_pred_ids))
                for _ in range(A)]
     loca_sum = np.zeros(A)
+    # FragA bookkeeping (PoseTrack21 fork hota.py:112-133): per alpha,
+    # per gt, runs of consecutive matches to the same pred id; switching
+    # away and back starts a new fragment for that (gt, pred) pair.
+    last_matched = [{} for _ in range(A)]
+    frag_sizes = [{} for _ in range(A)]
     for gids, pids, sim in zip(data.gt_ids, data.pred_ids, data.similarity):
         if len(gids) == 0:
             for a in range(A):
@@ -144,14 +151,26 @@ def hota_metrics(data: SequenceData) -> dict:
             res["HOTA_FP"][a] += len(pids) - tp
             loca_sum[a] += sim[mr, mc].sum()
             matches[a][gids[mr], pids[mc]] += 1
+            for g, p in zip(gids[mr].tolist(), pids[mc].tolist()):
+                if last_matched[a].get(g) != p:
+                    last_matched[a][g] = p
+                    frag_sizes[a].setdefault((g, p), []).append(1)
+                else:
+                    frag_sizes[a][(g, p)][-1] += 1
 
     ass_num = np.zeros(A)
+    frag_num = np.zeros(A)
     for a in range(A):
         m = matches[a]
         ass_a = m / np.maximum(gt_count + pred_count - m, EPS)
         ass_num[a] = (m * ass_a).sum()
+        for (g, p), sizes in frag_sizes[a].items():
+            denom = max(1.0, float(gt_count[g, 0] + pred_count[0, p]
+                                   - m[g, p]))
+            frag_num[a] += sum(sz * sz for sz in sizes) / denom
     res["LocA_sum"] = loca_sum
     res["AssA_num"] = ass_num
+    res["FragA_num"] = frag_num
     return _hota_finalize(res)
 
 
@@ -159,6 +178,7 @@ def _hota_finalize(res: dict) -> dict:
     tp, fn, fp = res["HOTA_TP"], res["HOTA_FN"], res["HOTA_FP"]
     det_a = tp / np.maximum(tp + fn + fp, EPS)
     ass_a = res["AssA_num"] / np.maximum(tp, EPS)
+    frag_a = res.get("FragA_num", np.zeros_like(tp)) / np.maximum(tp, EPS)
     hota = np.sqrt(det_a * ass_a)
     loca = res["LocA_sum"] / np.maximum(tp, EPS)
     out = dict(res)
@@ -168,6 +188,7 @@ def _hota_finalize(res: dict) -> dict:
         "DetA": float(det_a.mean() * 100),
         "AssA": float(ass_a.mean() * 100),
         "LocA": float(np.maximum(loca, EPS).mean() * 100),
+        "FragA": float(frag_a.mean() * 100),
         "HOTA(0)": float(hota[0] * 100),
     })
     return out
@@ -310,7 +331,8 @@ def combine_sequences(per_seq: Dict[str, dict]) -> dict:
     re-deriving the final metrics (TrackEval combine_sequences)."""
     A = len(HOTA_ALPHAS)
     agg = {k: np.zeros(A) for k in
-           ["HOTA_TP", "HOTA_FN", "HOTA_FP", "AssA_num", "LocA_sum"]}
+           ["HOTA_TP", "HOTA_FN", "HOTA_FP", "AssA_num", "LocA_sum",
+            "FragA_num"]}
     counts = {k: 0.0 for k in
               ["CLR_TP", "CLR_FN", "CLR_FP", "IDSW", "Frag", "MOTP_sum",
                "CLR_gt", "IDTP", "IDFN", "IDFP", "MT", "PT", "ML"]}

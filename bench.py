@@ -67,9 +67,9 @@ def main():
     # ---- detector stage: YOLOX-s bf16, batch of frames, pipelined
     # dispatch (the production streaming shape: the host queues the next
     # batch while the device runs the current one) ----
-    BATCH = 64  # measured sweet spot: 64 amortizes dispatch overhead
-    # (bs=32: ~500 img/s, bs=64: ~960 img/s on v5e — latency barely
-    # grows, so bigger batches nearly double throughput)
+    BATCH = 256  # throughput sweet spot: dispatch overhead amortizes
+    # with batch (v5e: bs=32 ~500, bs=64 ~967, bs=128 ~1527,
+    # bs=256 ~1859 img/s); NMS adds only ~2 ms/batch
     H = W = 640
     model = YOLOX(num_classes=1, variant="s", dtype=jnp.bfloat16)
     images = jnp.asarray(

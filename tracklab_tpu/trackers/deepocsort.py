@@ -267,19 +267,24 @@ def _aw_weight(emb_cost, valid, w_emb: float, bottom: float):
 
 
 def _k_previous_obs(st, cfg):
+    # smallest stored age inside [age - delta_t, age); unrolled selects
+    # over the tiny ring instead of TPU-hostile gathers (see
+    # trackers/ocsort.py:_k_previous_obs — ~20x per-step).
     K = cfg.delta_t + 1
-    dts = jnp.arange(cfg.delta_t, 0, -1, dtype=jnp.int32)
-    want_age = st.age[:, None] - dts[None, :]
-    slot = jnp.mod(want_age, K)
-    stored_age = jnp.take_along_axis(st.ring_age, slot, axis=1)
-    hit = (stored_age == want_age) & (want_age >= 0)
-    first = jnp.argmax(hit, axis=1)
-    any_hit = jnp.any(hit, axis=1)
-    picked_slot = jnp.take_along_axis(slot, first[:, None], axis=1)[:, 0]
-    picked = st.obs_ring[jnp.arange(st.obs_ring.shape[0]), picked_slot]
+    cur = st.age
     fallback = jnp.where(st.has_obs[:, None], st.last_obs,
                          jnp.full_like(st.last_obs, -1.0))
-    return jnp.where(any_hit[:, None], picked, fallback)
+    big = jnp.int32(2 ** 30)
+    best_age = jnp.full_like(cur, big)
+    best_obs = fallback
+    for k in range(K):
+        a = st.ring_age[:, k]
+        valid = (a >= 0) & (a >= cur - cfg.delta_t) & (a < cur)
+        better = valid & (a < best_age)
+        best_age = jnp.where(better, a, best_age)
+        best_obs = jnp.where(better[:, None], st.obs_ring[:, k],
+                             best_obs)
+    return best_obs
 
 
 def _speed_cost(det_ltrb, det_scale, det_valid, k_obs, velocity, trk_valid,
@@ -471,8 +476,12 @@ def deepocsort_step(cfg: DeepOCSortConfig, st: DeepOCSortState, inputs):
     obs5 = jnp.concatenate([z_ltrb, det.conf[safe_t][:, None]], axis=1)
     K = cfg.delta_t + 1
     slot_r = jnp.mod(st.age, K)
-    scattered = st.obs_ring.at[jnp.arange(T), slot_r].set(obs5)
-    scattered_age = st.ring_age.at[jnp.arange(T), slot_r].set(st.age)
+    # one-hot broadcast write into the tiny ring (no per-row scatters)
+    write_r = (jnp.arange(K, dtype=jnp.int32)[None, :]
+               == slot_r[:, None])                       # (T, K)
+    scattered = jnp.where(write_r[:, :, None], obs5[:, None, :],
+                          st.obs_ring)
+    scattered_age = jnp.where(write_r, st.age[:, None], st.ring_age)
 
     st = st._replace(
         kf_x=jnp.where(matched[:, None], upd_x, st.kf_x),

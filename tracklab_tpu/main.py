@@ -77,6 +77,10 @@ def build(cfg):
         if node is None:
             continue
         callbacks.append(instantiate(node))
+    # visualization engine runs as an after-save callback
+    # (reference: configs/visualization group + VisualizationEngine)
+    if cfg.get("visualization"):
+        callbacks.append(instantiate(cfg["visualization"]))
 
     engine = instantiate(cfg["engine"], tracker_state=tracker_state,
                          modules=modules, callbacks=callbacks)

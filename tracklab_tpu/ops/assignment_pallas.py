@@ -3,12 +3,18 @@
 The pure-lax solver (ops/assignment.py:solve_square) is exact but each
 augmenting-path iteration is a separate XLA op sequence — ~19 ms per
 64x64 solve on a v5e, dominated by per-op dispatch. This kernel runs the
-whole O(K^3) algorithm inside ONE Pallas program: cost matrix, potentials
-and path state live in VMEM and every per-step update is a full-width
-VPU vector op (Mosaic forbids scalar VMEM stores, so single-element
-updates become masked writes, scalar reads become masked reductions, and
-the u[p[j]] += delta scatter becomes a one-hot contraction). Exactness
-matches solve_square / scipy.
+whole O(K^3) algorithm inside ONE Pallas program: cost matrix, duals and
+path state live in VMEM and every per-step update is a full-width VPU
+vector op (Mosaic forbids scalar VMEM stores, so single-element updates
+become masked writes, scalar reads become masked reductions).
+
+Algorithm: LAPJV / scipy-rectangular_lsap shortest augmenting path with
+DEFERRED dual updates — the Dijkstra inner loop touches only (1, P)
+vectors (argmin + one relaxation); the u/v dual adjustments and the
+single (P, P) one-hot contraction for the u[p[j]] scatter happen once
+per assigned row, not once per inner step (the earlier e-maxx-style
+incremental-dual kernel paid that contraction every step — ~10x more
+vector work on hard matrices). Exactness matches solve_square / scipy.
 
 Used automatically by ops/assignment.py when lowering for TPU; CPU tests
 exercise it in interpreter mode.
@@ -26,14 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["solve_square_pallas"]
 
 _INF = 1e30  # python float: jnp scalars would become captured constants
+_NONE = -1   # "no predecessor column" sentinel
 
 
-def _jv_kernel(cost_ref, out_ref, u_ref, v_ref, p_ref, minv_ref, way_ref,
-               used_ref, *, K: int, P: int):
+def _jv_kernel(cost_ref, out_ref, u_ref, v_ref, p_ref, d_ref, pred_ref,
+               vis_ref, *, K: int, P: int):
     FREE = K
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     real = col_iota < K                     # real columns
-    virt_or_real = col_iota <= K            # incl. the virtual column K
 
     def sel_i(vec, j):
         """vec (1, P) int32, scalar j -> vec[0, j] via masked reduction."""
@@ -43,70 +49,88 @@ def _jv_kernel(cost_ref, out_ref, u_ref, v_ref, p_ref, minv_ref, way_ref,
         return jnp.max(jnp.where(col_iota == j, vec,
                                  jnp.float32(-_INF)))
 
+    # (A LAPJV column-reduction + greedy pre-assignment preamble was
+    # measured SLOWER here: the forced-matching construction makes many
+    # rows share argmin columns, so the preamble's fixed per-solve cost
+    # outweighs the saved augments. Plain u = v = 0 start wins.)
     u_ref[...] = jnp.zeros((1, P), jnp.float32)
     v_ref[...] = jnp.zeros((1, P), jnp.float32)
     p_ref[...] = jnp.full((1, P), FREE, jnp.int32)
 
-    def assign_row(i, _):
-        i = jnp.int32(i)
-        # p[K] = i (virtual column holds the new row)
-        p_ref[...] = jnp.where(col_iota == K, i, p_ref[...])
-        minv_ref[...] = jnp.full((1, P), _INF, jnp.float32)
-        way_ref[...] = jnp.full((1, P), FREE, jnp.int32)
-        used_ref[...] = jnp.where(virt_or_real, 0, 1).astype(jnp.int32)
+    def assign_row(cur, _):
+        cur = jnp.int32(cur)
+        u_cur = sel_f(u_ref[...], cur)
+        cost_cur = jnp.concatenate(
+            [cost_ref[pl.ds(cur, 1), :],
+             jnp.full((1, P - K), _INF, jnp.float32)], axis=1)
+        d_ref[...] = jnp.where(real, cost_cur - u_cur - v_ref[...],
+                               _INF)
+        pred_ref[...] = jnp.full((1, P), _NONE, jnp.int32)
+        vis_ref[...] = jnp.zeros((1, P), jnp.int32)
 
-        def path_cond(carry):
-            _, p_j0 = carry
-            return p_j0 != FREE
+        # --- Dijkstra over columns; duals untouched until the sink ---
+        def sp_cond(carry):
+            sink, _ = carry
+            return sink == _NONE
 
-        def path_body(carry):
-            j0, _ = carry
-            used_ref[...] = jnp.where(col_iota == j0, 1, used_ref[...])
-            i0 = sel_i(p_ref[...], j0)
-            cost_row = jnp.concatenate(
-                [cost_ref[pl.ds(i0, 1), :],
-                 jnp.full((1, P - K), _INF, jnp.float32)], axis=1)
-            u_row = u_ref[...]
-            u_i0 = sel_f(u_row, i0)  # rows indexed on the same lane grid
-            used_row = used_ref[...]
-            unused_real = (used_row == 0) & real
-            cur_p = cost_row - u_i0 - v_ref[...]
-            minv = minv_ref[...]
-            better = (cur_p < minv) & unused_real
-            minv = jnp.where(better, cur_p, minv)
-            minv_ref[...] = minv
-            way_ref[...] = jnp.where(better, j0, way_ref[...])
-            reach = jnp.where(unused_real, minv, _INF)
-            delta = jnp.min(reach)
-            j1 = jnp.argmin(reach).astype(jnp.int32)
-            # dual updates: the u scatter (u[p[j]] += delta over used j)
-            # becomes a one-hot contraction over the column axis
-            used_mask = (used_row == 1) & virt_or_real
-            p_vals = p_ref[...]
-            # i1 reshapes are unsupported by Mosaic: cast masks to f32
-            used_col = used_mask.astype(jnp.float32).reshape(P, 1)
-            eq = (p_vals.reshape(P, 1) == col_iota.reshape(1, P))
-            bump = jnp.sum(eq.astype(jnp.float32) * used_col, axis=0)
-            u_ref[...] = u_row + delta * bump.reshape(1, P)
-            v_ref[...] = jnp.where(used_mask, v_ref[...] - delta,
-                                   v_ref[...])
-            minv_ref[...] = jnp.where(unused_real, minv - delta, minv)
-            return j1, sel_i(p_vals, j1)
+        def sp_body(carry):
+            _, _ = carry
+            reach = jnp.where((vis_ref[...] == 0) & real, d_ref[...],
+                              _INF)
+            min_val = jnp.min(reach)
+            j_star = jnp.argmin(reach).astype(jnp.int32)
+            vis_ref[...] = jnp.where(col_iota == j_star, 1, vis_ref[...])
+            i_star = sel_i(p_ref[...], j_star)
 
-        j0, _ = lax.while_loop(path_cond, path_body,
-                               (jnp.int32(K), i))
+            def relax(_):
+                u_i = sel_f(u_ref[...], i_star)
+                cost_i = jnp.concatenate(
+                    [cost_ref[pl.ds(i_star, 1), :],
+                     jnp.full((1, P - K), _INF, jnp.float32)], axis=1)
+                alt = min_val + cost_i - u_i - v_ref[...]
+                better = (alt < d_ref[...]) & (vis_ref[...] == 0) & real
+                d_ref[...] = jnp.where(better, alt, d_ref[...])
+                pred_ref[...] = jnp.where(better, j_star, pred_ref[...])
+                return jnp.int32(_NONE)
 
-        # augment along the recorded predecessor path
-        def aug_cond(j):
-            return j != FREE
+            sink = lax.cond(i_star == FREE, lambda _: j_star, relax,
+                            0)
+            return sink, min_val
 
-        def aug_body(j):
-            j1 = way_sel = sel_i(way_ref[...], j)
-            p_j1 = sel_i(p_ref[...], j1)
-            p_ref[...] = jnp.where(col_iota == j, p_j1, p_ref[...])
-            return j1
+        sink, min_val = lax.while_loop(sp_cond, sp_body,
+                                       (jnp.int32(_NONE),
+                                        jnp.float32(0.0)))
 
-        lax.while_loop(aug_cond, aug_body, j0)
+        # --- deferred dual updates (once per row) ---
+        # scanned columns (visited, excluding the sink): v[j] += d[j] -
+        # min_val; their assigned rows: u[p[j]] += min_val - d[j].
+        scanned = (vis_ref[...] == 1) & (col_iota != sink) & real
+        dgap = jnp.where(scanned, min_val - d_ref[...], 0.0)
+        v_ref[...] = jnp.where(scanned, v_ref[...] - dgap, v_ref[...])
+        # u scatter via one-hot contraction (i1 reshape unsupported by
+        # Mosaic: cast masks through f32)
+        p_vals = p_ref[...]
+        eq = (p_vals.reshape(P, 1) == col_iota.reshape(1, P))
+        bump = jnp.sum(eq.astype(jnp.float32) * dgap.reshape(P, 1),
+                       axis=0)
+        u_ref[...] = u_ref[...] + bump.reshape(1, P)
+        u_ref[...] = jnp.where(col_iota == cur, u_ref[...] + min_val,
+                               u_ref[...])
+
+        # --- augment along the predecessor-column chain from the sink ---
+        def aug_cond(carry):
+            j, _ = carry
+            return j != _NONE
+
+        def aug_body(carry):
+            j, _ = carry
+            jp = sel_i(pred_ref[...], j)
+            new_row = lax.cond(jp == _NONE, lambda _: cur,
+                               lambda _: sel_i(p_ref[...], jp), 0)
+            p_ref[...] = jnp.where(col_iota == j, new_row, p_ref[...])
+            return jp, 0
+
+        lax.while_loop(aug_cond, aug_body, (sink, 0))
         return 0
 
     lax.fori_loop(0, K, assign_row, 0)
@@ -125,12 +149,12 @@ def solve_square_pallas(cost, interpret: bool = False):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((1, P), jnp.float32),   # u
-            pltpu.VMEM((1, P), jnp.float32),   # v
-            pltpu.VMEM((1, P), jnp.int32),     # p
-            pltpu.VMEM((1, P), jnp.float32),   # minv
-            pltpu.VMEM((1, P), jnp.int32),     # way
-            pltpu.VMEM((1, P), jnp.int32),     # used
+            pltpu.VMEM((1, P), jnp.float32),   # u (row duals, on lanes)
+            pltpu.VMEM((1, P), jnp.float32),   # v (col duals)
+            pltpu.VMEM((1, P), jnp.int32),     # p (col -> row)
+            pltpu.VMEM((1, P), jnp.float32),   # d (shortest path costs)
+            pltpu.VMEM((1, P), jnp.int32),     # pred (col -> prev col)
+            pltpu.VMEM((1, P), jnp.int32),     # visited
         ],
         interpret=interpret,
     )(cost.astype(jnp.float32))

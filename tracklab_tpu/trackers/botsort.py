@@ -34,7 +34,7 @@ from tracklab_tpu.ops import boxes as B
 from tracklab_tpu.ops.assignment import matching_limit
 from tracklab_tpu.ops.embeddings import normalize_rows
 from tracklab_tpu.ops.kalman import XYWHFilter as KF, CHI2INV95_4D
-from tracklab_tpu.trackers.common import Detections, claim_slots
+from tracklab_tpu.trackers.common import birth_scatter, Detections, claim_slots
 
 __all__ = ["BotSortConfig", "BotSortState", "BotSortOutput",
            "botsort_init", "botsort_step", "botsort_scan"]
@@ -246,11 +246,10 @@ def botsort_step(cfg: BotSortConfig, st: BotSortState, inputs):
     det2slot = claim_slots(~st.active, leftover)
     D = det.ltrb.shape[0]
     birth = det2slot >= 0
-    slot = jnp.where(birth, det2slot, T)
 
     def scat(arr, val):
-        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
-        return jnp.concatenate([arr, pad], axis=0).at[slot].set(val)[:T]
+        # one-hot masked-sum write (TPU-friendly, trackers/common.py)
+        return birth_scatter(det2slot, birth, arr, val)
 
     init_mean, init_cov = jax.vmap(KF.initiate)(det_xywh)
     birth_ids = (st.next_id

@@ -34,7 +34,7 @@ from tracklab_tpu.ops.assignment import matching_forced
 from tracklab_tpu.ops.kalman import XYAHNSAFilter as KF, CHI2INV95_4D, \
     CHI2INV95_2D
 from tracklab_tpu.ops.oks import oks_matrix
-from tracklab_tpu.trackers.common import Detections, claim_slots
+from tracklab_tpu.trackers.common import birth_scatter, Detections, claim_slots
 from tracklab_tpu.trackers.strongsort import (
     _clamped_matching, _invert, _mean_to_ltrb, _apply_warp,
 )
@@ -272,11 +272,10 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
     det2slot = claim_slots(~st.active, still)
     D = det.ltrb.shape[0]
     birth = det2slot >= 0
-    slot = jnp.where(birth, det2slot, T)
 
     def scat(arr, val):
-        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
-        return jnp.concatenate([arr, pad], axis=0).at[slot].set(val)[:T]
+        # one-hot masked-sum write (TPU-friendly, trackers/common.py)
+        return birth_scatter(det2slot, birth, arr, val)
 
     init_mean, init_cov = jax.vmap(KF.initiate)(det_xyah)
     birth_ids = (st.next_id

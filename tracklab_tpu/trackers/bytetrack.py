@@ -32,7 +32,7 @@ from jax import lax
 from tracklab_tpu.ops import boxes as B
 from tracklab_tpu.ops.assignment import matching_limit
 from tracklab_tpu.ops.kalman import XYAHFilter as KF
-from tracklab_tpu.trackers.common import Detections, claim_slots
+from tracklab_tpu.trackers.common import birth_scatter, Detections, claim_slots
 
 __all__ = ["ByteTrackConfig", "ByteTrackState", "ByteTrackOutput",
            "bytetrack_init", "bytetrack_step", "bytetrack_scan"]
@@ -219,11 +219,10 @@ def bytetrack_step(cfg: ByteTrackConfig, st: ByteTrackState,
     det2slot = claim_slots(~st.active, leftover)
     D = det.ltrb.shape[0]
     birth = det2slot >= 0
-    slot = jnp.where(birth, det2slot, T)
 
     def scat(arr, val):
-        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
-        return jnp.concatenate([arr, pad], axis=0).at[slot].set(val)[:T]
+        # one-hot masked-sum write (TPU-friendly, trackers/common.py)
+        return birth_scatter(det2slot, birth, arr, val)
 
     z_new = B.ltwh_to_xyah(B.ltrb_to_ltwh(det.ltrb))
     init_mean, init_cov = jax.vmap(KF.initiate)(z_new)

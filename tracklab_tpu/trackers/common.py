@@ -81,3 +81,26 @@ def claim_slots(free_slots: jnp.ndarray, want: jnp.ndarray):
     ok = want & (want_rank < n_free)
     det2slot = jnp.where(ok, nth_free[jnp.clip(want_rank, 0, T)], -1)
     return det2slot
+
+
+def birth_scatter(det2slot, birth, arr, val):
+    """Write ``val[d]`` into ``arr[det2slot[d]]`` for each birth det —
+    as a one-hot masked sum instead of a per-row scatter (scatters
+    lower poorly on TPU; small D x T broadcasts are VPU friendly).
+    arr (T, ...), val (D, ...), det2slot (D,) int32, birth (D,) bool.
+    Slots are claimed at most once (claim_slots), so the one-hot rows
+    are disjoint and the sum is exact for every dtype."""
+    T = arr.shape[0]
+    sel = (det2slot[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :]) \
+        & birth[:, None]                               # (D, T)
+    claimed = jnp.any(sel, axis=0)                     # (T,)
+    expand = (slice(None), slice(None)) + (None,) * (arr.ndim - 1)
+    sel_e = sel[expand]                                # (D, T, 1...)
+    val_e = val[:, None]                               # (D, 1, ...)
+    if arr.dtype == jnp.bool_:
+        picked = jnp.any(sel_e & val_e, axis=0)
+    else:
+        picked = jnp.where(sel_e, val_e,
+                           jnp.zeros((), arr.dtype)).sum(axis=0)
+    cl = claimed[(slice(None),) + (None,) * (arr.ndim - 1)]
+    return jnp.where(cl, picked.astype(arr.dtype), arr)

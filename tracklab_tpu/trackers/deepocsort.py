@@ -40,7 +40,7 @@ from jax import lax
 from tracklab_tpu.ops import boxes as B
 from tracklab_tpu.ops.assignment import greedy_unique_match, matching_forced
 from tracklab_tpu.ops.embeddings import normalize_rows
-from tracklab_tpu.trackers.common import Detections, claim_slots
+from tracklab_tpu.trackers.common import birth_scatter, Detections, claim_slots
 from tracklab_tpu.trackers.ocsort import ASSO_FUNCS
 
 __all__ = ["DeepOCSortConfig", "DeepOCSortState", "DeepOCSortOutput",
@@ -509,11 +509,10 @@ def deepocsort_step(cfg: DeepOCSortConfig, st: DeepOCSortState, inputs):
     det2slot = claim_slots(~st.active, still_unmatched)
     D = det.ltrb.shape[0]
     birth = det2slot >= 0
-    slot = jnp.where(birth, det2slot, T)
 
     def scat(arr, val):
-        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
-        return jnp.concatenate([arr, pad], axis=0).at[slot].set(val)[:T]
+        # one-hot masked-sum write (TPU-friendly, trackers/common.py)
+        return birth_scatter(det2slot, birth, arr, val)
 
     z_all = B.ltrb_to_xywh(det.ltrb)
     init_x, init_P = jax.vmap(partial(_nkf_initiate, dtype=dtype))(z_all)

@@ -34,7 +34,9 @@ from tracklab_tpu.ops.assignment import (
     greedy_unique_match, matching_forced,
 )
 from tracklab_tpu.ops.kalman import XYSRFilter as KF
-from tracklab_tpu.trackers.common import Detections, claim_slots
+from tracklab_tpu.trackers.common import (
+    Detections, birth_scatter, claim_slots,
+)
 
 __all__ = ["OCSortConfig", "OCSortState", "OCSortOutput", "ocsort_init",
            "ocsort_step", "ocsort_scan"]
@@ -395,13 +397,11 @@ def ocsort_step(cfg: OCSortConfig, st: OCSortState, det: Detections):
     det2slot = claim_slots(~st.active, still_unmatched)
     D = det.ltrb.shape[0]
     birth = det2slot >= 0
-    slot = jnp.where(birth, det2slot, T)                # scatter via padding
     n_birth = jnp.sum(birth, dtype=jnp.int32)
 
     def scat(arr, val):
-        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
-        big = jnp.concatenate([arr, pad], axis=0)
-        return big.at[slot].set(val)[:T]
+        # one-hot masked-sum write (TPU-friendly, trackers/common.py)
+        return birth_scatter(det2slot, birth, arr, val)
 
     z0 = B.ltrb_to_xysr(det.ltrb)
     init_x = jax.vmap(lambda z: jnp.zeros(7, st.kf_x.dtype).at[:4].set(z))(z0)

@@ -41,7 +41,7 @@ from tracklab_tpu.ops.embeddings import (
     ema_update, gallery_push, nn_gallery_distance, normalize_rows,
 )
 from tracklab_tpu.ops.kalman import XYAHNSAFilter as KF, CHI2INV95_4D
-from tracklab_tpu.trackers.common import Detections, claim_slots
+from tracklab_tpu.trackers.common import birth_scatter, Detections, claim_slots
 
 __all__ = ["StrongSortConfig", "StrongSortState", "StrongSortOutput",
            "strongsort_init", "strongsort_step", "strongsort_scan"]
@@ -241,11 +241,10 @@ def strongsort_step(cfg: StrongSortConfig, st: StrongSortState,
     det2slot = claim_slots(~st.active, still_unmatched)
     D = det.ltrb.shape[0]
     birth = det2slot >= 0
-    slot = jnp.where(birth, det2slot, T)
 
     def scat(arr, val):
-        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
-        return jnp.concatenate([arr, pad], axis=0).at[slot].set(val)[:T]
+        # one-hot masked-sum write (TPU-friendly, trackers/common.py)
+        return birth_scatter(det2slot, birth, arr, val)
 
     init_mean, init_cov = jax.vmap(KF.initiate)(det_xyah)
     birth_ids = (st.next_id

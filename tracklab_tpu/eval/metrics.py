@@ -318,11 +318,23 @@ def identity_metrics(data: SequenceData, threshold: float = 0.5) -> dict:
 
 # ---------------------------------------------------------------------------
 
+def count_metrics(data: SequenceData) -> dict:
+    """TrackEval's Count metric family (plugins/eval/.../count.py)."""
+    return {
+        "Dets": int(data.num_pred_dets),
+        "GT_Dets": int(data.num_gt_dets),
+        "IDs": int(data.num_pred_ids),
+        "GT_IDs": int(data.num_gt_ids),
+        "Frames": len(data.gt_ids),
+    }
+
+
 def evaluate_sequence(data: SequenceData) -> dict:
     out = {}
     out.update(hota_metrics(data))
     out.update(clear_metrics(data))
     out.update(identity_metrics(data))
+    out.update(count_metrics(data))
     return out
 
 
@@ -335,7 +347,8 @@ def combine_sequences(per_seq: Dict[str, dict]) -> dict:
             "FragA_num"]}
     counts = {k: 0.0 for k in
               ["CLR_TP", "CLR_FN", "CLR_FP", "IDSW", "Frag", "MOTP_sum",
-               "CLR_gt", "IDTP", "IDFN", "IDFP", "MT", "PT", "ML"]}
+               "CLR_gt", "IDTP", "IDFN", "IDFP", "MT", "PT", "ML",
+               "Dets", "GT_Dets", "IDs", "GT_IDs", "Frames"]}
     for res in per_seq.values():
         for k in agg:
             agg[k] = agg[k] + res[k]
@@ -360,4 +373,6 @@ def combine_sequences(per_seq: Dict[str, dict]) -> dict:
         "IDF1": float(2 * idtp / max(2 * idtp + counts["IDFN"]
                                      + counts["IDFP"], 1) * 100),
     })
+    out.update({k: int(counts[k]) for k in
+                ["Dets", "GT_Dets", "IDs", "GT_IDs", "Frames"]})
     return out

@@ -39,6 +39,66 @@ CHI2INV95_4D = 9.4877
 CHI2INV95_2D = 5.9915
 
 
+def _inv4(m):
+    """Closed-form 4x4 inverse (adjugate / det). Pure elementwise ops —
+    fuses into the surrounding program instead of a batched LU."""
+    a = m
+    s0 = a[0, 0] * a[1, 1] - a[1, 0] * a[0, 1]
+    s1 = a[0, 0] * a[1, 2] - a[1, 0] * a[0, 2]
+    s2 = a[0, 0] * a[1, 3] - a[1, 0] * a[0, 3]
+    s3 = a[0, 1] * a[1, 2] - a[1, 1] * a[0, 2]
+    s4 = a[0, 1] * a[1, 3] - a[1, 1] * a[0, 3]
+    s5 = a[0, 2] * a[1, 3] - a[1, 2] * a[0, 3]
+    c5 = a[2, 2] * a[3, 3] - a[3, 2] * a[2, 3]
+    c4 = a[2, 1] * a[3, 3] - a[3, 1] * a[2, 3]
+    c3 = a[2, 1] * a[3, 2] - a[3, 1] * a[2, 2]
+    c2 = a[2, 0] * a[3, 3] - a[3, 0] * a[2, 3]
+    c1 = a[2, 0] * a[3, 2] - a[3, 0] * a[2, 2]
+    c0 = a[2, 0] * a[3, 1] - a[3, 0] * a[2, 1]
+    det = s0 * c5 - s1 * c4 + s2 * c3 + s3 * c2 - s4 * c1 + s5 * c0
+    inv_det = 1.0 / det
+    b = [
+        [a[1, 1] * c5 - a[1, 2] * c4 + a[1, 3] * c3,
+         -a[0, 1] * c5 + a[0, 2] * c4 - a[0, 3] * c3,
+         a[3, 1] * s5 - a[3, 2] * s4 + a[3, 3] * s3,
+         -a[2, 1] * s5 + a[2, 2] * s4 - a[2, 3] * s3],
+        [-a[1, 0] * c5 + a[1, 2] * c2 - a[1, 3] * c1,
+         a[0, 0] * c5 - a[0, 2] * c2 + a[0, 3] * c1,
+         -a[3, 0] * s5 + a[3, 2] * s2 - a[3, 3] * s1,
+         a[2, 0] * s5 - a[2, 2] * s2 + a[2, 3] * s1],
+        [a[1, 0] * c4 - a[1, 1] * c2 + a[1, 3] * c0,
+         -a[0, 0] * c4 + a[0, 1] * c2 - a[0, 3] * c0,
+         a[3, 0] * s4 - a[3, 1] * s2 + a[3, 3] * s0,
+         -a[2, 0] * s4 + a[2, 1] * s2 - a[2, 3] * s0],
+        [-a[1, 0] * c3 + a[1, 1] * c1 - a[1, 2] * c0,
+         a[0, 0] * c3 - a[0, 1] * c1 + a[0, 2] * c0,
+         -a[3, 0] * s3 + a[3, 1] * s1 - a[3, 2] * s0,
+         a[2, 0] * s3 - a[2, 1] * s1 + a[2, 2] * s0],
+    ]
+    rows = [jnp.stack(rw) for rw in b]
+    return jnp.stack(rows) * inv_det
+
+
+def _shift4_predict(x, P, Q):
+    """x' = F x, P' = F P F' + Q for the 8-dim constant-velocity F =
+    I + E (E[i, i+4] = 1, i < 4) — slice-adds instead of 8x8 matmuls."""
+    x = x.at[:4].add(x[4:])
+    P = (P.at[:4, :].add(P[4:, :])
+         .at[:, :4].add(P[:, 4:].at[:4, :].add(P[4:, 4:])))
+    return x, P + Q
+
+
+def _proj4_update(x, P, z, pc):
+    """Kalman update specialized for H = [I4 | 0] given the projected
+    innovation covariance pc = P[:4,:4] + R (4x4): closed-form inverse,
+    K = P[:, :4] @ pc^-1, P' = P - K pc K'. Algebraically identical to
+    solve()-based updates."""
+    K = P[:, :4] @ _inv4(pc)
+    x_new = x + K @ (z - x[:4])
+    P_new = P - K @ pc @ K.T
+    return x_new, P_new
+
+
 def _joseph_update(x, P, z, R, H):
     """Joseph-form measurement update (filterpy-compatible;
     oc_sort/kalmanfilter.py:437-525)."""
@@ -82,18 +142,40 @@ class XYSRFilter:
     @staticmethod
     def predict(x, P):
         """Predict step with the OC-SORT negative-area guard
-        (ocsort.py:154-157: if x[6]+x[2] <= 0 then vs := 0)."""
-        F, _, _, _, Q = XYSRFilter.constants(x.dtype)
+        (ocsort.py:154-157: if x[6]+x[2] <= 0 then vs := 0).
+
+        F = I + E with E one at (0,4), (1,5), (2,6), so F@x and
+        F@P@F.T are slice-adds rather than 7x7 matmuls — the scan step
+        is latency-bound on these tiny ops (see BASELINE.md), and XLA
+        fuses slice-adds where batched small matmuls stay separate."""
+        _, _, _, _, Q = XYSRFilter.constants(x.dtype)
         vs = jnp.where(x[6] + x[2] <= 0, 0.0, x[6])
         x = x.at[6].set(vs)
-        x = F @ x
-        P = F @ P @ F.T + Q
-        return x, P
+        x = x.at[:3].add(x[4:7])
+        # F P F' = P + (E P) + (P E') + (E P E'): E P puts rows 4:7
+        # into rows 0:3; P E' puts cols 4:7 into cols 0:3.
+        P = (P.at[:3, :].add(P[4:7, :])
+             .at[:, :3].add(P[:, 4:7].at[:3, :].add(P[4:7, 4:7])))
+        return x, P + Q
 
     @staticmethod
     def update(x, P, z):
-        F, H, R, _, _ = XYSRFilter.constants(x.dtype)
-        return _joseph_update(x, P, z, R, H)
+        """Joseph-form update specialized for H = [I4 | 0] and diagonal
+        R: S = P[:4,:4] + R inverted in closed form (adjugate — S is SPD
+        and well-conditioned, R >= 1), avoiding the batched LU that
+        jnp.linalg.inv lowers to under vmap. Algebraically identical to
+        the filterpy reference (oc_sort/kalmanfilter.py:437-525)."""
+        _, _, R, _, _ = XYSRFilter.constants(x.dtype)
+        r = jnp.diagonal(R)
+        y = z - x[:4]
+        PHT = P[:, :4]                          # (7, 4)
+        S = P[:4, :4] + R
+        K = PHT @ _inv4(S)                      # (7, 4)
+        x_new = x + K @ y
+        # (I - KH) P (I - KH)' + K R K', with KH = [K | 0]
+        A = P - K @ P[:4, :]
+        P_new = A - A[:, :4] @ K.T + (K * r[None, :]) @ K.T
+        return x_new, P_new
 
     @staticmethod
     def oru_replay(x_frozen, P_frozen, z_prev, z_new, gap, max_gap: int):
@@ -247,9 +329,8 @@ class XYAHFilter:
 
     @staticmethod
     def predict(x, P):
-        F, _ = _xyah_mats(x.dtype)
         Q = XYAHFilter._motion_cov(x)
-        return F @ x, F @ P @ F.T + Q
+        return _shift4_predict(x, P, Q)
 
     @staticmethod
     def _innovation_cov(x):
@@ -267,12 +348,8 @@ class XYAHFilter:
 
     @staticmethod
     def update(x, P, z):
-        _, H = _xyah_mats(x.dtype)
-        pm, pc = XYAHFilter.project(x, P)
-        K = jnp.linalg.solve(pc, (P @ H.T).T).T
-        x_new = x + K @ (z - pm)
-        P_new = P - K @ pc @ K.T
-        return x_new, P_new
+        pc = P[:4, :4] + XYAHFilter._innovation_cov(x)
+        return _proj4_update(x, P, z, pc)
 
     @staticmethod
     def gating_distance(x, P, zs, only_position=False):
@@ -306,7 +383,6 @@ class XYAHNSAFilter:
 
     @staticmethod
     def predict(x, P):
-        F, _ = _xyah_mats(x.dtype)
         std = jnp.stack([
             XYAHNSAFilter.WP * x[0], XYAHNSAFilter.WP * x[1],
             1.0 * x[2], XYAHNSAFilter.WP * x[3],
@@ -314,7 +390,7 @@ class XYAHNSAFilter:
             0.1 * x[2], XYAHNSAFilter.WV * x[3],
         ])
         Q = jnp.diag(std * std)
-        return F @ x, F @ P @ F.T + Q
+        return _shift4_predict(x, P, Q)
 
     @staticmethod
     def project(x, P, confidence=0.0):
@@ -327,12 +403,8 @@ class XYAHNSAFilter:
 
     @staticmethod
     def update(x, P, z, confidence=0.0):
-        _, H = _xyah_mats(x.dtype)
-        pm, pc = XYAHNSAFilter.project(x, P, confidence)
-        K = jnp.linalg.solve(pc, (P @ H.T).T).T
-        x_new = x + K @ (z - pm)
-        P_new = P - K @ pc @ K.T
-        return x_new, P_new
+        _, pc = XYAHNSAFilter.project(x, P, confidence)
+        return _proj4_update(x, P, z, pc)
 
     @staticmethod
     def gating_distance(x, P, zs, only_position=False):
@@ -367,7 +439,6 @@ class XYWHFilter:
 
     @staticmethod
     def predict(x, P):
-        F, _ = _xyah_mats(x.dtype)
         w, h = x[2], x[3]
         std = jnp.stack([
             XYWHFilter.WP * w, XYWHFilter.WP * h,
@@ -376,7 +447,7 @@ class XYWHFilter:
             XYWHFilter.WV * w, XYWHFilter.WV * h,
         ])
         Q = jnp.diag(std * std)
-        return F @ x, F @ P @ F.T + Q
+        return _shift4_predict(x, P, Q)
 
     @staticmethod
     def project(x, P):
@@ -388,10 +459,8 @@ class XYWHFilter:
 
     @staticmethod
     def update(x, P, z):
-        _, H = _xyah_mats(x.dtype)
-        pm, pc = XYWHFilter.project(x, P)
-        K = jnp.linalg.solve(pc, (P @ H.T).T).T
-        return x + K @ (z - pm), P - K @ pc @ K.T
+        _, pc = XYWHFilter.project(x, P)
+        return _proj4_update(x, P, z, pc)
 
     @staticmethod
     def gating_distance(x, P, zs, only_position=False):

@@ -94,17 +94,21 @@ def _nkf_predict(x, P, frozen):
 
 
 def _nkf_update(x, P, z):
-    """Joseph-form update with R from the current (prior) state size."""
+    """Joseph-form update with R from the current (prior) state size.
+    H = [I4 | 0] and R diagonal, so S inverts in closed form
+    (ops/kalman._inv4) and the Joseph product reduces to three small
+    matmuls — same algebra, no batched LU under vmap."""
+    from tracklab_tpu.ops.kalman import _inv4
     dtype = x.dtype
-    _, H = _nkf_mats(dtype)
     R = _nkf_R(x[2], x[3], dtype)
-    y = z - H @ x
-    PHT = P @ H.T
-    S = H @ PHT + R
-    K = PHT @ jnp.linalg.inv(S)
+    r = jnp.diagonal(R)
+    y = z - x[:4]
+    PHT = P[:, :4]
+    S = P[:4, :4] + R
+    K = PHT @ _inv4(S)
     x_new = x + K @ y
-    I_KH = jnp.eye(8, dtype=dtype) - K @ H
-    P_new = I_KH @ P @ I_KH.T + K @ R @ K.T
+    A = P - K @ P[:4, :]
+    P_new = A - A[:, :4] @ K.T + (K * r[None, :]) @ K.T
     return x_new, P_new
 
 
@@ -565,11 +569,11 @@ def deepocsort_step(cfg: DeepOCSortConfig, st: DeepOCSortState, inputs):
 
 
 def _invert(det2trk, T):
-    D = det2trk.shape[0]
-    trk2det = jnp.full(T + 1, -1, jnp.int32)
-    tgt = jnp.where(det2trk >= 0, det2trk, T)
-    trk2det = trk2det.at[tgt].set(jnp.arange(D, dtype=jnp.int32))
-    return trk2det[:T]
+    # one-hot select instead of a scatter (TPU-friendly); matched
+    # tracks are unique so at most one det maps to each track
+    sel = det2trk[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :]
+    hit = jnp.any(sel, axis=0)
+    return jnp.where(hit, jnp.argmax(sel, axis=0).astype(jnp.int32), -1)
 
 
 def deepocsort_scan(cfg: DeepOCSortConfig, dets: Detections,

@@ -320,11 +320,11 @@ def _apply_updates(cfg, st: OCSortState, det: Detections, trk2det):
 
 def _invert_match(det2trk, n_tracks):
     """det->trk map (D,) to trk->det map (T,)."""
-    D = det2trk.shape[0]
-    trk2det = jnp.full(n_tracks + 1, -1, jnp.int32)
-    tgt = jnp.where(det2trk >= 0, det2trk, n_tracks)
-    trk2det = trk2det.at[tgt].set(jnp.arange(D, dtype=jnp.int32))
-    return trk2det[:n_tracks]
+    # one-hot select instead of a scatter (TPU-friendly); matched
+    # tracks are unique so at most one det maps to each track
+    sel = det2trk[:, None] == jnp.arange(n_tracks, dtype=jnp.int32)[None, :]
+    hit = jnp.any(sel, axis=0)
+    return jnp.where(hit, jnp.argmax(sel, axis=0).astype(jnp.int32), -1)
 
 
 def ocsort_step(cfg: OCSortConfig, st: OCSortState, det: Detections):

@@ -135,11 +135,11 @@ def _clamped_matching(cost, row_mask, col_mask, max_distance):
 
 
 def _invert(det2trk, T):
-    D = det2trk.shape[0]
-    trk2det = jnp.full(T + 1, -1, jnp.int32)
-    tgt = jnp.where(det2trk >= 0, det2trk, T)
-    trk2det = trk2det.at[tgt].set(jnp.arange(D, dtype=jnp.int32))
-    return trk2det[:T]
+    # one-hot select instead of a scatter (TPU-friendly); matched
+    # tracks are unique so at most one det maps to each track
+    sel = det2trk[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :]
+    hit = jnp.any(sel, axis=0)
+    return jnp.where(hit, jnp.argmax(sel, axis=0).astype(jnp.int32), -1)
 
 
 def _apply_warp(mean, warp):

@@ -293,3 +293,43 @@ class TestRTDETR:
         for _ in range(10):
             params, stats, opt, l = step(params, stats, opt)
         assert np.isfinite(float(l)) and float(l) < float(l0)
+
+
+def test_torch_checkpoint_roundtrip(tmp_path):
+    """convert_yolox_torch parity harness: export flax weights into an
+    official-layout torch state dict, convert back, outputs identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    from tracklab_tpu.models.convert import (
+        export_torch_state_dict, load_checkpoint,
+    )
+    from tracklab_tpu.models.yolox import YOLOX
+
+    model = YOLOX(num_classes=3, variant="nano")
+    shape = (1, 64, 64, 3)
+    rng = jax.random.PRNGKey(42)
+    variables = model.init(rng, jnp.zeros(shape), train=False)
+    # randomize BN stats + head biases so the round trip is non-trivial
+    import flax.traverse_util as tu
+    flat = tu.flatten_dict(variables, sep="/")
+    key = rng
+    for k in flat:
+        if k.endswith("mean") or (k.endswith("bias")
+                                  and "BatchNorm" not in k):
+            key, sub = jax.random.split(key)
+            flat[k] = jax.random.normal(sub, flat[k].shape) * 0.1
+    variables = tu.unflatten_dict(flat, sep="/")
+
+    sd = export_torch_state_dict(model, variables)
+    pth = tmp_path / "weights.pth"
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v))
+                          for k, v in sd.items()}}, pth)
+    restored = load_checkpoint(pth, model, shape)
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 255, shape),
+                    jnp.float32)
+    a = model.apply(variables, x, method=YOLOX.predict)
+    b = model.apply(restored, x, method=YOLOX.predict)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

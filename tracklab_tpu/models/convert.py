@@ -161,3 +161,44 @@ def convert_yolox_torch(path, model, input_shape):
                 new_flat[fk] = jnp.asarray(tv)
 
     return unflatten_dict(new_flat, sep="/")
+
+
+def export_torch_state_dict(model, variables, input_shape=None):
+    """Inverse of :func:`convert_yolox_torch`: emit an official-layout
+    torch-style state dict (OIHW convs, conv biases adjacent to their
+    weights, BN weight/bias/running_mean/running_var groups) from Flax
+    variables. Useful to hand weights back to reference-side tooling,
+    and it gives the converter a round-trip parity harness without
+    official checkpoint downloads."""
+    import re
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(variables, sep="/")
+
+    def natural(key):
+        return [int(p) if p.isdigit() else p
+                for p in re.split(r"(\d+)", key)]
+
+    flat = dict(sorted(flat.items(), key=lambda kv: natural(kv[0])))
+    sd = {}
+    i = 0
+    for k, v in flat.items():
+        if not k.startswith("params/"):
+            continue
+        if k.endswith("kernel") and v.ndim == 4:
+            # HWIO -> OIHW; also maps depthwise (H, W, 1, O) -> (O, 1, H, W)
+            sd[f"m{i}.conv.weight"] = np.transpose(np.asarray(v),
+                                                   (3, 2, 0, 1))
+            bias_key = k[: -len("kernel")] + "bias"
+            if bias_key in flat and flat[bias_key].ndim == 1:
+                sd[f"m{i}.conv.bias"] = np.asarray(flat[bias_key])
+            i += 1
+        elif "BatchNorm" in k and k.endswith("scale"):
+            base = k[: -len("scale")]
+            stats = base.replace("params/", "batch_stats/")
+            sd[f"m{i}.bn.weight"] = np.asarray(v)
+            sd[f"m{i}.bn.bias"] = np.asarray(flat[base + "bias"])
+            sd[f"m{i}.bn.running_mean"] = np.asarray(flat[stats + "mean"])
+            sd[f"m{i}.bn.running_var"] = np.asarray(flat[stats + "var"])
+            i += 1
+    return sd

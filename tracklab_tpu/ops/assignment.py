@@ -187,7 +187,6 @@ def matching_limit(cost, row_mask, col_mask, limit):
     Returns row2col: (R,) int32, -1 where unmatched.
     """
     R, C = cost.shape
-    S = R + C
     valid = row_mask[:, None] & col_mask[None, :]
     finite = jnp.isfinite(cost) & valid
 
@@ -207,26 +206,23 @@ def matching_limit(cost, row_mask, col_mask, limit):
         return fast_r2c
 
     def slow(_):
-        mag = jnp.maximum(jnp.max(jnp.where(finite, jnp.abs(cost), 0.0)),
-                          jnp.abs(limit))
-        scale = jnp.maximum(mag, 1e-9)
-        c_hat = jnp.clip(jnp.where(finite, cost, 0.0) / scale, -1.0, 1.0)
-        l_hat = limit / scale
-        half = l_hat * 0.5
-        # Valid block entries above the limit (or non-finite /
-        # capacity-invalid) are priced strictly worse than their dummy
-        # route so they never match.
-        block = jnp.where(finite, c_hat, half * 2 + 4.0)
-        sq = jnp.full((S, S), half, cost.dtype)
-        sq = sq.at[:R, :C].set(block)
-        sq = sq.at[R:, C:].set(0.0)
+        # cost_limit semantics == MAX-WEIGHT matching with weights
+        # w = (limit - cost)+ : in lap's [[C, L/2], [L/2, 0]] square, any
+        # assignment's total is const - sum(w over matched real pairs),
+        # so the optimum maximizes total w; pairs with w = 0 (cost >=
+        # limit) are never strictly beneficial. Max-weight matching on
+        # non-negative w pads to a square of size max(R, C) with neutral
+        # zero edges — (R+C)^2 -> max(R,C)^2, a ~3x smaller JV solve.
+        Sq = max(R, C)
+        w = jnp.where(finite, jnp.maximum(limit - cost, 0.0), 0.0)
+        scale = jnp.maximum(jnp.max(w), 1e-9)
+        sq = jnp.zeros((Sq, Sq), cost.dtype)
+        sq = sq.at[:R, :C].set(-w / scale)
         col2row = solve_square(sq)
         row2col = _col2row_to_row2col(col2row, R)
         cols_ok = (row2col >= 0) & (row2col < C)
         safe_col = jnp.where(cols_ok, row2col, 0)
-        pair_valid = cols_ok & row_mask & col_mask[safe_col] & finite[
-            jnp.arange(R), safe_col
-        ]
+        pair_valid = cols_ok & (w[jnp.arange(R), safe_col] > 0.0)
         return jnp.where(pair_valid, row2col, -1)
 
     return lax.cond(is_unique, fast, slow, None)

@@ -157,6 +157,42 @@ def matching_forced(cost, row_mask, col_mask, solver=None):
       row2col: (R,) int32 — assigned valid column per valid row, else -1.
     """
     R, C = cost.shape
+    if C > R:
+        # Column compaction: trackers pad the track axis far beyond the
+        # live count (C = max_tracks), but the JV solve is O(S^3) in the
+        # square size. When <= R columns are valid, permute them to the
+        # front (one-hot matmul — no gathers) and solve an (R, R)
+        # problem instead of (C, C): exact, since invalid columns can
+        # never match anyway.
+        n_act = jnp.sum(col_mask.astype(jnp.int32))
+        rank_a = jnp.cumsum(col_mask.astype(jnp.int32),
+                            dtype=jnp.int32) - 1
+        rank_i = jnp.cumsum((~col_mask).astype(jnp.int32),
+                            dtype=jnp.int32) - 1
+        pos = jnp.where(col_mask, rank_a, n_act + rank_i)   # (C,)
+        onehot = (pos[:, None]
+                  == jnp.arange(C, dtype=jnp.int32)[None, :])  # (C, C)
+        perm_cost = cost @ onehot.astype(cost.dtype)           # (R, C)
+        perm_mask = (col_mask.astype(jnp.int32)
+                     @ onehot.astype(jnp.int32)) > 0
+        # original column index per compacted slot
+        colmap = jnp.argmax(onehot, axis=0).astype(jnp.int32)  # (C,)
+
+        def small(_):
+            r2c = _forced_core(perm_cost[:, :R], row_mask,
+                               perm_mask[:R], solver)
+            ok = r2c >= 0
+            return jnp.where(ok, colmap[jnp.where(ok, r2c, 0)], -1)
+
+        def full(_):
+            return _forced_core(cost, row_mask, col_mask, solver)
+
+        return lax.cond(n_act <= R, small, full, None)
+    return _forced_core(cost, row_mask, col_mask, solver)
+
+
+def _forced_core(cost, row_mask, col_mask, solver=None):
+    R, C = cost.shape
     S = max(R, C)
     valid = row_mask[:, None] & col_mask[None, :]
     finite = jnp.isfinite(cost) & valid
@@ -213,17 +249,42 @@ def matching_limit(cost, row_mask, col_mask, limit):
         # limit) are never strictly beneficial. Max-weight matching on
         # non-negative w pads to a square of size max(R, C) with neutral
         # zero edges — (R+C)^2 -> max(R,C)^2, a ~3x smaller JV solve.
-        Sq = max(R, C)
         w = jnp.where(finite, jnp.maximum(limit - cost, 0.0), 0.0)
         scale = jnp.maximum(jnp.max(w), 1e-9)
-        sq = jnp.zeros((Sq, Sq), cost.dtype)
-        sq = sq.at[:R, :C].set(-w / scale)
-        col2row = solve_square(sq)
-        row2col = _col2row_to_row2col(col2row, R)
-        cols_ok = (row2col >= 0) & (row2col < C)
-        safe_col = jnp.where(cols_ok, row2col, 0)
-        pair_valid = cols_ok & (w[jnp.arange(R), safe_col] > 0.0)
-        return jnp.where(pair_valid, row2col, -1)
+        wn = w / scale
+
+        def solve_block(wb):
+            Sq = max(wb.shape)
+            sq = jnp.zeros((Sq, Sq), cost.dtype)
+            sq = sq.at[: wb.shape[0], : wb.shape[1]].set(-wb)
+            col2row = solve_square(sq)
+            r2c = _col2row_to_row2col(col2row, wb.shape[0])
+            cols_ok = (r2c >= 0) & (r2c < wb.shape[1])
+            safe_col = jnp.where(cols_ok, r2c, 0)
+            ok = cols_ok & (wb[jnp.arange(wb.shape[0]), safe_col] > 0.0)
+            return jnp.where(ok, r2c, -1)
+
+        if C <= R:
+            return solve_block(wn)
+        # column compaction (see matching_forced): when <= R columns are
+        # valid, solve (R, R) instead of (C, C)
+        n_act = jnp.sum(col_mask.astype(jnp.int32))
+        rank_a = jnp.cumsum(col_mask.astype(jnp.int32),
+                            dtype=jnp.int32) - 1
+        rank_i = jnp.cumsum((~col_mask).astype(jnp.int32),
+                            dtype=jnp.int32) - 1
+        pos = jnp.where(col_mask, rank_a, n_act + rank_i)
+        onehot = (pos[:, None]
+                  == jnp.arange(C, dtype=jnp.int32)[None, :])
+        colmap = jnp.argmax(onehot, axis=0).astype(jnp.int32)
+
+        def small(_):
+            r2c = solve_block((wn @ onehot.astype(wn.dtype))[:, :R])
+            ok = r2c >= 0
+            return jnp.where(ok, colmap[jnp.where(ok, r2c, 0)], -1)
+
+        return lax.cond(n_act <= R, small,
+                        lambda _: solve_block(wn), None)
 
     return lax.cond(is_unique, fast, slow, None)
 

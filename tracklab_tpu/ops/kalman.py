@@ -79,6 +79,22 @@ def _inv4(m):
     return jnp.stack(rows) * inv_det
 
 
+def _inv2(m):
+    det = m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
+    return jnp.array([[m[1, 1], -m[0, 1]],
+                      [-m[1, 0], m[0, 0]]]) / det
+
+
+def _mahalanobis(pm, pc, zs):
+    """Squared Mahalanobis distances of (N, k) measurements from a
+    Gaussian (pm (k,), pc (k, k)) via closed-form 2x2/4x4 inverses —
+    same value as the reference's cholesky + triangular solve, without
+    the batched LAPACK lowering under vmap."""
+    inv = _inv4(pc) if pc.shape[0] == 4 else _inv2(pc)
+    d = zs - pm[None, :]
+    return jnp.einsum("ni,ij,nj->n", d, inv, d)
+
+
 def _shift4_predict(x, P, Q):
     """x' = F x, P' = F P F' + Q for the 8-dim constant-velocity F =
     I + E (E[i, i+4] = 1, i < 4) — slice-adds instead of 8x8 matmuls."""
@@ -357,10 +373,7 @@ class XYAHFilter:
         pm, pc = XYAHFilter.project(x, P)
         if only_position:
             pm, pc, zs = pm[:2], pc[:2, :2], zs[:, :2]
-        L = jnp.linalg.cholesky(pc)
-        d = (zs - pm).T
-        sol = jax.scipy.linalg.solve_triangular(L, d, lower=True)
-        return jnp.sum(sol * sol, axis=0)
+        return _mahalanobis(pm, pc, zs)
 
 
 class XYAHNSAFilter:
@@ -411,10 +424,7 @@ class XYAHNSAFilter:
         pm, pc = XYAHNSAFilter.project(x, P)
         if only_position:
             pm, pc, zs = pm[:2], pc[:2, :2], zs[:, :2]
-        L = jnp.linalg.cholesky(pc)
-        d = (zs - pm).T
-        sol = jax.scipy.linalg.solve_triangular(L, d, lower=True)
-        return jnp.sum(sol * sol, axis=0)
+        return _mahalanobis(pm, pc, zs)
 
 
 class XYWHFilter:
@@ -467,10 +477,7 @@ class XYWHFilter:
         pm, pc = XYWHFilter.project(x, P)
         if only_position:
             pm, pc, zs = pm[:2], pc[:2, :2], zs[:, :2]
-        L = jnp.linalg.cholesky(pc)
-        d = (zs - pm).T
-        sol = jax.scipy.linalg.solve_triangular(L, d, lower=True)
-        return jnp.sum(sol * sol, axis=0)
+        return _mahalanobis(pm, pc, zs)
 
 
 # Batched (vmapped) convenience wrappers — track axis first.

@@ -149,3 +149,54 @@ class TestGreedyUnique:
         m3 = jnp.ones(3, bool)
         uniq, _ = greedy_unique_match(score, m3, m3, 0.3)
         assert not bool(uniq)
+
+
+class TestColumnCompaction:
+    """Exercise both compaction branches of the C > R matchers
+    explicitly (the square-cap tests never hit them)."""
+
+    @pytest.mark.parametrize("n_valid_cols", [2, 4, 9, 12])
+    def test_forced_rect_vs_scipy(self, n_valid_cols):
+        from scipy.optimize import linear_sum_assignment
+        rng = np.random.default_rng(n_valid_cols)
+        R, C = 4, 12
+        for trial in range(10):
+            c = rng.normal(size=(R, C))
+            row_mask = np.ones(R, bool)
+            col_mask = np.zeros(C, bool)
+            cols = rng.choice(C, n_valid_cols, replace=False)
+            col_mask[cols] = True
+            r2c = np.asarray(matching_forced(
+                jnp.asarray(c), jnp.asarray(row_mask),
+                jnp.asarray(col_mask)))
+            sub = c[:, cols]
+            rr, cc = linear_sum_assignment(sub)
+            want_cost = sub[rr, cc].sum()
+            got = [(i, j) for i, j in enumerate(r2c) if j >= 0]
+            assert len(got) == min(R, n_valid_cols)
+            assert all(col_mask[j] for _, j in got)
+            got_cost = sum(c[i, j] for i, j in got)
+            np.testing.assert_allclose(got_cost, want_cost, rtol=1e-6)
+
+    @pytest.mark.parametrize("n_valid_cols", [2, 4, 9])
+    def test_limit_rect_vs_oracle(self, n_valid_cols):
+        rng = np.random.default_rng(100 + n_valid_cols)
+        R, C = 4, 12
+        for trial in range(10):
+            c = rng.uniform(0, 1, size=(R, C))
+            limit = float(rng.uniform(0.3, 0.9))
+            row_mask = np.ones(R, bool)
+            col_mask = np.zeros(C, bool)
+            cols = rng.choice(C, n_valid_cols, replace=False)
+            col_mask[cols] = True
+            r2c = np.asarray(matching_limit(
+                jnp.asarray(c), jnp.asarray(row_mask),
+                jnp.asarray(col_mask), limit))
+            want = scipy_limit_oracle(c[:, cols], limit)
+            got_pairs = {(i, j) for i, j in enumerate(r2c) if j >= 0}
+            want_pairs = {(i, cols[j]) for i, j in enumerate(want)
+                          if j >= 0}
+            assert len(got_pairs) == len(want_pairs)
+            got_cost = sum(c[i, j] for i, j in got_pairs)
+            want_cost = sum(c[i, j] for i, j in want_pairs)
+            np.testing.assert_allclose(got_cost, want_cost, rtol=1e-6)

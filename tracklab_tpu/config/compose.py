@@ -21,7 +21,7 @@ import copy
 import importlib
 import re
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import yaml
 

@@ -8,7 +8,6 @@ nvid/nframes/vids_dict subsampling and MOT-format export for evaluation.
 from __future__ import annotations
 
 import logging
-import os
 from pathlib import Path
 from typing import Optional
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import logging
 
-import pandas as pd
 
 from tracklab_tpu.engine.engine import merge_dataframes
 from tracklab_tpu.engine.offline import OfflineTrackingEngine

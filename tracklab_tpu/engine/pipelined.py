@@ -31,7 +31,6 @@ import pandas as pd
 
 from tracklab_tpu.datastruct.datapipe import EngineDatapipe, PrefetchLoader
 from tracklab_tpu.engine.engine import TrackingEngine, merge_dataframes
-from tracklab_tpu.engine.offline import OfflineTrackingEngine
 
 log = logging.getLogger(__name__)
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import logging
 
-import numpy as np
 import pandas as pd
 
 from tracklab_tpu.engine.engine import TrackingEngine, merge_dataframes

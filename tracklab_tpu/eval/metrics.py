@@ -12,7 +12,7 @@ id arrays plus the per-frame GT x pred similarity matrix (IoU for boxes).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List
 
 import numpy as np

@@ -13,7 +13,6 @@ from typing import Dict
 import numpy as np
 
 from tracklab_tpu.eval.metrics import SequenceData
-from tracklab_tpu.native import linear_sum_assignment
 
 __all__ = ["make_pose_sequence_data", "keypoint_map", "np_oks_matrix"]
 

@@ -26,7 +26,6 @@ provably never perturb the valid-block optimum (see wrapper docstrings).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

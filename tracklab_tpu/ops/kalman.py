@@ -25,8 +25,6 @@ Everything is a pure function on (state, cov) arrays: single-track signatures
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

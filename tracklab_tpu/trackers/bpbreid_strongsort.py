@@ -30,7 +30,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from tracklab_tpu.ops import boxes as B
-from tracklab_tpu.ops.assignment import matching_forced
 from tracklab_tpu.ops.kalman import XYAHNSAFilter as KF, CHI2INV95_4D, \
     CHI2INV95_2D
 from tracklab_tpu.ops.oks import oks_matrix

@@ -36,7 +36,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from tracklab_tpu.ops import boxes as B
-from tracklab_tpu.ops.assignment import matching_forced
 from tracklab_tpu.ops.embeddings import (
     ema_update, gallery_push, nn_gallery_distance, normalize_rows,
 )

@@ -12,7 +12,6 @@ DataFrame by row id — the same public columns as the reference
 from __future__ import annotations
 
 import logging
-from functools import lru_cache
 
 import numpy as np
 import pandas as pd

@@ -151,3 +151,40 @@ def test_fraga_penalizes_flip_flop():
     assert halves["AssA"] == pytest.approx(flip["AssA"])
     assert halves["FragA"] == pytest.approx(50.0)
     assert flip["FragA"] == pytest.approx(10.0)
+
+
+def test_clear_event_model_scenarios():
+    """Mirrors the reference's motmetrics unit scenarios (the only unit
+    tests the reference ships — posetrack21_mot/motmetrics/tests/
+    test_metrics.py:252-284): FP-only frame, miss-only frame, match,
+    forced switch, and the prefer-history rule (a strictly better new
+    pairing must NOT displace an existing one)."""
+    import numpy as np
+    from tracklab_tpu.eval.metrics import SequenceData, clear_metrics
+
+    e = np.zeros(0, int)
+    gt_ids = [e, np.array([0, 1]), np.array([0, 1]), np.array([0, 1]),
+              np.array([0, 1]), e]
+    pred_ids = [np.array([0, 1]), e, np.array([0, 1]), np.array([0, 1]),
+                np.array([0, 1]), e]
+    sims = [
+        np.zeros((0, 2)),                       # all FP
+        np.zeros((2, 0)),                       # all miss
+        np.array([[0.9, 0.0], [0.0, 0.9]]),     # straight match
+        np.array([[0.0, 0.8], [0.8, 0.0]]),     # crossed -> 2 switches
+        # better new pairing on the diagonal, history is the
+        # anti-diagonal: history must win -> no further switches
+        np.array([[0.9, 0.55], [0.55, 0.9]]),
+    ]
+    # frame 3 history: g0<->p1, g1<->p0 (anti-diagonal 0.55 at frame 4)
+    sims.append(np.zeros((0, 0)))
+    data = SequenceData(num_gt_ids=2, num_pred_ids=2, num_gt_dets=8,
+                        num_pred_dets=8, gt_ids=gt_ids,
+                        pred_ids=pred_ids, similarity=sims)
+    r = clear_metrics(data)
+    assert r["CLR_TP"] == 6
+    assert r["CLR_FP"] == 2
+    assert r["CLR_FN"] == 2
+    assert r["IDSW"] == 2, "history must be preferred at frame 4"
+    assert r["MOTA"] == pytest.approx((1 - 6 / 8) * 100)
+    assert r["MOTP_sum"] == pytest.approx(0.9 * 2 + 0.8 * 2 + 0.55 * 2)

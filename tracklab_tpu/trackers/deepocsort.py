@@ -81,16 +81,18 @@ def _nkf_initiate(z, dtype):
 
 
 def _nkf_predict(x, P, frozen):
-    """Negative-size guards + frozen velocity zeroing + dynamic Q."""
+    """Negative-size guards + frozen velocity zeroing + dynamic Q.
+    F = I + shift(4): slice-adds instead of 8x8 matmuls
+    (ops/kalman._shift4_predict)."""
+    from tracklab_tpu.ops.kalman import _shift4_predict
     dtype = x.dtype
     vw = jnp.where(x[2] + x[6] <= 0, 0.0, x[6])
     vh = jnp.where(x[3] + x[7] <= 0, 0.0, x[7])
     vw = jnp.where(frozen, 0.0, vw)
     vh = jnp.where(frozen, 0.0, vh)
     x = x.at[6].set(vw).at[7].set(vh)
-    F, _ = _nkf_mats(dtype)
     Q = _nkf_Q(x[2], x[3], dtype)
-    return F @ x, F @ P @ F.T + Q
+    return _shift4_predict(x, P, Q)
 
 
 def _nkf_update(x, P, z):

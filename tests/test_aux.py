@@ -160,3 +160,32 @@ def test_visualization_engine(tmp_path):
     # drawn frame differs from blank
     drawn = cv2.imread(str(tmp_path / "out" / "demo" / "000000.jpg"))
     assert (drawn != 30).any()
+
+
+def test_tracker_determinism():
+    """SURVEY §5 race-detection note: functional purity means the same
+    stream must produce bit-identical outputs run-to-run, including
+    through the batched multi-video path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tracklab_tpu.trackers.common import Detections
+    from tracklab_tpu.trackers.ocsort import OCSortConfig, ocsort_scan
+
+    cfg = OCSortConfig(max_tracks=32, max_dets=16, min_hits=1)
+    rng = np.random.default_rng(3)
+    F, D = 60, 16
+    ltrb = rng.uniform(0, 500, (F, D, 4)).astype(np.float32)
+    ltrb[..., 2:] = ltrb[..., :2] + 40
+    dets = Detections(
+        jnp.asarray(ltrb),
+        jnp.asarray(rng.uniform(0.5, 1, (F, D)).astype(np.float32)),
+        jnp.ones((F, D), jnp.float32),
+        jnp.broadcast_to(jnp.arange(D, dtype=jnp.int32), (F, D)),
+        jnp.asarray(rng.uniform(size=(F, D)) < 0.6),
+    )
+    scan = jax.jit(lambda d: ocsort_scan(cfg, d))
+    _, a = scan(dets)
+    _, b = scan(dets)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

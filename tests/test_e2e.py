@@ -107,3 +107,33 @@ def test_batched_engine_matches_sequential():
     a = parts["tracker_state"].detections_pred.sort_index()
     b = parts2["tracker_state"].detections_pred.sort_index()
     assert (a["track_id"].fillna(-1) == b["track_id"].fillna(-1)).all()
+
+
+@pytest.mark.parametrize("tracker", ["strong_sort", "bot_sort",
+                                     "deep_oc_sort"])
+def test_e2e_embedding_trackers_cli(tracker, tmp_path):
+    """The four embedding trackers through the real CLI config path:
+    rendered synthetic frames -> OSNet ReID (random weights) -> tracker
+    -> eval. Random embeddings make appearance uninformative, so only
+    plumbing + plausible motion-driven tracking is asserted."""
+    cfg = compose(CONFIG_DIR, "config", [
+        f"modules/track={tracker}",
+        "modules/reid=osnet",
+        "modules.reid.variant=x0_25",
+        "modules.reid.crop_size=[64,32]",
+        "modules.reid.feat_dim=128",
+        "modules.track.embed_dim=128",
+        "modules.track.max_tracks=16", "modules.track.max_dets=8",
+        "pipeline=[reid,track]",
+        "dataset.n_videos=1", "dataset.n_frames=10",
+        "dataset.n_objects=3", "dataset.img_w=320", "dataset.img_h=240",
+        "state.load_from_groundtruth={detection: [bbox_ltwh, bbox_conf,"
+        " category_id]}",
+        "use_rich=false",
+    ])
+    parts, results = run(cfg)
+    pred = parts["tracker_state"].detections_pred
+    assert "track_id" in pred.columns
+    assert pred["track_id"].notna().sum() > 0
+    combined = results["COMBINED_SEQ"]
+    assert combined["CLR_TP"] > 0

@@ -38,6 +38,13 @@ def _collect_embeddings(dets_in, dets, lut, n_frames, embed_dim):
             for d in np.nonzero(valid_np[f])[0]:
                 e = emb_by_row.get(lut[ref_np[f, d]])
                 if e is not None:
+                    if e.ndim == 2:
+                        # part-based layout (n_parts+1, E): row 0 is the
+                        # global feature (models/osnet.py:171) — the
+                        # flat-embedding trackers consume that; the
+                        # part-aware tracker (BPBReIDStrongSORT) has its
+                        # own collection path.
+                        e = e[0]
                     emb[f, d, :min(len(e), embed_dim)] = e[:embed_dim]
     return emb
 

@@ -137,3 +137,51 @@ def test_e2e_embedding_trackers_cli(tracker, tmp_path):
     assert pred["track_id"].notna().sum() > 0
     combined = results["COMBINED_SEQ"]
     assert combined["CLR_TP"] > 0
+
+
+def test_e2e_bpbreid_tracker_cli(tmp_path):
+    """BPBReID-StrongSORT through the CLI: part embeddings + visibility
+    from OSNet feed the part-based distance path."""
+    cfg = compose(CONFIG_DIR, "config", [
+        "modules/track=bpbreid_strong_sort",
+        "modules/reid=osnet",
+        "modules.reid.variant=x0_25",
+        "modules.reid.crop_size=[64,32]",
+        "modules.reid.feat_dim=64", "modules.reid.n_parts=4",
+        "modules.track.embed_dim=64", "modules.track.n_parts=4",
+        "modules.track.max_tracks=16", "modules.track.max_dets=8",
+        "pipeline=[reid,track]",
+        "dataset.n_videos=1", "dataset.n_frames=10",
+        "dataset.n_objects=3", "dataset.img_w=320", "dataset.img_h=240",
+        "state.load_from_groundtruth={detection: [bbox_ltwh, bbox_conf,"
+        " category_id]}",
+        "use_rich=false",
+    ])
+    parts, results = run(cfg)
+    pred = parts["tracker_state"].detections_pred
+    assert pred["track_id"].notna().sum() > 0
+    assert "track_bbox_kf_ltwh" in pred.columns
+    assert results["COMBINED_SEQ"]["CLR_TP"] > 0
+
+
+def test_e2e_cmc_botsort_cli(tmp_path):
+    """Camera-motion module feeding BoT-SORT's gmc_warp column."""
+    cfg = compose(CONFIG_DIR, "config", [
+        "modules/track=bot_sort",
+        "modules/reid=osnet",
+        "modules/cmc=sparse_opt_flow",
+        "modules.reid.variant=x0_25",
+        "modules.reid.crop_size=[64,32]", "modules.reid.feat_dim=64",
+        "modules.track.embed_dim=64",
+        "modules.track.max_tracks=16", "modules.track.max_dets=8",
+        "pipeline=[cmc,reid,track]",
+        "dataset.n_videos=1", "dataset.n_frames=8",
+        "dataset.n_objects=3", "dataset.img_w=320", "dataset.img_h=240",
+        "state.load_from_groundtruth={detection: [bbox_ltwh, bbox_conf,"
+        " category_id]}",
+        "use_rich=false",
+    ])
+    parts, results = run(cfg)
+    state = parts["tracker_state"]
+    assert "gmc_warp" in state.image_pred.columns
+    assert state.detections_pred["track_id"].notna().sum() > 0

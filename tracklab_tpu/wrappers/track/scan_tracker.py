@@ -584,7 +584,15 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
                 row = lut[ref_np[f, d]]
                 e = emb_by_row.get(row)
                 if e is not None:
-                    feat[f, d] = e.reshape(P, E)[:P, :E]
+                    # accept any (rows, E) part layout: OSNet emits
+                    # global + n_parts stripes (n_parts + 1 rows); rows
+                    # beyond the tracker's P are ignored, fewer are
+                    # zero-padded (visibility 0 masks them out)
+                    e2 = e.reshape(-1, e.shape[-1]) if e.ndim > 1 \
+                        else e.reshape(-1, E)
+                    r = min(e2.shape[0], P)
+                    c = min(e2.shape[1], E)
+                    feat[f, d, :r, :c] = e2[:r, :c]
                 v = vis_by_row.get(row)
                 if v is not None:
                     vis[f, d, :min(len(v), P)] = v[:P]

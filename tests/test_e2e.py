@@ -185,3 +185,52 @@ def test_e2e_cmc_botsort_cli(tmp_path):
     state = parts["tracker_state"]
     assert "gmc_warp" in state.image_pred.columns
     assert state.detections_pred["track_id"].notna().sum() > 0
+
+
+def test_e2e_pose_oks_tracking_cli(tmp_path):
+    """OKS-motion BPBReID tracking via the CLI, keypoints from the
+    synthetic GT (rigid per-object keypoints; a random-weight pose net
+    on uniform rectangles gives temporally unstable keypoints, which
+    OKS correctly rejects)."""
+    cfg = compose(CONFIG_DIR, "config", [
+        "modules/track=bpbreid_strong_sort",
+        "modules/reid=osnet",
+        "modules.reid.variant=x0_25", "modules.reid.crop_size=[64,32]",
+        "modules.reid.feat_dim=64", "modules.reid.n_parts=4",
+        "modules.track.embed_dim=64", "modules.track.n_parts=5",
+        "modules.track.motion_criterium=oks",
+        "modules.track.n_init=2",
+        "modules.track.max_tracks=16", "modules.track.max_dets=8",
+        "pipeline=[reid,track]",
+        "dataset.n_videos=1", "dataset.n_frames=8",
+        "dataset.n_objects=3", "dataset.img_w=640", "dataset.img_h=480",
+        "dataset.with_keypoints=true",
+        "state.load_from_groundtruth={detection: [bbox_ltwh, bbox_conf,"
+        " category_id, keypoints_xyc]}",
+        "use_rich=false",
+    ])
+    parts, results = run(cfg)
+    pred = parts["tracker_state"].detections_pred
+    assert pred["keypoints_xyc"].notna().sum() > 0
+    assert pred["track_id"].notna().sum() > 0
+
+
+def test_e2e_jersey_vote_graceful(tmp_path):
+    """Jersey OCR (easyocr absent -> must degrade, not crash) + majority
+    vote aggregation through the CLI."""
+    cfg = compose(CONFIG_DIR, "config", [
+        "pipeline=[track,jersey,vote]",
+        "+modules.jersey._target_=tracklab_tpu.wrappers.jersey."
+        "JerseyNumberOCR",
+        "+modules.vote._target_=tracklab_tpu.wrappers.tracklet_agg."
+        "MajorityVoteTracklet",
+        "+modules.vote.attributes=[jersey_number]",
+        "dataset.n_videos=1", "dataset.n_frames=6",
+        "dataset.n_objects=2", "dataset.img_w=320", "dataset.img_h=240",
+        "state.load_from_groundtruth={detection: [bbox_ltwh, bbox_conf,"
+        " category_id]}",
+        "use_rich=false",
+    ])
+    parts, results = run(cfg)
+    pred = parts["tracker_state"].detections_pred
+    assert pred["track_id"].notna().sum() > 0

@@ -44,7 +44,8 @@ def _ensure_renderer():
 
 def make_synthetic_set(n_videos=2, n_frames=100, n_objects=8, seed=0,
                        det_noise=0.0, det_dropout=0.0, fp_rate=0.0,
-                       img_w=1920, img_h=1080, id_offset=0):
+                       img_w=1920, img_h=1080, id_offset=0,
+                       with_keypoints=False, n_keypoints=17):
     rng = np.random.default_rng(seed)
     _ensure_renderer()
     video_rows, image_rows, det_rows = [], [], []
@@ -65,6 +66,9 @@ def make_synthetic_set(n_videos=2, n_frames=100, n_objects=8, seed=0,
         pos = rng.uniform(lo, hi, (n_objects, 2))
         vel = rng.uniform(-6, 6, (n_objects, 2))
         size = rng.uniform(min_size, max_size, (n_objects, 2))
+        # rigid per-object keypoint offsets (fractions of the box) so
+        # GT keypoints move with the object — OKS-trackable
+        kp_frac = rng.uniform(0.05, 0.95, (n_objects, n_keypoints, 2))
         for f in range(1, n_frames + 1):
             image_id = image_counter
             image_counter += 1
@@ -89,7 +93,7 @@ def make_synthetic_set(n_videos=2, n_frames=100, n_objects=8, seed=0,
                 c = pos[k] + rng.normal(0, det_noise, 2) \
                     if det_noise else pos[k]
                 s = size[k]
-                det_rows.append({
+                row = {
                     "id": det_counter,
                     "image_id": image_id, "video_id": video_id,
                     "frame": f, "track_id": k + 1,
@@ -97,7 +101,13 @@ def make_synthetic_set(n_videos=2, n_frames=100, n_objects=8, seed=0,
                                           np.float32),
                     "bbox_conf": float(rng.uniform(0.75, 1.0)),
                     "category_id": 1, "visibility": 1.0,
-                })
+                }
+                if with_keypoints:
+                    kp = np.ones((n_keypoints, 3), np.float32)
+                    kp[:, :2] = c[None, :] + kp_frac[k] * s[None, :]
+                    row["keypoints_xyc"] = kp
+                    row["keypoints_conf"] = 1.0
+                det_rows.append(row)
                 det_counter += 1
             if fp_rate:
                 for _ in range(rng.poisson(fp_rate)):
@@ -125,15 +135,17 @@ class SyntheticDataset(TrackingDataset):
                  n_objects: int = 8, seed: int = 0,
                  det_noise: float = 0.0, det_dropout: float = 0.0,
                  fp_rate: float = 0.0, nvid: int = -1, nframes: int = -1,
-                 img_w: int = 1920, img_h: int = 1080, **kwargs):
+                 img_w: int = 1920, img_h: int = 1080,
+                 with_keypoints: bool = False, **kwargs):
         sets = {
             "train": make_synthetic_set(
                 n_videos, n_frames, n_objects, seed, det_noise,
-                det_dropout, fp_rate, img_w=img_w, img_h=img_h),
+                det_dropout, fp_rate, img_w=img_w, img_h=img_h,
+                with_keypoints=with_keypoints),
             "val": make_synthetic_set(
                 n_videos, n_frames, n_objects, seed + 1, det_noise,
                 det_dropout, fp_rate, img_w=img_w, img_h=img_h,
-                id_offset=n_videos),
+                id_offset=n_videos, with_keypoints=with_keypoints),
         }
         super().__init__(dataset_path, sets, nvid=nvid, nframes=nframes,
                          **kwargs)

@@ -180,7 +180,8 @@ class KTrack:
         self.time_since_update = 0
         self.hits += 1
         self.hit_streak += 1
-        self.conf, self.cls, self.ref = conf, cls, ref
+        # ref never refreshes conf after birth (ocsort.py:114 only)
+        self.cls, self.ref = cls, ref
         self.kf_update(z)
         # conf-adaptive EMA
         if np.linalg.norm(emb) > 1e-6:
@@ -312,9 +313,9 @@ class DeepOCSortOracle:
 
         out = []
         for t in self.tracks:
-            if t.time_since_update < 1 and (
-                    t.hit_streak >= p["min_hits"]
-                    or self.frame_count <= p["min_hits"]):
+            # ref's main update() never increments frame_count
+            # (deep_oc_sort/ocsort.py:357,525,559) -> min_hits disabled
+            if t.time_since_update < 1:
                 box = t.last_obs[:4] if t.last_obs is not None \
                     else to_ltrb(t.x)
                 out.append((box.copy(), t.id + 1, float(t.cls),

@@ -277,13 +277,14 @@ def make_ref_strongsort(features_lookup, **kw):
                           **kw)
     finally:
         m.ReIDDetectMultiBackend = orig
-    from strong_sort.sort.track import Track  # noqa: F401
+    import torch
 
     def _get_features(xywhs, img):
         ids = _get_features.current_ids
         if len(ids) == 0:
-            return np.zeros((0, 1))
-        return np.stack([features_lookup[int(i)] for i in ids])
+            return torch.zeros((0, 1))
+        return torch.as_tensor(
+            np.stack([features_lookup[int(i)] for i in ids]))
 
     _get_features.current_ids = []
     ss._get_features = _get_features
@@ -300,11 +301,14 @@ def make_ref_deepocsort(features_lookup, warp_fn=None, **kw):
     finally:
         m.ReIDDetectMultiBackend = orig
 
+    import torch
+
     def _get_features(bbox_xyxy, img):
         ids = _get_features.current_ids
         if len(ids) == 0:
-            return np.zeros((0, 1))
-        return np.stack([features_lookup[int(i)] for i in ids])
+            return torch.zeros((0, 1))
+        return torch.as_tensor(
+            np.stack([features_lookup[int(i)] for i in ids]))
 
     _get_features.current_ids = []
     oc._get_features = _get_features

@@ -1,0 +1,291 @@
+"""Metric parity against the reference's vendored evaluation forks.
+
+Drives randomized tracking scenarios through the repo's native metrics
+(tracklab_tpu/eval/metrics.py) AND the actual vendored reference code:
+
+  * HOTA (+ DetA/AssA/LocA/FragA, per-alpha arrays and TP/FN/FP counts)
+    vs plugins/eval/PoseTrack21/posetrack21/.../trackeval/metrics/hota.py
+  * CLEAR (MOTA/MOTP/IDSW/FP/FN) and Identity (IDF1/IDP/IDR) vs the
+    py-motmetrics fork at plugins/eval/PoseTrack21/posetrack21_mot
+
+plus a full-pipeline "measured HOTA delta": identical synthetic detection
+streams through [reference tracker -> reference HOTA] and
+[JAX scan tracker -> native HOTA], with the delta asserted ~0 (the
+BASELINE ≤0.5-HOTA budget is thereby *measured*, not structural).
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import refbridge
+from tracklab_tpu.eval.metrics import (
+    make_sequence_data, hota_metrics, clear_metrics, identity_metrics,
+)
+
+PT21 = "/root/reference/plugins/eval/PoseTrack21"
+
+
+def _install_eval_stubs():
+    if "shapely" not in sys.modules:
+        shapely = types.ModuleType("shapely")
+        geom = types.ModuleType("shapely.geometry")
+        for n in ("box", "Polygon", "MultiPolygon"):
+            setattr(geom, n, type(n, (), {}))
+        shapely.geometry = geom
+        sys.modules["shapely"] = shapely
+        sys.modules["shapely.geometry"] = geom
+    if "xmltodict" not in sys.modules:
+        x = types.ModuleType("xmltodict")
+        x.parse = lambda *a, **k: {}
+        x.unparse = lambda *a, **k: ""
+        sys.modules["xmltodict"] = x
+    for p in (f"{PT21}/posetrack21",
+              f"{PT21}/posetrack21_mot/posetrack21_mot"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+
+
+def ref_hota():
+    _install_eval_stubs()
+    from posetrack21.trackeval.metrics.hota import HOTA
+    return HOTA()
+
+
+def ref_motmetrics():
+    _install_eval_stubs()
+    import motmetrics as mm
+    return mm
+
+
+# ---------------------------------------------------------------------------
+# scenario generator: GT tracks + imperfect tracker output
+# ---------------------------------------------------------------------------
+
+def synth_scenario(seed, n_frames=50, n_obj=6, drop=0.2, fp_rate=0.4,
+                   switch_prob=0.02, img=(1920, 1080)):
+    """Returns ({frame: (gt_ids, gt_ltwh)}, {frame: (pred_ids, pred_ltwh)})
+    with localization noise, dropouts, identity switches and FPs."""
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform([100, 100], [img[0] - 300, img[1] - 300], (n_obj, 2))
+    vel = rng.uniform(-6, 6, (n_obj, 2))
+    size = rng.uniform(40, 140, (n_obj, 2))
+    cur_pred_id = np.arange(n_obj)
+    next_pred_id = n_obj
+    gt_frames, pred_frames = {}, {}
+    for f in range(n_frames):
+        pos = pos + vel
+        g_ids, g_box, p_ids, p_box = [], [], [], []
+        for k in range(n_obj):
+            g_ids.append(k)
+            g_box.append([pos[k, 0], pos[k, 1], size[k, 0], size[k, 1]])
+            if rng.uniform() < drop:
+                continue
+            if rng.uniform() < switch_prob:
+                cur_pred_id[k] = next_pred_id
+                next_pred_id += 1
+            noise = rng.normal(0, 3, 2)
+            p_ids.append(int(cur_pred_id[k]))
+            p_box.append([pos[k, 0] + noise[0], pos[k, 1] + noise[1],
+                          size[k, 0] * rng.uniform(0.95, 1.05),
+                          size[k, 1] * rng.uniform(0.95, 1.05)])
+        for _ in range(rng.poisson(fp_rate)):
+            c = rng.uniform([0, 0], [img[0] - 200, img[1] - 200])
+            p_ids.append(int(next_pred_id))
+            next_pred_id += 1
+            p_box.append([c[0], c[1], *rng.uniform(30, 120, 2)])
+        gt_frames[f] = (np.array(g_ids, int), np.array(g_box, float))
+        pred_frames[f] = (np.array(p_ids, int),
+                          np.array(p_box, float).reshape(-1, 4))
+    return gt_frames, pred_frames
+
+
+# ---------------------------------------------------------------------------
+# HOTA vs the trackeval fork
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_hota_vs_trackeval_fork(seed):
+    gt_frames, pred_frames = synth_scenario(seed)
+    data = make_sequence_data(gt_frames, pred_frames)
+    mine = hota_metrics(data)
+
+    ref_data = {
+        "num_timesteps": len(data.gt_ids),
+        "num_gt_dets": data.num_gt_dets,
+        "num_tracker_dets": data.num_pred_dets,
+        "num_gt_ids": data.num_gt_ids,
+        "num_tracker_ids": data.num_pred_ids,
+        "gt_ids": data.gt_ids,
+        "tracker_ids": data.pred_ids,
+        "similarity_scores": data.similarity,
+    }
+    ref = ref_hota().eval_sequence(ref_data)
+
+    np.testing.assert_allclose(mine["HOTA_TP"], ref["HOTA_TP"])
+    np.testing.assert_allclose(mine["HOTA_FN"], ref["HOTA_FN"])
+    np.testing.assert_allclose(mine["HOTA_FP"], ref["HOTA_FP"])
+    np.testing.assert_allclose(mine["HOTA_alpha"], ref["HOTA"],
+                               atol=1e-10)
+    np.testing.assert_allclose(mine["DetA_alpha"], ref["DetA"],
+                               atol=1e-10)
+    np.testing.assert_allclose(mine["AssA_alpha"], ref["AssA"],
+                               atol=1e-10)
+    frag_alpha = mine["FragA_num"] / np.maximum(mine["HOTA_TP"], 1)
+    np.testing.assert_allclose(frag_alpha, ref["FragA"], atol=1e-10)
+    loca_alpha = (np.maximum(1e-10, mine["LocA_sum"])
+                  / np.maximum(1e-10, mine["HOTA_TP"]))
+    np.testing.assert_allclose(loca_alpha, ref["LocA"], atol=1e-10)
+    assert abs(mine["HOTA"] - float(ref["HOTA"].mean() * 100)) < 1e-9
+
+
+def test_hota_vs_trackeval_fork_empty_sides():
+    gt_frames, pred_frames = synth_scenario(5, n_frames=10)
+    empty = {f: (np.zeros(0, int), np.zeros((0, 4))) for f in gt_frames}
+    for gt, pred in ((gt_frames, empty), (empty, pred_frames)):
+        data = make_sequence_data(gt, pred)
+        mine = hota_metrics(data)
+        ref_data = {
+            "num_timesteps": len(data.gt_ids),
+            "num_gt_dets": data.num_gt_dets,
+            "num_tracker_dets": data.num_pred_dets,
+            "num_gt_ids": data.num_gt_ids,
+            "num_tracker_ids": data.num_pred_ids,
+            "gt_ids": data.gt_ids,
+            "tracker_ids": data.pred_ids,
+            "similarity_scores": data.similarity,
+        }
+        ref = ref_hota().eval_sequence(ref_data)
+        np.testing.assert_allclose(mine["HOTA_alpha"], ref["HOTA"])
+        np.testing.assert_allclose(mine["HOTA_FN"], ref["HOTA_FN"])
+        np.testing.assert_allclose(mine["HOTA_FP"], ref["HOTA_FP"])
+
+
+# ---------------------------------------------------------------------------
+# CLEAR / Identity vs the py-motmetrics fork
+# ---------------------------------------------------------------------------
+
+def _mm_iou_dist(gboxes, pboxes, max_iou=0.5):
+    """motmetrics.distances.iou_matrix semantics (ltwh boxes, distance =
+    1 - IoU, entries above max_iou masked to NaN) — recomputed here only
+    because the fork's np.asfarray call was removed in NumPy 2."""
+    from tracklab_tpu.eval.metrics import _iou_ltwh
+
+    if len(gboxes) == 0 or len(pboxes) == 0:
+        return np.empty((len(gboxes), len(pboxes)))
+    d = 1.0 - _iou_ltwh(np.asarray(gboxes, float),
+                        np.asarray(pboxes, float))
+    return np.where(d > max_iou, np.nan, d)
+
+
+def run_motmetrics_fork(gt_frames, pred_frames):
+    mm = ref_motmetrics()
+    acc = mm.MOTAccumulator(auto_id=True)
+    for f in sorted(gt_frames):
+        gids, gboxes = gt_frames[f]
+        pids, pboxes = pred_frames[f]
+        dist = _mm_iou_dist(gboxes, pboxes, max_iou=0.5)
+        acc.update(gids.tolist(), pids.tolist(), dist)
+    mh = mm.metrics.create()
+    return mh.compute(
+        acc,
+        metrics=["num_frames", "mota", "motp", "num_switches",
+                 "num_false_positives", "num_misses", "num_matches",
+                 "idf1", "idp", "idr", "mostly_tracked", "mostly_lost"],
+        return_dataframe=False)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_clear_identity_vs_motmetrics_fork(seed):
+    gt_frames, pred_frames = synth_scenario(seed)
+    data = make_sequence_data(gt_frames, pred_frames)
+    mine_clear = clear_metrics(data)
+    mine_id = identity_metrics(data)
+    ref = run_motmetrics_fork(gt_frames, pred_frames)
+
+    assert mine_clear["CLR_FP"] == int(ref["num_false_positives"])
+    assert mine_clear["CLR_FN"] == int(ref["num_misses"])
+    assert mine_clear["IDSW"] == int(ref["num_switches"])
+    np.testing.assert_allclose(mine_clear["MOTA"] / 100,
+                               float(ref["mota"]), atol=1e-12)
+    # motmetrics MOTP is a *distance* (1 - IoU); trackeval's a similarity
+    np.testing.assert_allclose(mine_clear["MOTP"] / 100,
+                               1.0 - float(ref["motp"]), atol=1e-12)
+    np.testing.assert_allclose(mine_id["IDF1"] / 100, float(ref["idf1"]),
+                               atol=1e-12)
+    np.testing.assert_allclose(mine_id["IDP"] / 100, float(ref["idp"]),
+                               atol=1e-12)
+    np.testing.assert_allclose(mine_id["IDR"] / 100, float(ref["idr"]),
+                               atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Measured end-to-end HOTA delta:
+#   reference tracker + reference eval  vs  JAX tracker + native eval
+# ---------------------------------------------------------------------------
+
+def _tracks_to_pred_frames(results):
+    """list per frame of (box_ltrb, track_id, cls, conf, ref) tuples ->
+    {frame: (ids, ltwh)}."""
+    out = {}
+    for f, rows in enumerate(results):
+        ids = np.array([r[1] for r in rows], int)
+        ltwh = np.array([[r[0][0], r[0][1], r[0][2] - r[0][0],
+                          r[0][3] - r[0][1]] for r in rows],
+                        float).reshape(-1, 4)
+        out[f] = (ids, ltwh)
+    return out
+
+
+def _hota_via_fork(gt_frames, pred_frames):
+    data = make_sequence_data(gt_frames, pred_frames)
+    ref_data = {
+        "num_timesteps": len(data.gt_ids),
+        "num_gt_dets": data.num_gt_dets,
+        "num_tracker_dets": data.num_pred_dets,
+        "num_gt_ids": data.num_gt_ids,
+        "num_tracker_ids": data.num_pred_ids,
+        "gt_ids": data.gt_ids,
+        "tracker_ids": data.pred_ids,
+        "similarity_scores": data.similarity,
+    }
+    ref = ref_hota().eval_sequence(ref_data)
+    return float(ref["HOTA"].mean() * 100)
+
+
+def test_measured_hota_delta_ocsort():
+    """BASELINE's ≤0.5-HOTA budget, measured: same synthetic detections
+    through [ref OC-SORT -> ref HOTA] and [scan OC-SORT -> native HOTA]."""
+    from tracklab_tpu.trackers.ocsort import OCSortConfig
+    from test_ocsort import synth_stream, run_jax, CFG_KW
+    from test_reference_parity import run_ref_ocsort
+
+    # GT = the noiseless object trajectories; reconstruct from the stream
+    # generator's determinism by regenerating with drop=0, fp=0, noise via
+    # same seed is impractical — instead use the detections themselves as
+    # GT identities via their generator: simplest faithful GT is a second
+    # clean stream with identical dynamics
+    frames = synth_stream(21, n_frames=60, n_obj=6, drop=0.15, fp_rate=0.4)
+    clean = synth_stream(21, n_frames=60, n_obj=6, drop=0.0, fp_rate=0.0)
+    gt_frames = {}
+    for f, rows in enumerate(clean):
+        ids = np.arange(len(rows))
+        ltwh = np.stack([rows[:, 0], rows[:, 1], rows[:, 2] - rows[:, 0],
+                         rows[:, 3] - rows[:, 1]], axis=1)
+        gt_frames[f] = (ids, ltwh)
+
+    ref_results = run_ref_ocsort(frames)
+    cfg = OCSortConfig(max_tracks=64, max_dets=32, **CFG_KW)
+    jax_results = run_jax(frames, cfg)
+
+    hota_ref = _hota_via_fork(gt_frames, _tracks_to_pred_frames(ref_results))
+    data = make_sequence_data(gt_frames,
+                              _tracks_to_pred_frames(jax_results))
+    hota_mine = hota_metrics(data)["HOTA"]
+    delta = abs(hota_ref - hota_mine)
+    print(f"measured HOTA: ref-pipeline={hota_ref:.4f} "
+          f"repo-pipeline={hota_mine:.4f} delta={delta:.6f}")
+    assert delta < 0.5, f"HOTA delta {delta} exceeds the 0.5 budget"
+    # tracker parity is exact and eval parity is exact, so in fact:
+    assert delta < 1e-6

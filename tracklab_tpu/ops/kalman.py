@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["XYSRFilter", "XYAHFilter", "XYAHNSAFilter", "XYWHFilter",
+__all__ = ["XYSRFilter", "XYAHFilter", "XYAHNSAFilter", "XYAHNSAHFilter",
+           "XYWHFilter",
            "CHI2INV95_4D", "CHI2INV95_2D"]
 
 # 0.95 chi-square quantiles, 4 and 2 dof (byte_track/kalman_filter.py:11-20)
@@ -425,6 +426,54 @@ class XYAHNSAFilter:
         return _mahalanobis(pm, pc, zs)
 
 
+class XYAHNSAHFilter:
+    """BPBReID-StrongSORT NSA-Kalman variant: like :class:`XYAHNSAFilter`
+    but ALL noise stds — including the aspect-ratio component — scale with
+    the box height h (bpbreid_strong_sort/sort/kalman_filter.py:72-148,
+    which deliberately deviates from StrongSORT's per-component scaling;
+    see the inline 'StrongSORT : 1e-2' comments there)."""
+
+    WP = 1.0 / 20
+    WV = 1.0 / 160
+
+    @staticmethod
+    def initiate(z):
+        h = z[3]
+        x = jnp.concatenate([z, jnp.zeros_like(z)])
+        p = 2 * XYAHNSAHFilter.WP * h
+        v = 10 * XYAHNSAHFilter.WV * h
+        std = jnp.stack([p, p, p, p, v, v, v, v])
+        return x, jnp.diag(std * std)
+
+    @staticmethod
+    def predict(x, P):
+        h = x[3]
+        p = XYAHNSAHFilter.WP * h
+        v = XYAHNSAHFilter.WV * h
+        std = jnp.stack([p, p, p, p, v, v, v, v])
+        Q = jnp.diag(std * std)
+        return _shift4_predict(x, P, Q)
+
+    @staticmethod
+    def project(x, P, confidence=0.0):
+        _, H = _xyah_mats(x.dtype)
+        p = XYAHNSAHFilter.WP * x[3]
+        std = jnp.stack([p, p, p, p]) * (1.0 - confidence)
+        return H @ x, H @ P @ H.T + jnp.diag(std * std)
+
+    @staticmethod
+    def update(x, P, z, confidence=0.0):
+        _, pc = XYAHNSAHFilter.project(x, P, confidence)
+        return _proj4_update(x, P, z, pc)
+
+    @staticmethod
+    def gating_distance(x, P, zs, only_position=False):
+        pm, pc = XYAHNSAHFilter.project(x, P)
+        if only_position:
+            pm, pc, zs = pm[:2], pc[:2, :2], zs[:, :2]
+        return _mahalanobis(pm, pc, zs)
+
+
 class XYWHFilter:
     """BoT-SORT 8-dim filter on [x, y, w, h, v*]: noise stds scale with
     (w, h) per component pair (plugins/track/bot_sort/kalman_filter.py:
@@ -479,7 +528,8 @@ class XYWHFilter:
 
 
 # Batched (vmapped) convenience wrappers — track axis first.
-for _cls in (XYSRFilter, XYAHFilter, XYAHNSAFilter, XYWHFilter):
+for _cls in (XYSRFilter, XYAHFilter, XYAHNSAFilter, XYAHNSAHFilter,
+             XYWHFilter):
     _cls.predict_batch = staticmethod(jax.vmap(_cls.predict))
     _cls.update_batch = staticmethod(jax.vmap(_cls.update))
 XYSRFilter.to_ltrb_batch = staticmethod(jax.vmap(XYSRFilter.to_ltrb))

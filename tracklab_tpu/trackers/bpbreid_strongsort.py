@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from tracklab_tpu.ops import boxes as B
-from tracklab_tpu.ops.kalman import XYAHNSAFilter as KF, CHI2INV95_4D, \
+from tracklab_tpu.ops.kalman import XYAHNSAHFilter as KF, CHI2INV95_4D, \
     CHI2INV95_2D
 from tracklab_tpu.ops.oks import oks_matrix
 from tracklab_tpu.trackers.common import birth_scatter, Detections, claim_slots
@@ -50,15 +50,18 @@ INFTY_COST = 1e5
 class BPBReIDStrongSortConfig:
     """Defaults mirror tracklab/configs/modules/track/
     bpbreid_strong_sort.yaml."""
-    max_dist: float = 0.2
+    max_dist: float = 0.5
     motion_criterium: str = "iou"     # or "oks"
-    max_iou_distance: float = 0.7
+    max_iou_distance: float = 0.8
     max_oks_distance: float = 0.7
-    max_age: int = 30
-    n_init: int = 3
+    max_age: int = 300
+    n_init: int = 0
     mc_lambda: float = 0.995
     ema_alpha: float = 0.9
     only_position: bool = False
+    # stop KF prediction for tracks coasting at least this many frames
+    # (sort/track.py:128-136); the track stays alive with frozen state
+    max_kalman_prediction_without_update: int = 7
     # matching strategy (sort/tracker.py:242-364): "strong_sort" = gated
     # ReID cascade then motion stage; "bot_sort" = one LSA over the
     # weighted sum of KF-gating / ReID / spatio-temporal costs
@@ -131,16 +134,21 @@ def bpbreid_init(cfg: BPBReIDStrongSortConfig,
 
 
 def part_based_distance(trk_feat, trk_vis, det_feat, det_vis):
-    """Part-weighted cosine distance (T, D): per-part cosine distance of
-    L2-normalized features, weighted by visibility products, averaged over
-    parts with weight mass; empty overlap -> max distance (1.0)."""
+    """Part-weighted appearance distance (T, D).
+
+    Reference semantics (sort/nn_matching.py:99-136 calling torchreid's
+    compute_distance_matrix_using_bp_features, then halving): per-part
+    *squared Euclidean* distance of L2-normalized features — i.e.
+    2*(1 - cos) per part — combined as the visibility-score-weighted mean
+    over parts, then halved, giving exactly (1 - cos) per part averaged
+    by visibility weight.  Empty weight mass -> max distance (1.0)."""
     eps = 1e-12
     tf = trk_feat / jnp.maximum(
         jnp.linalg.norm(trk_feat, axis=-1, keepdims=True), eps)
     df = det_feat / jnp.maximum(
         jnp.linalg.norm(det_feat, axis=-1, keepdims=True), eps)
-    # (T, P, D): cosine distance per part, halved to [0, 1]
-    d = (1.0 - jnp.einsum("tpe,dpe->tpd", tf, df)) / 2.0
+    # (T, P, D): (1 - cos) per part == squared-euclid/2 of unit features
+    d = 1.0 - jnp.einsum("tpe,dpe->tpd", tf, df)
     w = trk_vis[:, :, None] * det_vis.T[None, :, :]      # (T, P, D)
     wsum = jnp.sum(w, axis=1)
     out = jnp.sum(d * w, axis=1) / jnp.maximum(wsum, eps)
@@ -156,9 +164,15 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
     warped = _apply_warp(st.mean, warp)
     mean_in = jnp.where(st.active[:, None], warped, st.mean)
     pred_mean, pred_cov = KF.predict_batch(mean_in, st.cov)
+    # KF-prediction freeze for long-coasting tracks (sort/track.py:128-136):
+    # the state stops being propagated once time_since_update reaches the
+    # limit; the track stays alive (age/tsu keep counting).
+    do_pred = st.active & (
+        st.time_since_update < cfg.max_kalman_prediction_without_update)
     st = st._replace(
-        mean=jnp.where(st.active[:, None], pred_mean, st.mean),
-        cov=jnp.where(st.active[:, None, None], pred_cov, st.cov),
+        mean=jnp.where(do_pred[:, None], pred_mean,
+                       jnp.where(st.active[:, None], mean_in, st.mean)),
+        cov=jnp.where(do_pred[:, None, None], pred_cov, st.cov),
         age=st.age + st.active.astype(jnp.int32),
         time_since_update=(st.time_since_update
                            + st.active.astype(jnp.int32)),
@@ -298,8 +312,10 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
         next_id=st.next_id + jnp.sum(birth, dtype=jnp.int32),
     )
 
+    # reference emits only tracks updated at the current frame
+    # (strong_sort.py:96 'time_since_update > 0 -> skip')
     emit = (st.active & (st.tstate == CONFIRMED)
-            & (st.time_since_update <= 1))
+            & (st.time_since_update == 0))
     out = BPBReIDStrongSortOutput(
         ltrb=_mean_to_ltrb(st.mean),
         track_id=st.track_id + 1,

@@ -506,7 +506,9 @@ def deepocsort_step(cfg: DeepOCSortConfig, st: DeepOCSortState, inputs):
         hits=st.hits + matched.astype(jnp.int32),
         hit_streak=st.hit_streak + matched.astype(jnp.int32),
         cls=jnp.where(matched, det.cls[safe_t], st.cls),
-        conf=jnp.where(matched, det.conf[safe_t], st.conf),
+        # the reference never refreshes conf after birth — KalmanBoxTracker
+        # sets self.conf only in __init__ (deep_oc_sort/ocsort.py:114),
+        # unlike oc_sort; verified by test_reference_parity.py
         ref=jnp.where(matched, det.ref[safe_t], st.ref),
     )
 
@@ -555,10 +557,13 @@ def deepocsort_step(cfg: DeepOCSortConfig, st: DeepOCSortState, inputs):
         next_id=st.next_id + jnp.sum(birth, dtype=jnp.int32),
     )
 
-    # --- emit + evict (same as OC-SORT) ---
-    emit = (st.active & (st.time_since_update < 1)
-            & ((st.hit_streak >= cfg.min_hits)
-               | (st.frame_count <= cfg.min_hits)))
+    # --- emit + evict ---
+    # Unlike oc_sort, the reference's main update() never increments
+    # frame_count (only the unused update_public does, ocsort.py:559), so
+    # 'frame_count <= min_hits' at ocsort.py:525 is always true and
+    # min_hits is effectively DISABLED: every track updated this frame is
+    # emitted from birth. Verified by test_reference_parity.py.
+    emit = st.active & (st.time_since_update < 1)
     kf_box = _x_to_ltrb(st.kf_x)
     out_box = jnp.where(st.has_obs[:, None], st.last_obs[:, :4], kf_box)
     out = DeepOCSortOutput(

@@ -77,12 +77,14 @@ class PipelinedTrackingEngine(TrackingEngine):
         model = self.models[model_name]
         q_in, q_out = queues[stage_idx], queues[stage_idx + 1]
         self.fire("on_module_start", task=model_name, dataloader=[])
+        done_seen = False
         try:
             if model.level == "video":
                 buf = []
                 while True:
                     item = q_in.get()
                     if item is _DONE:
+                        done_seen = True
                         break
                     buf.append(item)
                 buf.sort(key=lambda x: x[0])
@@ -101,6 +103,7 @@ class PipelinedTrackingEngine(TrackingEngine):
                 while True:
                     item = q_in.get()
                     if item is _DONE:
+                        done_seen = True
                         break
                     ci, dets_c, imgs_c = item
                     if len(dets_c) or model.level == "image":
@@ -112,13 +115,13 @@ class PipelinedTrackingEngine(TrackingEngine):
             errors.append(e)
         finally:
             q_out.put(_DONE)
-            # drain so upstream never deadlocks on a full queue
-            while True:
-                try:
-                    if q_in.get_nowait() is _DONE:
-                        break
-                except queue.Empty:
-                    break
+            # On failure, drain q_in until the producer's _DONE actually
+            # arrives: every producer (video_loop for stage 0, upstream
+            # stages otherwise) terminates its output with _DONE in its
+            # own finally, so the blocking get always returns and the
+            # producer can never deadlock on a full bounded queue.
+            while not done_seen:
+                done_seen = q_in.get() is _DONE
             self.fire("on_module_end", task=model_name,
                       detections=pd.DataFrame())
 

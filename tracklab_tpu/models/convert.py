@@ -45,9 +45,19 @@ def load_checkpoint(path, model=None, input_shape=None):
     return ckptr.restore(path.absolute())
 
 
-def _torch_state_dict(path):
+def _torch_state_dict(path, allow_pickle=False):
+    """Load a torch checkpoint's tensors. Tries the safe weights-only
+    loader first; full unpickling (arbitrary code execution on untrusted
+    files) requires the explicit ``allow_pickle=True`` opt-in."""
     import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} is not loadable with weights_only=True; pass "
+                "allow_pickle=True only for checkpoints you trust")
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict):
         for key in ("model", "state_dict", "ema"):
             if key in ckpt and hasattr(ckpt[key], "items"):
@@ -155,10 +165,16 @@ def convert_yolox_torch(path, model, input_shape):
     f_conv_bias = [k for k in flat
                    if k.endswith("bias") and "BatchNorm" not in k
                    and flat[k].ndim == 1]
-    if len(t_head_bias) == len(f_conv_bias):
-        for (tk, tv), fk in zip(t_head_bias, f_conv_bias):
-            if tv.shape == flat[fk].shape:
-                new_flat[fk] = jnp.asarray(tv)
+    if len(t_head_bias) != len(f_conv_bias):
+        raise ValueError(
+            f"conv-bias count mismatch: torch has {len(t_head_bias)} "
+            f"biased convs, flax has {len(f_conv_bias)}")
+    for (tk, tv), fk in zip(t_head_bias, f_conv_bias):
+        if tv.shape != flat[fk].shape:
+            raise ValueError(
+                f"conv-bias shape mismatch at {tk} -> {fk}: "
+                f"{tv.shape} vs {flat[fk].shape}")
+        new_flat[fk] = jnp.asarray(tv)
 
     return unflatten_dict(new_flat, sep="/")
 

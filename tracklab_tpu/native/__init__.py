@@ -30,11 +30,16 @@ def _build_and_load():
         return _LIB
     _TRIED = True
     src = _NATIVE_DIR / "lapjv.cpp"
-    so = _NATIVE_DIR / "liblapjv.so"
     if not src.exists():
         return None
+    # The artifact is keyed on the source content hash and never committed
+    # (binaries built with -march=native are machine-specific; a foreign
+    # .so could SIGILL): a fresh clone always rebuilds on first use.
+    import hashlib
+    digest = hashlib.sha256(src.read_bytes()).hexdigest()[:12]
+    so = _NATIVE_DIR / f"liblapjv-{digest}.so"
     try:
-        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+        if not so.exists():
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                  str(src), "-o", str(so)],

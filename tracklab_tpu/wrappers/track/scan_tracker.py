@@ -296,8 +296,11 @@ class _ScanTrackerBase(VideoLevelModule):
             C.ltrb_to_ltwh(ltrb[fs, ts]).astype(np.float32))
         result["track_bbox_conf"] = conf[fs, ts].astype(float)
         # drop duplicate refs (a det emitted once per frame at most, but a
-        # stale ref can repeat if a track coasts; keep the first emission)
-        result = result[~result.index.duplicated(keep="first")]
+        # stale ref can repeat if a track coasts). keep='last' — the
+        # coasting re-emission overrides, matching the reference wrappers
+        # and the batched path (_emissions_to_df) so offline and batched
+        # engines agree
+        result = result[~result.index.duplicated(keep="last")]
         return result
 
 

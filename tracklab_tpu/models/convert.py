@@ -14,7 +14,8 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-__all__ = ["save_checkpoint", "load_checkpoint", "convert_yolox_torch"]
+__all__ = ["save_checkpoint", "load_checkpoint", "convert_yolox_torch",
+           "convert_by_name", "convert_osnet_torch"]
 
 
 def save_checkpoint(path, variables):
@@ -218,3 +219,103 @@ def export_torch_state_dict(model, variables, input_shape=None):
             sd[f"m{i}.bn.running_var"] = np.asarray(flat[stats + "var"])
             i += 1
     return sd
+
+
+# ---------------------------------------------------------------------------
+# Name-mapped conversion (the robust scheme: every flax module is named to
+# mirror its torch state-dict key, so conversion is a pure tensor relayout
+# with full shape verification — no enumeration-order alignment)
+# ---------------------------------------------------------------------------
+
+_LEAF_MAP = {"kernel": "weight", "scale": "weight", "bias": "bias",
+             "mean": "running_mean", "var": "running_var"}
+
+
+def _relayout(torch_arr, flax_leaf, torch_key):
+    """torch tensor layout -> flax layout for one parameter."""
+    t = np.asarray(torch_arr)
+    if flax_leaf.ndim == 4 and t.ndim == 4:
+        # conv OIHW -> HWIO; depthwise (C,1,kh,kw) -> (kh,kw,1,C) is the
+        # same permutation
+        t = t.transpose(2, 3, 1, 0)
+    elif flax_leaf.ndim == 2 and t.ndim == 2:
+        t = t.T  # Dense (out,in) -> (in,out)
+    elif flax_leaf.ndim == 4 and t.ndim == 1:
+        t = t.reshape(flax_leaf.shape)
+    if t.shape != flax_leaf.shape:
+        raise ValueError(
+            f"shape mismatch for {torch_key}: torch {np.asarray(torch_arr).shape} "
+            f"-> {t.shape}, flax expects {flax_leaf.shape}")
+    return t
+
+
+def convert_by_name(sd, model, input_shape, torch_key_fn,
+                    expected_unused=()):
+    """Convert a torch state dict into flax variables by NAME mapping.
+
+    ``torch_key_fn(path_tuple)`` maps a flax flat path (e.g.
+    ``('params', 'conv1', 'conv', 'kernel')``) to its torch key, or None
+    for first-party parameters with no torch counterpart (kept at init).
+    Raises on any missing torch key or shape mismatch; unused torch keys
+    must match one of the ``expected_unused`` prefixes.
+    """
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros(input_shape, jnp.float32),
+                           train=False)
+    flat = flatten_dict(variables)
+    new_flat = {}
+    used = set()
+    missing = []
+    for path, leaf in flat.items():
+        tk = torch_key_fn(path)
+        if tk is None:
+            new_flat[path] = leaf
+            continue
+        if tk not in sd:
+            missing.append(f"{'/'.join(path)} -> {tk}")
+            continue
+        new_flat[path] = jnp.asarray(_relayout(sd[tk], leaf, tk))
+        used.add(tk)
+    if missing:
+        raise ValueError(
+            f"{len(missing)} flax parameters have no torch tensor:\n  "
+            + "\n  ".join(missing[:20]))
+    unused = [k for k in sd
+              if k not in used and not k.endswith("num_batches_tracked")
+              and not any(k.startswith(p) for p in expected_unused)]
+    if unused:
+        raise ValueError(
+            f"{len(unused)} torch tensors were not consumed (wrong "
+            f"architecture/variant?):\n  " + "\n  ".join(unused[:20]))
+    return unflatten_dict(new_flat)
+
+
+def _osnet_torch_key(path):
+    """Flax path -> torchreid OSNet state-dict key
+    (reference plugins/track/strong_sort/deep/models/osnet.py). Flax
+    module names mirror the torch attribute path with '.' spelled '__'
+    (e.g. conv2__0/conv2b__1/conv1/kernel -> conv2.0.conv2b.1.conv1.weight)."""
+    _, *mods, leaf = path
+    if mods and mods[0] == "part_fc":
+        return None  # first-party part head, no official weights
+    comps = []
+    for m in mods:
+        comps.extend(m.split("__"))
+    return ".".join(comps + [_LEAF_MAP[leaf]])
+
+
+def convert_osnet_torch(sd_or_path, model, input_shape,
+                        allow_pickle=False):
+    """Convert a torchreid OSNet checkpoint (osnet_x1_0 family, incl. the
+    ibn variant) into this repo's Flax OSNet variables. Activation parity
+    vs the vendored torch model: tests/test_weight_parity.py."""
+    sd = (sd_or_path if isinstance(sd_or_path, dict)
+          else _torch_state_dict(sd_or_path, allow_pickle=allow_pickle))
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    return convert_by_name(sd, model, input_shape, _osnet_torch_key,
+                           expected_unused=("classifier.",))

@@ -44,7 +44,9 @@ class TestYOLOX:
         }
         step = jax.jit(make_train_step(model, tx, (64, 64)))
         state, loss0 = step(state, batch)
-        for _ in range(10):
+        # overfit the fixed batch long enough that the assertion is not
+        # sensitive to the init seed (10 steps can plateau transiently)
+        for _ in range(40):
             state, loss = step(state, batch)
         assert float(loss) < float(loss0)
         assert np.isfinite(float(loss))

@@ -65,6 +65,223 @@ def test_osnet_activation_parity(ibn):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+# ---------------------------------------------------------------------------
+# YOLOX vs an independent torch implementation with the official Megvii
+# module structure and state-dict naming (the reference consumes these
+# weights via ONNX/rtmlib; no torch source is vendored, so the oracle is
+# written here from the published architecture)
+# ---------------------------------------------------------------------------
+
+def _build_torch_yolox(num_classes, depth_mult, width_mult, depthwise):
+    import torch.nn as nn
+
+    def w(c):
+        return max(int(round(c * width_mult / 8)) * 8, 8)
+
+    def d(n):
+        return max(int(round(n * depth_mult)), 1)
+
+    class BaseConv(nn.Module):
+        def __init__(self, cin, cout, k, s, groups=1):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, k, s, (k - 1) // 2,
+                                  groups=groups, bias=False)
+            self.bn = nn.BatchNorm2d(cout, eps=1e-3, momentum=0.03)
+            self.act = nn.SiLU()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class DWConv(nn.Module):
+        def __init__(self, cin, cout, k, s):
+            super().__init__()
+            self.dconv = BaseConv(cin, cin, k, s, groups=cin)
+            self.pconv = BaseConv(cin, cout, 1, 1)
+
+        def forward(self, x):
+            return self.pconv(self.dconv(x))
+
+    Conv = DWConv if depthwise else (
+        lambda cin, cout, k, s: BaseConv(cin, cout, k, s))
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, cout, shortcut):
+            super().__init__()
+            self.conv1 = BaseConv(cin, cout, 1, 1)
+            self.conv2 = Conv(cout, cout, 3, 1)
+            self.add = shortcut and cin == cout
+
+        def forward(self, x):
+            y = self.conv2(self.conv1(x))
+            return x + y if self.add else y
+
+    class CSPLayer(nn.Module):
+        def __init__(self, cin, cout, n, shortcut=True):
+            super().__init__()
+            hidden = cout // 2
+            self.conv1 = BaseConv(cin, hidden, 1, 1)
+            self.conv2 = BaseConv(cin, hidden, 1, 1)
+            self.conv3 = BaseConv(2 * hidden, cout, 1, 1)
+            self.m = nn.Sequential(*[Bottleneck(hidden, hidden, shortcut)
+                                     for _ in range(n)])
+
+        def forward(self, x):
+            a = self.m(self.conv1(x))
+            b = self.conv2(x)
+            return self.conv3(torch.cat([a, b], dim=1))
+
+    class SPPBottleneck(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            hidden = cin // 2
+            self.conv1 = BaseConv(cin, hidden, 1, 1)
+            self.m = nn.ModuleList([
+                nn.MaxPool2d(k, 1, k // 2) for k in (5, 9, 13)])
+            self.conv2 = BaseConv(hidden * 4, cout, 1, 1)
+
+        def forward(self, x):
+            x = self.conv1(x)
+            return self.conv2(torch.cat(
+                [x] + [m(x) for m in self.m], dim=1))
+
+    class Focus(nn.Module):
+        def __init__(self, cin, cout, k):
+            super().__init__()
+            self.conv = BaseConv(cin * 4, cout, k, 1)
+
+        def forward(self, x):
+            tl = x[..., ::2, ::2]
+            bl = x[..., 1::2, ::2]
+            tr = x[..., ::2, 1::2]
+            br = x[..., 1::2, 1::2]
+            return self.conv(torch.cat([tl, bl, tr, br], dim=1))
+
+    class CSPDarknet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = Focus(3, w(64), 3)
+            self.dark2 = nn.Sequential(Conv(w(64), w(128), 3, 2),
+                                       CSPLayer(w(128), w(128), d(3)))
+            self.dark3 = nn.Sequential(Conv(w(128), w(256), 3, 2),
+                                       CSPLayer(w(256), w(256), d(9)))
+            self.dark4 = nn.Sequential(Conv(w(256), w(512), 3, 2),
+                                       CSPLayer(w(512), w(512), d(9)))
+            self.dark5 = nn.Sequential(
+                Conv(w(512), w(1024), 3, 2),
+                SPPBottleneck(w(1024), w(1024)),
+                CSPLayer(w(1024), w(1024), d(3), shortcut=False))
+
+        def forward(self, x):
+            x = self.stem(x)
+            x = self.dark2(x)
+            c3 = self.dark3(x)
+            c4 = self.dark4(c3)
+            c5 = self.dark5(c4)
+            return c3, c4, c5
+
+    class YOLOPAFPN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = CSPDarknet()
+            self.upsample = nn.Upsample(scale_factor=2, mode="nearest")
+            self.lateral_conv0 = BaseConv(w(1024), w(512), 1, 1)
+            self.C3_p4 = CSPLayer(2 * w(512), w(512), d(3), False)
+            self.reduce_conv1 = BaseConv(w(512), w(256), 1, 1)
+            self.C3_p3 = CSPLayer(2 * w(256), w(256), d(3), False)
+            self.bu_conv2 = Conv(w(256), w(256), 3, 2)
+            self.C3_n3 = CSPLayer(2 * w(256), w(512), d(3), False)
+            self.bu_conv1 = Conv(w(512), w(512), 3, 2)
+            self.C3_n4 = CSPLayer(2 * w(512), w(1024), d(3), False)
+
+        def forward(self, x):
+            c3, c4, c5 = self.backbone(x)
+            p5 = self.lateral_conv0(c5)
+            m4 = self.C3_p4(torch.cat([self.upsample(p5), c4], 1))
+            p4 = self.reduce_conv1(m4)
+            out3 = self.C3_p3(torch.cat([self.upsample(p4), c3], 1))
+            out4 = self.C3_n3(torch.cat([self.bu_conv2(out3), p4], 1))
+            out5 = self.C3_n4(torch.cat([self.bu_conv1(out4), p5], 1))
+            return out3, out4, out5
+
+    class YOLOXHead(nn.Module):
+        def __init__(self):
+            super().__init__()
+            hidden = w(256)
+            self.cls_convs = nn.ModuleList()
+            self.reg_convs = nn.ModuleList()
+            self.cls_preds = nn.ModuleList()
+            self.reg_preds = nn.ModuleList()
+            self.obj_preds = nn.ModuleList()
+            self.stems = nn.ModuleList()
+            for _ in range(3):
+                self.stems.append(BaseConv(hidden, hidden, 1, 1))
+                self.cls_convs.append(nn.Sequential(
+                    Conv(hidden, hidden, 3, 1), Conv(hidden, hidden, 3, 1)))
+                self.reg_convs.append(nn.Sequential(
+                    Conv(hidden, hidden, 3, 1), Conv(hidden, hidden, 3, 1)))
+                self.cls_preds.append(nn.Conv2d(hidden, num_classes, 1))
+                self.reg_preds.append(nn.Conv2d(hidden, 4, 1))
+                self.obj_preds.append(nn.Conv2d(hidden, 1, 1))
+
+        def forward(self, feats):
+            outs = []
+            for i, x in enumerate(feats):
+                s = self.stems[i](x)
+                c = self.cls_convs[i](s)
+                r = self.reg_convs[i](s)
+                outs.append(torch.cat([self.reg_preds[i](r),
+                                       self.obj_preds[i](r),
+                                       self.cls_preds[i](c)], dim=1))
+            return outs
+
+    class TorchYOLOX(nn.Module):
+        def __init__(self):
+            super().__init__()
+            # stem output width == head stem input only when the PAFPN
+            # level widths match the head hidden — true for all variants
+            self.backbone = YOLOPAFPN()
+            self.head = YOLOXHead()
+
+        def forward(self, x):
+            return self.head(self.backbone(x))
+
+    # fix head stem in-channels per level (w256, w512, w1024)
+    m = TorchYOLOX()
+    hidden = w(256)
+    for i, cin in enumerate((w(256), w(512), w(1024))):
+        m.head.stems[i] = BaseConv(cin, hidden, 1, 1)
+    return m
+
+
+@pytest.mark.parametrize("variant", ["nano", "tiny"])
+def test_yolox_activation_parity(variant):
+    import jax.numpy as jnp
+    from tracklab_tpu.models.yolox import YOLOX, YOLOX_VARIANTS
+    from tracklab_tpu.models.convert import convert_yolox_torch
+
+    v = YOLOX_VARIANTS[variant]
+    tm = _build_torch_yolox(3, v["depth_mult"], v["width_mult"],
+                            v["depthwise"])
+    tm.eval()
+    _randomize_module(tm, seed=11)
+
+    H = W = 64
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in
+                tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+
+    fm = YOLOX(num_classes=3, variant=variant)
+    variables = convert_yolox_torch(_state_dict_np(tm), fm, (1, H, W, 3))
+    got = fm.apply(variables, jnp.asarray(x), train=False)
+    assert len(got) == len(want)
+    for g, t in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g),
+                                   t.transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_osnet_convert_rejects_wrong_variant():
     from tracklab_tpu.models.osnet import OSNet
     from tracklab_tpu.models.convert import convert_osnet_torch

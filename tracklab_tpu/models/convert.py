@@ -68,159 +68,6 @@ def _torch_state_dict(path, allow_pickle=False):
             for k, v in ckpt.items()}
 
 
-def convert_yolox_torch(path, model, input_shape):
-    """Convert an official-layout YOLOX torch checkpoint into this repo's
-    Flax YOLOX variables by aligned traversal: both models enumerate their
-    conv/BN tensors in the same architectural order, so we zip the torch
-    tensors onto the flax leaves after layout transposition, verifying
-    every shape."""
-    import jax
-    import jax.numpy as jnp
-    from flax.traverse_util import flatten_dict, unflatten_dict
-
-    sd = _torch_state_dict(path)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros(input_shape), train=False)
-    flat = flatten_dict(variables, sep="/")
-    # flax flatten orders module names lexicographically ("…_10" < "…_2");
-    # restore numeric module order so the aligned traversal matches the
-    # torch state dict's definition order
-    import re
-
-    def natural(key):
-        return [int(p) if p.isdigit() else p
-                for p in re.split(r"(\d+)", key)]
-
-    flat = dict(sorted(flat.items(), key=lambda kv: natural(kv[0])))
-
-    # torch tensors in module order, filtered to learnables + BN buffers
-    torch_items = [(k, v) for k, v in sd.items()
-                   if not k.endswith("num_batches_tracked")]
-
-    def torch_order_key(i):
-        return i  # insertion order of the state dict == module order
-
-    # group flax leaves by module path so conv kernel/bias and BN
-    # scale/bias/mean/var stay together, in creation order
-    conv_kernels = [k for k in flat if k.endswith("kernel")]
-    log.info("convert: %d torch tensors -> %d flax conv kernels (+BN)",
-             len(torch_items), len(conv_kernels))
-
-    # Build aligned queues per tensor kind
-    t_convs = [(k, v) for k, v in torch_items if v.ndim == 4]
-    t_conv_bias = [(k, v) for k, v in torch_items
-                   if v.ndim == 1 and (k.endswith("conv.bias")
-                                       or ".weight" not in k
-                                       and k.endswith("bias")
-                                       and "bn" not in k)]
-    new_flat = dict(flat)
-    fk_convs = [k for k in flat
-                if k.endswith("kernel") and flat[k].ndim == 4]
-    if len(t_convs) != len(fk_convs):
-        raise ValueError(
-            f"conv count mismatch: torch {len(t_convs)} vs flax "
-            f"{len(fk_convs)} — wrong variant/num_classes?")
-    for (tk, tv), fk in zip(t_convs, fk_convs):
-        w = np.transpose(tv, (2, 3, 1, 0))  # OIHW -> HWIO
-        if w.shape != flat[fk].shape:
-            # depthwise: torch (O, 1, H, W) vs flax (H, W, 1, O)
-            if w.shape[:2] == flat[fk].shape[:2] and \
-                    w.shape[2] == flat[fk].shape[3] and \
-                    flat[fk].shape[2] == 1:
-                w = np.transpose(w, (0, 1, 3, 2))
-            else:
-                raise ValueError(
-                    f"shape mismatch {tk}{tv.shape} -> {fk}"
-                    f"{flat[fk].shape}")
-        new_flat[fk] = jnp.asarray(w)
-
-    # BN: torch (weight, bias, running_mean, running_var) per bn module
-    t_bn = {}
-    for k, v in torch_items:
-        for suffix, name in (("bn.weight", "scale"), ("bn.bias", "bias"),
-                             ("bn.running_mean", "mean"),
-                             ("bn.running_var", "var")):
-            if k.endswith(suffix):
-                t_bn.setdefault(k[: -len(suffix)], {})[name] = v
-    bn_modules = list(t_bn.values())
-    f_bn_scales = [k for k in flat
-                   if "BatchNorm" in k and k.endswith("scale")]
-    if len(bn_modules) != len(f_bn_scales):
-        raise ValueError(
-            f"BN count mismatch: torch {len(bn_modules)} vs flax "
-            f"{len(f_bn_scales)}")
-    for bn, fk_scale in zip(bn_modules, f_bn_scales):
-        base = fk_scale[: -len("scale")]
-        new_flat[fk_scale] = jnp.asarray(bn["scale"])
-        new_flat[base + "bias"] = jnp.asarray(bn["bias"])
-        stats_base = base.replace("params/", "batch_stats/")
-        if stats_base + "mean" in new_flat:
-            new_flat[stats_base + "mean"] = jnp.asarray(bn["mean"])
-            new_flat[stats_base + "var"] = jnp.asarray(bn["var"])
-
-    # head conv biases (cls/reg/obj 1x1 convs have biases in both)
-    t_head_bias = [(k, v) for k, v in torch_items
-                   if v.ndim == 1 and k.endswith(".bias")
-                   and k[:-5] + ".weight" in sd
-                   and sd[k[:-5] + ".weight"].ndim == 4]
-    f_conv_bias = [k for k in flat
-                   if k.endswith("bias") and "BatchNorm" not in k
-                   and flat[k].ndim == 1]
-    if len(t_head_bias) != len(f_conv_bias):
-        raise ValueError(
-            f"conv-bias count mismatch: torch has {len(t_head_bias)} "
-            f"biased convs, flax has {len(f_conv_bias)}")
-    for (tk, tv), fk in zip(t_head_bias, f_conv_bias):
-        if tv.shape != flat[fk].shape:
-            raise ValueError(
-                f"conv-bias shape mismatch at {tk} -> {fk}: "
-                f"{tv.shape} vs {flat[fk].shape}")
-        new_flat[fk] = jnp.asarray(tv)
-
-    return unflatten_dict(new_flat, sep="/")
-
-
-def export_torch_state_dict(model, variables, input_shape=None):
-    """Inverse of :func:`convert_yolox_torch`: emit an official-layout
-    torch-style state dict (OIHW convs, conv biases adjacent to their
-    weights, BN weight/bias/running_mean/running_var groups) from Flax
-    variables. Useful to hand weights back to reference-side tooling,
-    and it gives the converter a round-trip parity harness without
-    official checkpoint downloads."""
-    import re
-    from flax.traverse_util import flatten_dict
-
-    flat = flatten_dict(variables, sep="/")
-
-    def natural(key):
-        return [int(p) if p.isdigit() else p
-                for p in re.split(r"(\d+)", key)]
-
-    flat = dict(sorted(flat.items(), key=lambda kv: natural(kv[0])))
-    sd = {}
-    i = 0
-    for k, v in flat.items():
-        if not k.startswith("params/"):
-            continue
-        if k.endswith("kernel") and v.ndim == 4:
-            # HWIO -> OIHW; also maps depthwise (H, W, 1, O) -> (O, 1, H, W)
-            sd[f"m{i}.conv.weight"] = np.transpose(np.asarray(v),
-                                                   (3, 2, 0, 1))
-            bias_key = k[: -len("kernel")] + "bias"
-            if bias_key in flat and flat[bias_key].ndim == 1:
-                sd[f"m{i}.conv.bias"] = np.asarray(flat[bias_key])
-            i += 1
-        elif "BatchNorm" in k and k.endswith("scale"):
-            base = k[: -len("scale")]
-            stats = base.replace("params/", "batch_stats/")
-            sd[f"m{i}.bn.weight"] = np.asarray(v)
-            sd[f"m{i}.bn.bias"] = np.asarray(flat[base + "bias"])
-            sd[f"m{i}.bn.running_mean"] = np.asarray(flat[stats + "mean"])
-            sd[f"m{i}.bn.running_var"] = np.asarray(flat[stats + "var"])
-            i += 1
-    return sd
-
-
 # ---------------------------------------------------------------------------
 # Name-mapped conversion (the robust scheme: every flax module is named to
 # mirror its torch state-dict key, so conversion is a pure tensor relayout
@@ -319,3 +166,58 @@ def convert_osnet_torch(sd_or_path, model, input_shape,
           for k, v in sd.items()}
     return convert_by_name(sd, model, input_shape, _osnet_torch_key,
                            expected_unused=("classifier.",))
+
+
+def _yolox_torch_key(path):
+    """Flax path -> official Megvii YOLOX state-dict key. The flax
+    backbone/neck split maps onto torch's nested YOLOPAFPN:
+    flax backbone/* -> backbone.backbone.*, flax neck/* -> backbone.*,
+    flax head/* -> head.*. Module names spell '.' as '__'."""
+    _, top, *mods, leaf = path
+    comps = []
+    for m in mods:
+        comps.extend(m.split("__"))
+    prefix = {"backbone": ["backbone", "backbone"],
+              "neck": ["backbone"],
+              "head": ["head"]}[top]
+    return ".".join(prefix + comps + [_LEAF_MAP[leaf]])
+
+
+def convert_yolox_torch(sd_or_path, model, input_shape,
+                        allow_pickle=False):
+    """Convert an official-layout Megvii YOLOX torch checkpoint into this
+    repo's Flax YOLOX variables by NAME mapping (every tensor verified by
+    key and shape; activation parity vs an independent torch YOLOX in
+    tests/test_weight_parity.py)."""
+    sd = (sd_or_path if isinstance(sd_or_path, dict)
+          else _torch_state_dict(sd_or_path, allow_pickle=allow_pickle))
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    return convert_by_name(
+        sd, model, input_shape, _yolox_torch_key,
+        # training-only leftovers present in official ckpts
+        expected_unused=("head.cls_preds_", "head.obj_preds_",
+                         "backbone.backbone.stem.conv.conv.weight_",
+                         "head.grids", "head.strides"))
+
+
+def export_torch_state_dict(model, variables, torch_key_fn=None):
+    """Inverse of the name-mapped converters: emit an official-layout
+    torch-style state dict (OIHW convs, (out,in) linears, BN
+    weight/bias/running_mean/running_var) from Flax variables."""
+    from flax.traverse_util import flatten_dict
+
+    if torch_key_fn is None:
+        torch_key_fn = _yolox_torch_key
+    out = {}
+    for path, leaf in flatten_dict(variables).items():
+        tk = torch_key_fn(path)
+        if tk is None:
+            continue
+        t = np.asarray(leaf)
+        if t.ndim == 4:
+            t = t.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        elif t.ndim == 2:
+            t = t.T
+        out[tk] = t
+    return out

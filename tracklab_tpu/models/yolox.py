@@ -42,6 +42,9 @@ def _round_depth(d, mult):
 
 
 class ConvBnAct(nn.Module):
+    """BaseConv (Megvii yolox/models/network_blocks.py): conv+bn+silu.
+    Submodule names mirror the torch attributes for name-mapped weight
+    conversion (convert.py:_yolox_torch_key)."""
     features: int
     kernel: int = 3
     stride: int = 1
@@ -54,9 +57,9 @@ class ConvBnAct(nn.Module):
                     strides=self.stride,
                     padding=[(self.kernel // 2, self.kernel // 2)] * 2,
                     feature_group_count=self.groups, use_bias=False,
-                    dtype=self.dtype)(x)
+                    dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3, dtype=jnp.float32)(x)
+                         epsilon=1e-3, dtype=jnp.float32, name="bn")(x)
         return nn.silu(x)
 
 
@@ -69,8 +72,10 @@ class DWConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBnAct(x.shape[-1], self.kernel, self.stride,
-                      groups=x.shape[-1], dtype=self.dtype)(x, train)
-        return ConvBnAct(self.features, 1, 1, dtype=self.dtype)(x, train)
+                      groups=x.shape[-1], dtype=self.dtype,
+                      name="dconv")(x, train)
+        return ConvBnAct(self.features, 1, 1, dtype=self.dtype,
+                         name="pconv")(x, train)
 
 
 class Bottleneck(nn.Module):
@@ -82,8 +87,10 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv2 = DWConv if self.depthwise else ConvBnAct
-        y = ConvBnAct(self.features, 1, dtype=self.dtype)(x, train)
-        y = conv2(self.features, 3, 1, dtype=self.dtype)(y, train)
+        y = ConvBnAct(self.features, 1, dtype=self.dtype,
+                      name="conv1")(x, train)
+        y = conv2(self.features, 3, 1, dtype=self.dtype,
+                  name="conv2")(y, train)
         if self.shortcut and x.shape[-1] == self.features:
             y = y + x
         return y
@@ -99,13 +106,14 @@ class CSPLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = self.features // 2
-        a = ConvBnAct(hidden, 1, dtype=self.dtype)(x, train)
-        b = ConvBnAct(hidden, 1, dtype=self.dtype)(x, train)
-        for _ in range(self.n):
+        a = ConvBnAct(hidden, 1, dtype=self.dtype, name="conv1")(x, train)
+        b = ConvBnAct(hidden, 1, dtype=self.dtype, name="conv2")(x, train)
+        for k in range(self.n):
             a = Bottleneck(hidden, self.shortcut, self.depthwise,
-                           dtype=self.dtype)(a, train)
+                           dtype=self.dtype, name=f"m__{k}")(a, train)
         y = jnp.concatenate([a, b], axis=-1)
-        return ConvBnAct(self.features, 1, dtype=self.dtype)(y, train)
+        return ConvBnAct(self.features, 1, dtype=self.dtype,
+                         name="conv3")(y, train)
 
 
 class SPPBottleneck(nn.Module):
@@ -115,13 +123,14 @@ class SPPBottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = x.shape[-1] // 2
-        x = ConvBnAct(hidden, 1, dtype=self.dtype)(x, train)
+        x = ConvBnAct(hidden, 1, dtype=self.dtype, name="conv1")(x, train)
         pools = [x]
         for k in (5, 9, 13):
             pools.append(nn.max_pool(x, (k, k), strides=(1, 1),
                                      padding=[(k // 2, k // 2)] * 2))
         x = jnp.concatenate(pools, axis=-1)
-        return ConvBnAct(self.features, 1, dtype=self.dtype)(x, train)
+        return ConvBnAct(self.features, 1, dtype=self.dtype,
+                         name="conv2")(x, train)
 
 
 class Focus(nn.Module):
@@ -136,7 +145,8 @@ class Focus(nn.Module):
         tr = x[:, ::2, 1::2]
         br = x[:, 1::2, 1::2]
         x = jnp.concatenate([tl, bl, tr, br], axis=-1)
-        return ConvBnAct(self.features, 3, 1, dtype=self.dtype)(x, train)
+        return ConvBnAct(self.features, 3, 1, dtype=self.dtype,
+                         name="conv")(x, train)
 
 
 class CSPDarknet(nn.Module):
@@ -151,20 +161,26 @@ class CSPDarknet(nn.Module):
         d = lambda n: _round_depth(n, self.depth_mult)
         conv = DWConv if self.depthwise else ConvBnAct
 
-        x = Focus(w(64), dtype=self.dtype)(x, train)            # /2
-        x = conv(w(128), 3, 2, dtype=self.dtype)(x, train)      # /4
+        x = Focus(w(64), dtype=self.dtype, name="stem")(x, train)  # /2
+        x = conv(w(128), 3, 2, dtype=self.dtype,
+                 name="dark2__0")(x, train)                       # /4
         x = CSPLayer(w(128), d(3), depthwise=self.depthwise,
-                     dtype=self.dtype)(x, train)
-        x = conv(w(256), 3, 2, dtype=self.dtype)(x, train)      # /8
+                     dtype=self.dtype, name="dark2__1")(x, train)
+        x = conv(w(256), 3, 2, dtype=self.dtype,
+                 name="dark3__0")(x, train)                       # /8
         c3 = CSPLayer(w(256), d(9), depthwise=self.depthwise,
-                      dtype=self.dtype)(x, train)
-        x = conv(w(512), 3, 2, dtype=self.dtype)(c3, train)     # /16
+                      dtype=self.dtype, name="dark3__1")(x, train)
+        x = conv(w(512), 3, 2, dtype=self.dtype,
+                 name="dark4__0")(c3, train)                      # /16
         c4 = CSPLayer(w(512), d(9), depthwise=self.depthwise,
-                      dtype=self.dtype)(x, train)
-        x = conv(w(1024), 3, 2, dtype=self.dtype)(c4, train)    # /32
-        x = SPPBottleneck(w(1024), dtype=self.dtype)(x, train)
+                      dtype=self.dtype, name="dark4__1")(x, train)
+        x = conv(w(1024), 3, 2, dtype=self.dtype,
+                 name="dark5__0")(c4, train)                      # /32
+        x = SPPBottleneck(w(1024), dtype=self.dtype,
+                          name="dark5__1")(x, train)
         c5 = CSPLayer(w(1024), d(3), shortcut=False,
-                      depthwise=self.depthwise, dtype=self.dtype)(x, train)
+                      depthwise=self.depthwise, dtype=self.dtype,
+                      name="dark5__2")(x, train)
         return c3, c4, c5
 
 
@@ -186,27 +202,32 @@ class YOLOPAFPN(nn.Module):
         d = lambda n: _round_depth(n, self.depth_mult)
         conv = DWConv if self.depthwise else ConvBnAct
 
-        # top-down
-        p5 = ConvBnAct(w(512), 1, dtype=self.dtype)(c5, train)
+        # top-down (names mirror Megvii YOLOPAFPN attributes)
+        p5 = ConvBnAct(w(512), 1, dtype=self.dtype,
+                       name="lateral_conv0")(c5, train)
         m4 = jnp.concatenate([_upsample2(p5), c4], axis=-1)
         m4 = CSPLayer(w(512), d(3), shortcut=False,
-                      depthwise=self.depthwise, dtype=self.dtype)(m4, train)
-        p4 = ConvBnAct(w(256), 1, dtype=self.dtype)(m4, train)
+                      depthwise=self.depthwise, dtype=self.dtype,
+                      name="C3_p4")(m4, train)
+        p4 = ConvBnAct(w(256), 1, dtype=self.dtype,
+                       name="reduce_conv1")(m4, train)
         m3 = jnp.concatenate([_upsample2(p4), c3], axis=-1)
         out3 = CSPLayer(w(256), d(3), shortcut=False,
-                        depthwise=self.depthwise,
-                        dtype=self.dtype)(m3, train)
+                        depthwise=self.depthwise, dtype=self.dtype,
+                        name="C3_p3")(m3, train)
         # bottom-up
-        n3 = conv(w(256), 3, 2, dtype=self.dtype)(out3, train)
+        n3 = conv(w(256), 3, 2, dtype=self.dtype,
+                  name="bu_conv2")(out3, train)
         m4b = jnp.concatenate([n3, p4], axis=-1)
         out4 = CSPLayer(w(512), d(3), shortcut=False,
-                        depthwise=self.depthwise,
-                        dtype=self.dtype)(m4b, train)
-        n4 = conv(w(512), 3, 2, dtype=self.dtype)(out4, train)
+                        depthwise=self.depthwise, dtype=self.dtype,
+                        name="C3_n3")(m4b, train)
+        n4 = conv(w(512), 3, 2, dtype=self.dtype,
+                  name="bu_conv1")(out4, train)
         m5 = jnp.concatenate([n4, p5], axis=-1)
         out5 = CSPLayer(w(1024), d(3), shortcut=False,
-                        depthwise=self.depthwise,
-                        dtype=self.dtype)(m5, train)
+                        depthwise=self.depthwise, dtype=self.dtype,
+                        name="C3_n4")(m5, train)
         return out3, out4, out5
 
 
@@ -221,16 +242,23 @@ class YOLOXHead(nn.Module):
         hidden = _round_width(256, self.width_mult)
         conv = DWConv if self.depthwise else ConvBnAct
         outputs = []
-        for x in feats:
-            s = ConvBnAct(hidden, 1, dtype=self.dtype)(x, train)
-            c = conv(hidden, 3, 1, dtype=self.dtype)(s, train)
-            c = conv(hidden, 3, 1, dtype=self.dtype)(c, train)
-            cls_out = nn.Conv(self.num_classes, (1, 1),
-                              dtype=self.dtype)(c)
-            r = conv(hidden, 3, 1, dtype=self.dtype)(s, train)
-            r = conv(hidden, 3, 1, dtype=self.dtype)(r, train)
-            reg_out = nn.Conv(4, (1, 1), dtype=self.dtype)(r)
-            obj_out = nn.Conv(1, (1, 1), dtype=self.dtype)(r)
+        for i, x in enumerate(feats):
+            s = ConvBnAct(hidden, 1, dtype=self.dtype,
+                          name=f"stems__{i}")(x, train)
+            c = conv(hidden, 3, 1, dtype=self.dtype,
+                     name=f"cls_convs__{i}__0")(s, train)
+            c = conv(hidden, 3, 1, dtype=self.dtype,
+                     name=f"cls_convs__{i}__1")(c, train)
+            cls_out = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                              name=f"cls_preds__{i}")(c)
+            r = conv(hidden, 3, 1, dtype=self.dtype,
+                     name=f"reg_convs__{i}__0")(s, train)
+            r = conv(hidden, 3, 1, dtype=self.dtype,
+                     name=f"reg_convs__{i}__1")(r, train)
+            reg_out = nn.Conv(4, (1, 1), dtype=self.dtype,
+                              name=f"reg_preds__{i}")(r)
+            obj_out = nn.Conv(1, (1, 1), dtype=self.dtype,
+                              name=f"obj_preds__{i}")(r)
             outputs.append(jnp.concatenate(
                 [reg_out, obj_out, cls_out], axis=-1))
         return outputs

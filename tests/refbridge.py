@@ -184,8 +184,15 @@ def install_stubs():
         sys.modules["gdown"] = g
 
     if "torchvision" not in sys.modules:
+        import importlib.machinery
         tv = types.ModuleType("torchvision")
+        # a real ModuleSpec so importlib.util.find_spec (used by e.g.
+        # transformers' availability checks) doesn't choke; the metadata
+        # lookup still fails, so torchvision reads as NOT installed
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
         tvt = types.ModuleType("torchvision.transforms")
+        tvt.__spec__ = importlib.machinery.ModuleSpec(
+            "torchvision.transforms", None)
         for name in ("Resize", "ToTensor", "Normalize", "Compose",
                      "InterpolationMode"):
             setattr(tvt, name, type(name, (), {"__init__":

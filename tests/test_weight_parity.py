@@ -282,6 +282,49 @@ def test_yolox_activation_parity(variant):
                                    rtol=1e-4, atol=1e-4)
 
 
+# ---------------------------------------------------------------------------
+# ViTPose vs the actual HF transformers implementation (the library the
+# reference's wrapper calls, tracklab/wrappers/pose_estimator/
+# transformers_api.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("simple_decoder", [False, True])
+def test_vitpose_activation_parity(simple_decoder):
+    import jax.numpy as jnp
+    from transformers import (
+        VitPoseBackboneConfig, VitPoseConfig, VitPoseForPoseEstimation,
+    )
+    from tracklab_tpu.models.vitpose import ViTPose, VITPOSE_VARIANTS
+    from tracklab_tpu.models.convert import convert_vitpose_torch
+
+    H, W = 64, 48
+    v = VITPOSE_VARIANTS["tiny"]
+    bcfg = VitPoseBackboneConfig(
+        image_size=(H, W), patch_size=(16, 16), hidden_size=v["dim"],
+        num_hidden_layers=v["depth"], num_attention_heads=v["heads"],
+        intermediate_size=v["dim"] * 4)
+    cfg = VitPoseConfig(backbone_config=bcfg, num_labels=17,
+                        use_simple_decoder=simple_decoder)
+    tm = VitPoseForPoseEstimation(cfg)
+    tm.eval()
+    _randomize_module(tm, seed=5)
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).heatmaps
+        want = want.numpy().transpose(0, 2, 3, 1)
+
+    fm = ViTPose(num_keypoints=17, variant="tiny",
+                 simple_decoder=simple_decoder)
+    variables = convert_vitpose_torch(
+        {k: t.numpy().copy() for k, t in tm.state_dict().items()},
+        fm, (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_osnet_convert_rejects_wrong_variant():
     from tracklab_tpu.models.osnet import OSNet
     from tracklab_tpu.models.convert import convert_osnet_torch

@@ -221,3 +221,37 @@ def export_torch_state_dict(model, variables, torch_key_fn=None):
             t = t.T
         out[tk] = t
     return out
+
+
+def _vitpose_torch_key(path):
+    """Flax path -> HF VitPoseForPoseEstimation state-dict key."""
+    _, *mods, leaf = path
+    comps = []
+    for m in mods:
+        comps.extend(m.split("__"))
+    if leaf == "position_embeddings":
+        return ".".join(comps + ["position_embeddings"])
+    return ".".join(comps + [_LEAF_MAP[leaf]])
+
+
+def convert_vitpose_torch(sd_or_path, model, input_shape,
+                          allow_pickle=False):
+    """Convert an HF VitPoseForPoseEstimation checkpoint into this repo's
+    Flax ViTPose variables. torch ConvTranspose2d kernels (in,out,kh,kw)
+    become spatially-flipped HWIO kernels for the input-dilated-conv
+    formulation of the deconv head."""
+    sd = (sd_or_path if isinstance(sd_or_path, dict)
+          else _torch_state_dict(sd_or_path, allow_pickle=allow_pickle))
+
+    def key_fn(path):
+        return _vitpose_torch_key(path)
+
+    # pre-relayout the deconv kernels so the generic conv rule applies
+    sd = dict(sd)
+    for k in list(sd):
+        if ".deconv" in k and k.endswith("weight") and sd[k].ndim == 4:
+            # (in, out, kh, kw) -> (out, in, kh, kw) + rot180 so that the
+            # generic OIHW->HWIO transpose yields the flipped HWIO kernel
+            sd[k] = np.ascontiguousarray(
+                sd[k].transpose(1, 0, 2, 3)[:, :, ::-1, ::-1])
+    return convert_by_name(sd, model, input_shape, key_fn)

@@ -283,6 +283,164 @@ def test_yolox_activation_parity(variant):
 
 
 # ---------------------------------------------------------------------------
+# YOLOv8 vs an independent torch implementation with the official
+# ultralytics module structure and state-dict naming (model.0..model.22)
+# ---------------------------------------------------------------------------
+
+def _build_torch_yolov8(num_classes, d_mult, w_mult, mc, reg_max=16):
+    import math
+
+    import torch.nn as nn
+
+    def ch(c):
+        return max(math.ceil(min(c, mc) * w_mult / 8) * 8, 8)
+
+    def nd(n):
+        return max(int(round(n * d_mult)), 1)
+
+    class TConv(nn.Module):
+        def __init__(self, cin, cout, k=3, s=1):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, k, s, k // 2, bias=False)
+            self.bn = nn.BatchNorm2d(cout, eps=1e-3, momentum=0.03)
+            self.act = nn.SiLU()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class TBottleneck(nn.Module):
+        def __init__(self, c, shortcut):
+            super().__init__()
+            self.cv1 = TConv(c, c, 3)
+            self.cv2 = TConv(c, c, 3)
+            self.add = shortcut
+
+        def forward(self, x):
+            y = self.cv2(self.cv1(x))
+            return x + y if self.add else y
+
+    class TC2f(nn.Module):
+        def __init__(self, cin, cout, n, shortcut=True):
+            super().__init__()
+            self.c = cout // 2
+            self.cv1 = TConv(cin, 2 * self.c, 1)
+            self.cv2 = TConv((2 + n) * self.c, cout, 1)
+            self.m = nn.ModuleList(
+                TBottleneck(self.c, shortcut) for _ in range(n))
+
+        def forward(self, x):
+            y = list(self.cv1(x).chunk(2, 1))
+            y.extend(m(y[-1]) for m in self.m)
+            return self.cv2(torch.cat(y, 1))
+
+    class TSPPF(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            c = cin // 2
+            self.cv1 = TConv(cin, c, 1)
+            self.cv2 = TConv(c * 4, cout, 1)
+            self.mp = nn.MaxPool2d(5, 1, 2)
+
+        def forward(self, x):
+            x = self.cv1(x)
+            y1 = self.mp(x)
+            y2 = self.mp(y1)
+            return self.cv2(torch.cat([x, y1, y2, self.mp(y2)], 1))
+
+    class TDetect(nn.Module):
+        def __init__(self, chs):
+            super().__init__()
+            c2 = max(16, chs[0] // 4, reg_max * 4)
+            c3 = max(chs[0], min(num_classes, 100))
+            self.cv2 = nn.ModuleList(nn.Sequential(
+                TConv(c, c2, 3), TConv(c2, c2, 3),
+                nn.Conv2d(c2, 4 * reg_max, 1)) for c in chs)
+            self.cv3 = nn.ModuleList(nn.Sequential(
+                TConv(c, c3, 3), TConv(c3, c3, 3),
+                nn.Conv2d(c3, num_classes, 1)) for c in chs)
+
+        def forward(self, feats):
+            return [torch.cat([self.cv2[i](f), self.cv3[i](f)], 1)
+                    for i, f in enumerate(feats)]
+
+    class TYOLOv8(nn.Module):
+        def __init__(self):
+            super().__init__()
+            up = nn.Upsample(scale_factor=2, mode="nearest")
+            self.model = nn.ModuleList([
+                TConv(3, ch(64), 3, 2),                       # 0
+                TConv(ch(64), ch(128), 3, 2),                 # 1
+                TC2f(ch(128), ch(128), nd(3)),                # 2
+                TConv(ch(128), ch(256), 3, 2),                # 3
+                TC2f(ch(256), ch(256), nd(6)),                # 4
+                TConv(ch(256), ch(512), 3, 2),                # 5
+                TC2f(ch(512), ch(512), nd(6)),                # 6
+                TConv(ch(512), ch(1024), 3, 2),               # 7
+                TC2f(ch(1024), ch(1024), nd(3)),              # 8
+                TSPPF(ch(1024), ch(1024)),                    # 9
+                up,                                           # 10
+                nn.Identity(),                                # 11 concat
+                TC2f(ch(1024) + ch(512), ch(512), nd(3), False),   # 12
+                up,                                           # 13
+                nn.Identity(),                                # 14 concat
+                TC2f(ch(512) + ch(256), ch(256), nd(3), False),    # 15
+                TConv(ch(256), ch(256), 3, 2),                # 16
+                nn.Identity(),                                # 17 concat
+                TC2f(ch(256) + ch(512), ch(512), nd(3), False),    # 18
+                TConv(ch(512), ch(512), 3, 2),                # 19
+                nn.Identity(),                                # 20 concat
+                TC2f(ch(512) + ch(1024), ch(1024), nd(3), False),  # 21
+                TDetect((ch(256), ch(512), ch(1024))),        # 22
+            ])
+
+        def forward(self, x):
+            m = self.model
+            x = m[1](m[0](x))
+            x = m[2](x)
+            p3 = m[4](m[3](x))
+            p4 = m[6](m[5](p3))
+            x = m[8](m[7](p4))
+            p5 = m[9](x)
+            u4 = m[12](torch.cat([m[10](p5), p4], 1))
+            u3 = m[15](torch.cat([m[13](u4), p3], 1))
+            d4 = m[18](torch.cat([m[16](u3), u4], 1))
+            d5 = m[21](torch.cat([m[19](d4), p5], 1))
+            return m[22]((u3, d4, d5))
+
+    return TYOLOv8()
+
+
+@pytest.mark.parametrize("variant", ["n", "m"])
+def test_yolov8_activation_parity(variant):
+    import jax.numpy as jnp
+    from tracklab_tpu.models.yolov8 import YOLOv8, YOLOV8_VARIANTS
+    from tracklab_tpu.models.convert import convert_yolov8_torch
+
+    v = YOLOV8_VARIANTS[variant]
+    tm = _build_torch_yolov8(5, v["d"], v["w"], v["mc"])
+    tm.eval()
+    _randomize_module(tm, seed=17)
+
+    H = W = 64
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in
+                tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+
+    fm = YOLOv8(num_classes=5, variant=variant)
+    variables = convert_yolov8_torch(
+        {k: t.numpy().copy() for k, t in tm.state_dict().items()},
+        fm, (1, H, W, 3))
+    got = fm.apply(variables, jnp.asarray(x), train=False)
+    assert len(got) == len(want)
+    for g, t in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g),
+                                   t.transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
 # ViTPose vs the actual HF transformers implementation (the library the
 # reference's wrapper calls, tracklab/wrappers/pose_estimator/
 # transformers_api.py)

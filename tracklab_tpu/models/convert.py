@@ -255,3 +255,30 @@ def convert_vitpose_torch(sd_or_path, model, input_shape,
             sd[k] = np.ascontiguousarray(
                 sd[k].transpose(1, 0, 2, 3)[:, :, ::-1, ::-1])
     return convert_by_name(sd, model, input_shape, key_fn)
+
+
+def _yolov8_torch_key(path):
+    """Flax path -> ultralytics YOLOv8 state-dict key (model.0..model.22;
+    '.' spelled '__' in flax module names)."""
+    _, *mods, leaf = path
+    comps = []
+    for m in mods:
+        comps.extend(m.split("__"))
+    return ".".join(comps + [_LEAF_MAP[leaf]])
+
+
+def convert_yolov8_torch(sd_or_path, model, input_shape,
+                         allow_pickle=False):
+    """Convert an ultralytics YOLOv8 checkpoint into this repo's Flax
+    YOLOv8 variables (name-mapped; activation parity vs an independent
+    torch YOLOv8 in tests/test_weight_parity.py). The DFL projection conv
+    (model.22.dfl.conv.weight) is the fixed arange(reg_max) kernel —
+    implemented as math in decode_v8, so it is expected-unused here."""
+    sd = (sd_or_path if isinstance(sd_or_path, dict)
+          else _torch_state_dict(sd_or_path, allow_pickle=allow_pickle))
+    sd = {k[len("model.model."):] if k.startswith("model.model.")
+          else k: v for k, v in sd.items()}
+    if not any(k.startswith("model.") for k in sd):
+        sd = {f"model.{k}": v for k, v in sd.items()}
+    return convert_by_name(sd, model, input_shape, _yolov8_torch_key,
+                           expected_unused=("model.22.dfl.",))

@@ -6,9 +6,16 @@ BASELINE config-1 detector, YOLOv8n): C2f backbone + SPPF, PAN neck, and
 the decoupled head regressing per-side distance distributions (DFL over
 ``reg_max`` bins) plus class logits. Decode runs fully vectorized on
 device; boxes come out in input pixels ready for ops/nms.
+
+Flax module names mirror the ultralytics state-dict keys
+(model.0 .. model.22, '.' spelled '__') so
+:func:`tracklab_tpu.models.convert.convert_yolov8_torch` is a pure
+name-mapped relayout — activation parity vs an independent torch YOLOv8
+in tests/test_weight_parity.py.
 """
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import flax.linen as nn
@@ -28,7 +35,8 @@ YOLOV8_VARIANTS = {
 
 
 def _ch(c, w, mc):
-    return min(int(round(c * w / 8)) * 8, int(mc)) or 8
+    # ultralytics make_divisible(min(c, max_channels) * width, 8)
+    return max(math.ceil(min(c, mc) * w / 8) * 8, 8)
 
 
 def _n(n, d):
@@ -46,9 +54,9 @@ class Conv(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=self.stride,
                     padding=[(self.kernel // 2,) * 2] * 2,
-                    use_bias=False, dtype=self.dtype)(x)
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3, dtype=jnp.float32)(x)
+                         epsilon=1e-3, dtype=jnp.float32, name="bn")(x)
         return nn.silu(x)
 
 
@@ -59,8 +67,8 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        y = Conv(self.features, 3, dtype=self.dtype)(x, train)
-        y = Conv(self.features, 3, dtype=self.dtype)(y, train)
+        y = Conv(self.features, 3, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(self.features, 3, dtype=self.dtype, name="cv2")(y, train)
         return x + y if self.shortcut and x.shape[-1] == self.features \
             else y
 
@@ -74,13 +82,13 @@ class C2f(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         c = self.features // 2
-        y = Conv(2 * c, 1, dtype=self.dtype)(x, train)
+        y = Conv(2 * c, 1, dtype=self.dtype, name="cv1")(x, train)
         parts = [y[..., :c], y[..., c:]]
-        for _ in range(self.n):
-            parts.append(Bottleneck(c, self.shortcut,
-                                    dtype=self.dtype)(parts[-1], train))
-        return Conv(self.features, 1,
-                    dtype=self.dtype)(jnp.concatenate(parts, -1), train)
+        for k in range(self.n):
+            parts.append(Bottleneck(c, self.shortcut, dtype=self.dtype,
+                                    name=f"m__{k}")(parts[-1], train))
+        return Conv(self.features, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(parts, -1), train)
 
 
 class SPPF(nn.Module):
@@ -90,13 +98,13 @@ class SPPF(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         c = x.shape[-1] // 2
-        x = Conv(c, 1, dtype=self.dtype)(x, train)
+        x = Conv(c, 1, dtype=self.dtype, name="cv1")(x, train)
         pools = [x]
         for _ in range(3):
             pools.append(nn.max_pool(pools[-1], (5, 5), strides=(1, 1),
                                      padding=[(2, 2)] * 2))
-        return Conv(self.features, 1,
-                    dtype=self.dtype)(jnp.concatenate(pools, -1), train)
+        return Conv(self.features, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(pools, -1), train)
 
 
 def _up2(x):
@@ -116,45 +124,57 @@ class YOLOv8(nn.Module):
         d, w, mc = v["d"], v["w"], v["mc"]
         ch = lambda c: _ch(c, w, mc)
         nn_ = lambda k: _n(k, d)
+        dt = self.dtype
 
-        # backbone
-        x = Conv(ch(64), 3, 2, dtype=self.dtype)(x, train)       # /2
-        x = Conv(ch(128), 3, 2, dtype=self.dtype)(x, train)      # /4
-        x = C2f(ch(128), nn_(3), dtype=self.dtype)(x, train)
-        x = Conv(ch(256), 3, 2, dtype=self.dtype)(x, train)      # /8
-        p3 = C2f(ch(256), nn_(6), dtype=self.dtype)(x, train)
-        x = Conv(ch(512), 3, 2, dtype=self.dtype)(p3, train)     # /16
-        p4 = C2f(ch(512), nn_(6), dtype=self.dtype)(x, train)
-        x = Conv(ch(1024), 3, 2, dtype=self.dtype)(p4, train)    # /32
-        x = C2f(ch(1024), nn_(3), dtype=self.dtype)(x, train)
-        p5 = SPPF(ch(1024), dtype=self.dtype)(x, train)
+        # backbone (module indices mirror the ultralytics yolov8 yaml)
+        x = Conv(ch(64), 3, 2, dtype=dt, name="model__0")(x, train)   # /2
+        x = Conv(ch(128), 3, 2, dtype=dt, name="model__1")(x, train)  # /4
+        x = C2f(ch(128), nn_(3), dtype=dt, name="model__2")(x, train)
+        x = Conv(ch(256), 3, 2, dtype=dt, name="model__3")(x, train)  # /8
+        p3 = C2f(ch(256), nn_(6), dtype=dt, name="model__4")(x, train)
+        x = Conv(ch(512), 3, 2, dtype=dt, name="model__5")(p3, train)  # /16
+        p4 = C2f(ch(512), nn_(6), dtype=dt, name="model__6")(x, train)
+        x = Conv(ch(1024), 3, 2, dtype=dt, name="model__7")(p4, train)  # /32
+        x = C2f(ch(1024), nn_(3), dtype=dt, name="model__8")(x, train)
+        p5 = SPPF(ch(1024), dtype=dt, name="model__9")(x, train)
 
         # PAN neck
-        u4 = C2f(ch(512), nn_(3), shortcut=False, dtype=self.dtype)(
+        u4 = C2f(ch(512), nn_(3), shortcut=False, dtype=dt,
+                 name="model__12")(
             jnp.concatenate([_up2(p5), p4], -1), train)
-        u3 = C2f(ch(256), nn_(3), shortcut=False, dtype=self.dtype)(
+        u3 = C2f(ch(256), nn_(3), shortcut=False, dtype=dt,
+                 name="model__15")(
             jnp.concatenate([_up2(u4), p3], -1), train)
-        d4 = C2f(ch(512), nn_(3), shortcut=False, dtype=self.dtype)(
+        d4 = C2f(ch(512), nn_(3), shortcut=False, dtype=dt,
+                 name="model__18")(
             jnp.concatenate(
-                [Conv(ch(256), 3, 2, dtype=self.dtype)(u3, train), u4],
-                -1), train)
-        d5 = C2f(ch(1024), nn_(3), shortcut=False, dtype=self.dtype)(
+                [Conv(ch(256), 3, 2, dtype=dt,
+                      name="model__16")(u3, train), u4], -1), train)
+        d5 = C2f(ch(1024), nn_(3), shortcut=False, dtype=dt,
+                 name="model__21")(
             jnp.concatenate(
-                [Conv(ch(512), 3, 2, dtype=self.dtype)(d4, train), p5],
-                -1), train)
+                [Conv(ch(512), 3, 2, dtype=dt,
+                      name="model__19")(d4, train), p5], -1), train)
 
-        # decoupled DFL head per level
+        # decoupled DFL head: branch widths come from the FIRST level's
+        # channels for ALL levels (ultralytics Detect.__init__)
+        feats = (u3, d4, d5)
+        c_reg = max(16, feats[0].shape[-1] // 4, self.reg_max * 4)
+        c_cls = max(feats[0].shape[-1], min(self.num_classes, 100))
         outs = []
-        for f in (u3, d4, d5):
-            c_reg = max(16, f.shape[-1] // 4, self.reg_max * 4)
-            c_cls = max(f.shape[-1], min(self.num_classes, 100))
-            r = Conv(c_reg, 3, dtype=self.dtype)(f, train)
-            r = Conv(c_reg, 3, dtype=self.dtype)(r, train)
-            reg = nn.Conv(4 * self.reg_max, (1, 1),
-                          dtype=self.dtype)(r)
-            c = Conv(c_cls, 3, dtype=self.dtype)(f, train)
-            c = Conv(c_cls, 3, dtype=self.dtype)(c, train)
-            cls = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(c)
+        for i, f in enumerate(feats):
+            r = Conv(c_reg, 3, dtype=dt,
+                     name=f"model__22__cv2__{i}__0")(f, train)
+            r = Conv(c_reg, 3, dtype=dt,
+                     name=f"model__22__cv2__{i}__1")(r, train)
+            reg = nn.Conv(4 * self.reg_max, (1, 1), dtype=dt,
+                          name=f"model__22__cv2__{i}__2")(r)
+            c = Conv(c_cls, 3, dtype=dt,
+                     name=f"model__22__cv3__{i}__0")(f, train)
+            c = Conv(c_cls, 3, dtype=dt,
+                     name=f"model__22__cv3__{i}__1")(c, train)
+            cls = nn.Conv(self.num_classes, (1, 1), dtype=dt,
+                          name=f"model__22__cv3__{i}__2")(c)
             outs.append(jnp.concatenate([reg, cls], -1))
         return outs
 

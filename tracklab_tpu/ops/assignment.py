@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["solve_square", "matching_forced", "matching_limit",
+__all__ = ["solve_square", "solve_rect", "matching_forced", "matching_limit",
            "min_cost_matching", "greedy_unique_match"]
 
 _INF = jnp.inf
@@ -122,6 +122,123 @@ def _solve_square_lax(cost: jnp.ndarray) -> jnp.ndarray:
     return p[:K]
 
 
+from jax import custom_batching
+
+
+@custom_batching.custom_vmap
+def solve_rect(cost: jnp.ndarray) -> jnp.ndarray:
+    """Exact min-cost assignment of ALL R rows of an (R, C) matrix,
+    R <= C, to distinct columns. Returns col2row (C,) int32 (value >= R
+    means unassigned; callers use :func:`_col2row_to_row2col`).
+
+    Rectangular Jonker-Volgenant: R augmentations over C columns —
+    O(R^2 C) instead of O(C^3) after square padding — and NO
+    data-dependent ``lax.cond`` dispatch, so it composes with ``vmap``.
+    Under ``vmap`` the custom batching rule routes ALL lanes into ONE
+    lane-batched Pallas program on TPU
+    (assignment_pallas.solve_rect_batched_pallas): per-problem state
+    lives on the sublane axis, every Dijkstra step is a full-tile VPU op
+    for all problems, and the loop trip count is the max over problems
+    instead of their sum. This is the solver behind single-chip
+    multi-video tracking (cfg.batched)."""
+    from tracklab_tpu.ops.assignment_pallas import (
+        solve_rect_batched_pallas,
+    )
+
+    R, C = cost.shape
+    if R == C:
+        return solve_square(cost)
+    return lax.platform_dependent(
+        cost,
+        tpu=lambda c: solve_rect_batched_pallas(c[None])[0],
+        default=_solve_rect_lax,
+    )
+
+
+@solve_rect.def_vmap
+def _solve_rect_vmap_rule(axis_size, in_batched, cost):
+    from tracklab_tpu.ops.assignment_pallas import (
+        solve_rect_batched_pallas,
+    )
+
+    (cost_batched,) = in_batched
+    if not cost_batched:
+        return solve_rect(cost), False
+    lead = cost.shape[:-2]
+    R, C = cost.shape[-2:]
+    flat = cost.reshape((-1, R, C))
+    out = lax.platform_dependent(
+        flat,
+        tpu=lambda c: solve_rect_batched_pallas(c),
+        default=lambda c: lax.map(_solve_rect_lax, c),
+    )
+    return out.reshape(lead + (C,)), True
+
+
+def _solve_rect_lax(cost: jnp.ndarray) -> jnp.ndarray:
+    R, C = cost.shape
+    assert R <= C, "solve_rect requires R <= C; transpose the problem"
+    if R == C:
+        return _solve_square_lax(cost)
+    dt = cost.dtype
+    FREE = jnp.int32(R)  # sentinel row id meaning "column unassigned"
+
+    u0 = jnp.zeros(R + 1, dt)
+    v0 = jnp.zeros(C + 1, dt)
+    p0 = jnp.full(C + 1, FREE, jnp.int32)
+
+    def assign_row(i, carry):
+        u, v, p = carry
+        p = p.at[C].set(i)
+        minv = jnp.full(C, _INF, dt)
+        way = jnp.full(C, C, jnp.int32)
+        used = jnp.zeros(C + 1, dtype=bool)
+
+        def path_cond(st):
+            _, _, p_, _, _, _, j0 = st
+            return p_[j0] != FREE
+
+        def path_body(st):
+            u_, v_, p_, minv_, way_, used_, j0 = st
+            used_ = used_.at[j0].set(True)
+            i0 = p_[j0]
+            cur = cost[i0, :] - u_[i0] - v_[:C]
+            better = (cur < minv_) & (~used_[:C])
+            minv_ = jnp.where(better, cur, minv_)
+            way_ = jnp.where(better, j0, way_)
+            reach = jnp.where(used_[:C], _INF, minv_)
+            j1 = jnp.argmin(reach).astype(jnp.int32)
+            delta = reach[j1]
+            bump_rows = jnp.where(used_, p_, FREE)
+            u_ = u_.at[bump_rows].add(jnp.where(used_, delta, 0.0))
+            v_ = jnp.where(used_, v_ - delta, v_)
+            minv_ = jnp.where(used_[:C], minv_, minv_ - delta)
+            return u_, v_, p_, minv_, way_, used_, j1
+
+        u, v, p, minv, way, used, j0 = lax.while_loop(
+            path_cond, path_body,
+            (u, v, p, minv, way, used, jnp.int32(C)),
+        )
+
+        def aug_cond(st):
+            _, j0_ = st
+            return j0_ != C
+
+        def aug_body(st):
+            p_, j0_ = st
+            j1 = way[j0_]
+            p_ = p_.at[j0_].set(p_[j1])
+            return p_, j1
+
+        p, _ = lax.while_loop(aug_cond, aug_body, (p, j0))
+        return u, v, p
+
+    _, _, p = lax.fori_loop(0, R, assign_row, (u0, v0, p0))
+    # map the FREE sentinel (R) to "no row" the same way the square core
+    # reports it (value == #rows is treated as unassigned by the caller)
+    return p[:C]
+
+
 def _col2row_to_row2col(col2row: jnp.ndarray, n_rows_total: int) -> jnp.ndarray:
     """Invert a col->row map into row->col (rows outside get -1)."""
     K = col2row.shape[0]
@@ -134,7 +251,8 @@ def _col2row_to_row2col(col2row: jnp.ndarray, n_rows_total: int) -> jnp.ndarray:
     return row2col[:n_rows_total]
 
 
-def matching_forced(cost, row_mask, col_mask, solver=None):
+def matching_forced(cost, row_mask, col_mask, solver=None,
+                    batched=False):
     """scipy-style forced rectangular matching on a padded matrix.
 
     Matches every valid row/col up to min(#valid rows, #valid cols),
@@ -152,10 +270,17 @@ def matching_forced(cost, row_mask, col_mask, solver=None):
     Args:
       cost: (R, C) float costs (finite on valid entries; others ignored).
       row_mask: (R,) bool validity. col_mask: (C,) bool validity.
+      batched: vmap-safe mode — no data-dependent lax.cond dispatch;
+        the rectangular JV core solves (R, C) directly (O(R^2 C), still
+        cheaper than the square-padded O(C^3) the cond branches avoid).
+        Identical results; use under vmap where cond runs every branch
+        for all lanes.
     Returns:
       row2col: (R,) int32 — assigned valid column per valid row, else -1.
     """
     R, C = cost.shape
+    if batched:
+        return _forced_rect(cost, row_mask, col_mask)
     if C > R:
         # Column compaction: trackers pad the track axis far beyond the
         # live count (C = max_tracks), but the JV solve is O(S^3) in the
@@ -190,6 +315,37 @@ def matching_forced(cost, row_mask, col_mask, solver=None):
     return _forced_core(cost, row_mask, col_mask, solver)
 
 
+def _forced_rect(cost, row_mask, col_mask):
+    """matching_forced semantics via the rectangular JV core, with no
+    lax.cond dispatch (vmap-safe). Same absorbing-edge construction as
+    _forced_core on an (R, C) rectangle; when R > C the problem is
+    transposed."""
+    R, C = cost.shape
+    if R > C:
+        # solve the transposed problem (C rows over R columns), then
+        # invert the col->row map back to row2col
+        c2r = _forced_rect(cost.T, col_mask, row_mask)   # (C,) col -> row
+        sel = (c2r[None, :] == jnp.arange(R, dtype=jnp.int32)[:, None]) \
+            & (c2r >= 0)[None, :]                         # (R, C)
+        hit = jnp.any(sel, axis=1)
+        return jnp.where(hit, jnp.argmax(sel, axis=1).astype(jnp.int32),
+                         -1)
+    valid = row_mask[:, None] & col_mask[None, :]
+    finite = jnp.isfinite(cost) & valid
+    scale = jnp.maximum(jnp.max(jnp.where(finite, jnp.abs(cost), 0.0)),
+                        1e-9)
+    c_hat = jnp.clip(jnp.where(finite, cost, 0.0) / scale, -1.0, 1.0) - 2.0
+    rect = jnp.where(finite, c_hat, 0.0)
+    col2row = solve_rect(rect)
+    row2col = _col2row_to_row2col(col2row, R)
+    cols_ok = (row2col >= 0) & (row2col < C)
+    safe_col = jnp.where(cols_ok, row2col, 0)
+    pair_valid = cols_ok & row_mask & col_mask[safe_col] & finite[
+        jnp.arange(R), safe_col
+    ]
+    return jnp.where(pair_valid, row2col, -1)
+
+
 def _forced_core(cost, row_mask, col_mask, solver=None):
     R, C = cost.shape
     S = max(R, C)
@@ -210,7 +366,7 @@ def _forced_core(cost, row_mask, col_mask, solver=None):
     return jnp.where(pair_valid, row2col, -1)
 
 
-def matching_limit(cost, row_mask, col_mask, limit):
+def matching_limit(cost, row_mask, col_mask, limit, batched=False):
     """``lap.lapjv(extend_cost=True, cost_limit=limit)`` semantics.
 
     A valid pair (i, j) is matched only when beneficial versus routing both
@@ -220,10 +376,29 @@ def matching_limit(cost, row_mask, col_mask, limit):
     capacity-invalid slots priced out of the valid block).
 
     Returns row2col: (R,) int32, -1 where unmatched.
+    ``batched=True`` is the vmap-safe variant: no lax.cond dispatch, one
+    rectangular max-weight JV solve (identical results).
     """
     R, C = cost.shape
     valid = row_mask[:, None] & col_mask[None, :]
     finite = jnp.isfinite(cost) & valid
+
+    if batched:
+        w = jnp.where(finite, jnp.maximum(limit - cost, 0.0), 0.0)
+        scale = jnp.maximum(jnp.max(w), 1e-9)
+        wn = w / scale
+        if C >= R:
+            col2row = solve_rect(-wn)
+            r2c = _col2row_to_row2col(col2row, R)
+        else:
+            col2row = solve_rect(-wn.T)          # (R,) orig-row -> col?
+            # transposed: col2row maps each orig ROW (transposed col) to
+            # the orig COL (transposed row) assigned to it
+            r2c = jnp.where(col2row < C, col2row.astype(jnp.int32), -1)
+        cols_ok = (r2c >= 0) & (r2c < C)
+        safe_col = jnp.where(cols_ok, r2c, 0)
+        ok = cols_ok & (wn[jnp.arange(R), safe_col] > 0.0)
+        return jnp.where(ok, r2c, -1)
 
     # Exact fast path: edges costing more than ``limit`` never match (the
     # dummy route is cheaper), and when the strictly-sub-limit candidate
@@ -302,7 +477,8 @@ def _unique_partial_matching(sub):
     return is_unique, row2col
 
 
-def min_cost_matching(cost, row_mask, col_mask, max_distance, solver=None):
+def min_cost_matching(cost, row_mask, col_mask, max_distance, solver=None,
+                      batched=False):
     """DeepSORT-family ``min_cost_matching`` semantics
     (strong_sort/sort/linear_assignment.py:55-73): clamp costs above
     ``max_distance`` to max+1e-5, run forced LSA, drop matched pairs whose
@@ -322,19 +498,25 @@ def min_cost_matching(cost, row_mask, col_mask, max_distance, solver=None):
     """
     valid = row_mask[:, None] & col_mask[None, :] & jnp.isfinite(cost)
     sub = valid & (cost <= max_distance)
-    is_unique, fast_r2c = _unique_partial_matching(sub)
-
-    def fast(_):
-        return fast_r2c
 
     def slow(_):
         clamped = jnp.minimum(cost, max_distance + 1e-5)
-        d2t = matching_forced(clamped, row_mask, col_mask, solver)
+        d2t = matching_forced(clamped, row_mask, col_mask, solver,
+                              batched=batched)
         got = d2t >= 0
         safe = jnp.where(got, d2t, 0)
         keep = got & (cost[jnp.arange(cost.shape[0]), safe]
                       <= max_distance)
         return jnp.where(keep, d2t, -1)
+
+    if batched:
+        # vmap-safe: no cond fast path
+        return slow(None)
+
+    is_unique, fast_r2c = _unique_partial_matching(sub)
+
+    def fast(_):
+        return fast_r2c
 
     return lax.cond(is_unique, fast, slow, None)
 

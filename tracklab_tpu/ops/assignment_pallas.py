@@ -159,3 +159,159 @@ def solve_square_pallas(cost, interpret: bool = False):
         interpret=interpret,
     )(cost.astype(jnp.float32))
     return out[0]
+
+
+# ---------------------------------------------------------------------------
+# Lane-batched RECTANGULAR JV kernel: V independent (R, C) problems solved
+# simultaneously in ONE Mosaic program. All per-problem state lives on the
+# sublane axis of (V, P) VMEM tiles, so each Dijkstra step is one
+# full-tile VPU op for ALL problems at once, and the while-loop trip count
+# is the max over problems instead of their sum (what a vmapped/grid
+# launch of the single-problem kernel would pay). This is the solver
+# behind the single-chip multi-video tracker batching (cfg.batched).
+# ---------------------------------------------------------------------------
+
+def _jv_rect_batched_kernel(cost_ref, out_ref, u_ref, v_ref, p_ref, d_ref,
+                            pred_ref, vis_ref, *, V: int, R: int, C: int,
+                            P: int):
+    FREE = R
+    col = jax.lax.broadcasted_iota(jnp.int32, (V, P), 1)
+    real = col < C
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)  # for u slots
+
+    def sel_f(mat, idx):
+        """mat (V, P), idx (V, 1) -> (V, 1) masked row-wise select."""
+        return jnp.max(jnp.where(col == idx, mat, jnp.float32(-_INF)),
+                       axis=1, keepdims=True)
+
+    def sel_i(mat, idx):
+        return jnp.max(jnp.where(col == idx, mat, jnp.int32(-2147483647)),
+                       axis=1, keepdims=True)
+
+    def cost_row_dyn(i_star):
+        """Per-problem row gather via one-hot contraction over R
+        (Mosaic has no fancy gather): (V, 1) row ids -> (V, P) rows."""
+        acc = jnp.zeros((V, P), jnp.float32)
+        for r in range(R):  # static unroll; R is small (max_dets)
+            m = (i_star == r).astype(jnp.float32)          # (V, 1)
+            acc = acc + m * cost_ref[:, r, :]
+        return acc
+
+    u_ref[...] = jnp.zeros((V, P), jnp.float32)
+    v_ref[...] = jnp.zeros((V, P), jnp.float32)
+    p_ref[...] = jnp.full((V, P), FREE, jnp.int32)
+
+    def assign_row(cur, _):
+        cur = jnp.int32(cur)
+        u_cur = sel_f(u_ref[...], jnp.full((V, 1), cur))
+        cost_cur = cost_ref[:, cur, :]                      # (V, P)
+        d_ref[...] = jnp.where(real, cost_cur - u_cur - v_ref[...],
+                               _INF)
+        pred_ref[...] = jnp.full((V, P), _NONE, jnp.int32)
+        vis_ref[...] = jnp.zeros((V, P), jnp.int32)
+
+        def sp_cond(carry):
+            sink, _ = carry
+            return jnp.any(sink == _NONE)
+
+        def sp_body(carry):
+            sink, minv = carry
+            live = sink == _NONE                            # (V, 1)
+            reach = jnp.where((vis_ref[...] == 0) & real, d_ref[...],
+                              _INF)
+            min_val = jnp.min(reach, axis=1, keepdims=True)  # (V, 1)
+            j_star = jnp.argmin(reach, axis=1).astype(jnp.int32)
+            j_star = j_star.reshape(V, 1)
+            hit = (col == j_star) & live
+            vis_ref[...] = jnp.where(hit, 1, vis_ref[...])
+            i_star = sel_i(p_ref[...], j_star)              # (V, 1)
+            found = live & (i_star == FREE)
+            sink = jnp.where(found, j_star, sink)
+            minv = jnp.where(found | (live & (i_star != FREE)),
+                             jnp.where(live, min_val, minv), minv)
+            # relax for problems still searching
+            relaxing = live & (i_star != FREE)
+            safe_i = jnp.where(relaxing, i_star, 0)
+            u_i = sel_f(u_ref[...], safe_i)
+            cost_i = cost_row_dyn(safe_i)
+            alt = min_val + cost_i - u_i - v_ref[...]
+            better = (alt < d_ref[...]) & (vis_ref[...] == 0) & real \
+                & relaxing
+            d_ref[...] = jnp.where(better, alt, d_ref[...])
+            pred_ref[...] = jnp.where(better, j_star, pred_ref[...])
+            return sink, minv
+
+        sink, min_val = lax.while_loop(
+            sp_cond, sp_body,
+            (jnp.full((V, 1), _NONE, jnp.int32),
+             jnp.zeros((V, 1), jnp.float32)))
+
+        # deferred dual updates (per problem)
+        scanned = (vis_ref[...] == 1) & (col != sink) & real
+        dgap = jnp.where(scanned, min_val - d_ref[...], 0.0)
+        v_ref[...] = jnp.where(scanned, v_ref[...] - dgap, v_ref[...])
+        # u[p[j]] += dgap[j] via one-hot contraction per problem:
+        # eq[v, r, j] = (p[v, j] == r)
+        p_vals = p_ref[...]
+        bump = jnp.zeros((V, P), jnp.float32)
+        for r in range(R):
+            m = jnp.sum(jnp.where(p_vals == r, dgap, 0.0), axis=1,
+                        keepdims=True)                      # (V, 1)
+            bump = bump + m * (row_ids == r).astype(jnp.float32)
+        u_ref[...] = u_ref[...] + bump
+        u_ref[...] = jnp.where(col == cur, u_ref[...] + min_val,
+                               u_ref[...])
+
+        # augment per problem
+        def aug_cond(carry):
+            j = carry
+            return jnp.any(j != _NONE)
+
+        def aug_body(carry):
+            j = carry
+            live = j != _NONE
+            safe_j = jnp.where(live, j, 0)
+            jp = sel_i(pred_ref[...], safe_j)
+            at_chain_start = jp == _NONE
+            prev_row = sel_i(p_ref[...], jnp.where(at_chain_start, 0,
+                                                   jp))
+            new_row = jnp.where(at_chain_start, cur, prev_row)
+            p_ref[...] = jnp.where((col == safe_j) & live, new_row,
+                                   p_ref[...])
+            return jnp.where(live, jp, _NONE)
+
+        lax.while_loop(aug_cond, aug_body, sink)
+        return 0
+
+    lax.fori_loop(0, R, assign_row, 0)
+    out_ref[...] = p_ref[:, :C]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def solve_rect_batched_pallas(cost, interpret: bool = False):
+    """V independent exact rectangular assignments in one kernel.
+
+    cost: (V, R, C) with R <= C, finite. Returns col2row (V, C) int32
+    (value == R means the column is unassigned)."""
+    V, R, C = cost.shape
+    P = max(128, ((C + 1 + 127) // 128) * 128)
+    pad = jnp.full((V, R, P - C), _INF, jnp.float32)
+    cost_p = jnp.concatenate([cost.astype(jnp.float32), pad], axis=2)
+    kernel = functools.partial(_jv_rect_batched_kernel, V=V, R=R, C=C,
+                               P=P)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((V, C), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((V, P), jnp.float32),   # u (row duals on lanes)
+            pltpu.VMEM((V, P), jnp.float32),   # v
+            pltpu.VMEM((V, P), jnp.int32),     # p
+            pltpu.VMEM((V, P), jnp.float32),   # d
+            pltpu.VMEM((V, P), jnp.int32),     # pred
+            pltpu.VMEM((V, P), jnp.int32),     # vis
+        ],
+        interpret=interpret,
+    )(cost_p)
+    return out

@@ -55,6 +55,11 @@ class BotSortConfig:
     frame_rate: int = 30
     ema_alpha: float = 0.9
     embed_dim: int = 512
+    # vmap-safe mode for multi-video batching: replaces lax.cond
+    # fast-path dispatch (which runs every branch for all lanes
+    # under vmap) with cond-free rectangular JV solves. Identical
+    # outputs; set True when vmapping the scan over a video axis.
+    batched: bool = False
     max_tracks: int = 128
     max_dets: int = 64
 
@@ -205,7 +210,8 @@ def botsort_step(cfg: BotSortConfig, st: BotSortState, inputs):
     # in the reference every pool track has one (stage-1 always attaches
     # features), so mask them out defensively
     cost1 = jnp.where(st.has_feat[None, :], cost1, jnp.inf)
-    d2t_1 = matching_limit(cost1, first, pool, cfg.match_thresh)
+    d2t_1 = matching_limit(cost1, first, pool, cfg.match_thresh,
+                           batched=cfg.batched)
     t2d_1 = _invert(d2t_1, T)
     st = _kf_update_where(st, det, t2d_1, emb_n, now, cfg.ema_alpha)
 
@@ -216,7 +222,8 @@ def botsort_step(cfg: BotSortConfig, st: BotSortState, inputs):
     ok2 = second[:, None] & r_tracked[None, :]
     dist2 = jnp.where(ok2, 1.0 - iou2, 1.0)
     # stage-2 detections carry no features: zero their emb rows
-    d2t_2 = matching_limit(dist2, second, r_tracked, 0.5)
+    d2t_2 = matching_limit(dist2, second, r_tracked, 0.5,
+                           batched=cfg.batched)
     t2d_2 = _invert(d2t_2, T)
     emb_zero = jnp.zeros_like(emb_n)
     st = _kf_update_where(st, det, t2d_2, emb_zero, now, cfg.ema_alpha)
@@ -236,7 +243,8 @@ def botsort_step(cfg: BotSortConfig, st: BotSortState, inputs):
     emb3 = jnp.where(prox_mask, 1.0, emb3)
     emb3 = jnp.where(st.has_feat[None, :], emb3, 1.0)
     dist3 = jnp.minimum(fused, emb3)
-    d2t_3 = matching_limit(dist3, u_det, unconfirmed, 0.7)
+    d2t_3 = matching_limit(dist3, u_det, unconfirmed, 0.7,
+                           batched=cfg.batched)
     t2d_3 = _invert(d2t_3, T)
     st = _kf_update_where(st, det, t2d_3, emb_n, now, cfg.ema_alpha)
     st = st._replace(active=st.active & ~(unconfirmed & (t2d_3 < 0)))

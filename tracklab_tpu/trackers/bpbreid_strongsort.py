@@ -5,9 +5,10 @@ Re-design of the reference's own tracker
 computed *part-based* ReID embeddings (from the KPReID module) with:
 
   * part-based appearance distance (sort/nn_matching.py:99-136 via
-    torchreid compute_distance_matrix_using_bp_features): per-part cosine
-    distance weighted by the product of part visibility scores, averaged
-    over commonly-visible parts, halved to [0, 1]
+    torchreid compute_distance_matrix_using_bp_features): per-part squared
+    Euclidean distance of L2-normalized features, visibility-weighted mean
+    over parts, halved — i.e. (1 - cos) per part (see
+    part_based_distance)
   * visibility-aware part-feature EMA (sort/track.py:150-169): parts
     visible on both sides blend by ema_alpha; one-sided parts keep the
     visible side's features; never-seen parts are set to 1
@@ -73,6 +74,11 @@ class BPBReIDStrongSortConfig:
     n_parts: int = 6                  # KPR part count (+1 global)
     embed_dim: int = 512
     n_keypoints: int = 17
+    # vmap-safe mode for multi-video batching: replaces lax.cond
+    # fast-path dispatch (which runs every branch for all lanes
+    # under vmap) with cond-free rectangular JV solves. Identical
+    # outputs; set True when vmapping the scan over a video axis.
+    batched: bool = False
     max_tracks: int = 128
     max_dets: int = 64
 
@@ -215,7 +221,7 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
             gate |= st_cost > motion_max
         cost = jnp.where(gate, INFTY_COST, cost)
         d2t_a = _clamped_matching(cost, det.valid, st.active,
-                                  cfg.max_dist)
+                                  cfg.max_dist, batched=cfg.batched)
         t2d_a = _invert(d2t_a, T)
         d2t_b = jnp.full(det.ltrb.shape[0], -1, jnp.int32)
         t2d_b = _invert(d2t_b, T)
@@ -224,7 +230,7 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
         app_g = jnp.where(gating > gthr, INFTY_COST, app)
         app_g = cfg.mc_lambda * app_g + (1 - cfg.mc_lambda) * gating
         d2t_a = _clamped_matching(app_g, det.valid, confirmed,
-                                  cfg.max_dist)
+                                  cfg.max_dist, batched=cfg.batched)
         t2d_a = _invert(d2t_a, T)
 
         # --- stage B: motion cost (iou on prediction / oks on last kps)
@@ -235,7 +241,8 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
         motion_cost, motion_max = motion_cost_matrix()
         ok = u_det[:, None] & cand[None, :]
         motion_cost = jnp.where(ok, motion_cost, INFTY_COST)
-        d2t_b = _clamped_matching(motion_cost, u_det, cand, motion_max)
+        d2t_b = _clamped_matching(motion_cost, u_det, cand, motion_max,
+                                  batched=cfg.batched)
         t2d_b = _invert(d2t_b, T)
 
     trk2det = jnp.where(t2d_a >= 0, t2d_a, t2d_b)

@@ -49,6 +49,11 @@ class ByteTrackConfig:
     match_thresh: float = 0.8
     track_buffer: int = 25
     frame_rate: int = 30
+    # vmap-safe mode for multi-video batching: replaces lax.cond
+    # fast-path dispatch (which runs every branch for all lanes
+    # under vmap) with cond-free rectangular JV solves. Identical
+    # outputs; set True when vmapping the scan over a video axis.
+    batched: bool = False
     max_tracks: int = 128
     max_dets: int = 64
 
@@ -188,7 +193,8 @@ def bytetrack_step(cfg: ByteTrackConfig, st: ByteTrackState,
     # --- stage 1: high-score dets vs pool, score-fused IoU ---
     dist, _ = _iou_dist(trk_ltrb, pool, det.ltrb, first)
     dist = _fuse_score(dist, det.conf)
-    d2t_1 = matching_limit(dist, first, pool, cfg.match_thresh)
+    d2t_1 = matching_limit(dist, first, pool, cfg.match_thresh,
+                           batched=cfg.batched)
     t2d_1 = _invert(d2t_1, T)
     st = _kf_update_where(st, det, t2d_1, now)
 
@@ -196,7 +202,8 @@ def bytetrack_step(cfg: ByteTrackConfig, st: ByteTrackState,
     r_tracked = tracked_act & (t2d_1 < 0)
     trk_ltrb2 = _track_ltrb(st.mean)
     dist2, _ = _iou_dist(trk_ltrb2, r_tracked, det.ltrb, second)
-    d2t_2 = matching_limit(dist2, second, r_tracked, 0.5)
+    d2t_2 = matching_limit(dist2, second, r_tracked, 0.5,
+                           batched=cfg.batched)
     t2d_2 = _invert(d2t_2, T)
     st = _kf_update_where(st, det, t2d_2, now)
     # unmatched stage-2 Tracked tracks -> Lost
@@ -208,7 +215,8 @@ def bytetrack_step(cfg: ByteTrackConfig, st: ByteTrackState,
     trk_ltrb3 = _track_ltrb(st.mean)
     dist3, _ = _iou_dist(trk_ltrb3, unconfirmed, det.ltrb, u_det)
     dist3 = _fuse_score(dist3, det.conf)
-    d2t_3 = matching_limit(dist3, u_det, unconfirmed, 0.7)
+    d2t_3 = matching_limit(dist3, u_det, unconfirmed, 0.7,
+                           batched=cfg.batched)
     t2d_3 = _invert(d2t_3, T)
     st = _kf_update_where(st, det, t2d_3, now)
     # unmatched unconfirmed -> removed

@@ -168,6 +168,11 @@ class DeepOCSortConfig:
     # (deep_oc_sort/association.py:314)
     angle_cost_scale: str = "category"
     embed_dim: int = 512
+    # vmap-safe mode for multi-video batching: replaces lax.cond
+    # fast-path dispatch (which runs every branch for all lanes
+    # under vmap) with cond-free rectangular JV solves. Identical
+    # outputs; set True when vmapping the scan over a video axis.
+    batched: bool = False
     max_tracks: int = 128
     max_dets: int = 64
 
@@ -401,12 +406,16 @@ def deepocsort_step(cfg: DeepOCSortConfig, st: DeepOCSortState, inputs):
             emb_term = _aw_weight(emb_sim, pair_ok,
                                   cfg.w_association_emb, cfg.aw_param)
 
-    is_unique, greedy = greedy_unique_match(iou, keep, st.active,
-                                            cfg.iou_threshold)
-    det2trk = lax.cond(
-        is_unique, lambda _: greedy,
-        lambda _: matching_forced(-(iou + angle + emb_term), keep,
-                                  st.active), None)
+    if cfg.batched:
+        det2trk = matching_forced(-(iou + angle + emb_term), keep,
+                                  st.active, batched=True)
+    else:
+        is_unique, greedy = greedy_unique_match(iou, keep, st.active,
+                                                cfg.iou_threshold)
+        det2trk = lax.cond(
+            is_unique, lambda _: greedy,
+            lambda _: matching_forced(-(iou + angle + emb_term), keep,
+                                      st.active), None)
     d_idx = jnp.arange(det.ltrb.shape[0])
     got = det2trk >= 0
     safe = jnp.where(got, det2trk, 0)
@@ -423,15 +432,19 @@ def deepocsort_step(cfg: DeepOCSortConfig, st: DeepOCSortState, inputs):
     gate = jnp.max(sim2) > cfg.iou_threshold
 
     def solve_ocr(_):
-        d2t = matching_forced(-sim2, u_det, u_trk & st.has_obs)
+        d2t = matching_forced(-sim2, u_det, u_trk & st.has_obs,
+                              batched=cfg.batched)
         g = d2t >= 0
         s = jnp.where(g, d2t, 0)
         return jnp.where(g & (sim2[d_idx, s] >= cfg.iou_threshold),
                          d2t, -1)
 
-    ocr_d2t = lax.cond(gate, solve_ocr,
-                       lambda _: jnp.full(det.ltrb.shape[0], -1,
-                                          jnp.int32), None)
+    if cfg.batched:
+        ocr_d2t = jnp.where(gate, solve_ocr(None), -1)
+    else:
+        ocr_d2t = lax.cond(gate, solve_ocr,
+                           lambda _: jnp.full(det.ltrb.shape[0], -1,
+                                              jnp.int32), None)
 
     combined = jnp.where(det2trk >= 0, det2trk, ocr_d2t)
     trk2det = _invert(combined, T)

@@ -70,6 +70,11 @@ class OCSortConfig:
     # original OC-SORT intent.
     angle_cost_scale: str = "category"
     # capacities (static shapes)
+    # vmap-safe mode for multi-video batching: replaces lax.cond
+    # fast-path dispatch (which runs every branch for all lanes
+    # under vmap) with cond-free rectangular JV solves. Identical
+    # outputs; set True when vmapping the scan over a video axis.
+    batched: bool = False
     max_tracks: int = 128
     max_dets: int = 64
 
@@ -202,13 +207,19 @@ def _associate(cfg, det_ltrb, det_scale, det_valid, trk_ltrb, trk_valid,
     angle = _speed_direction_cost(det_ltrb, det_scale, det_valid, k_obs,
                                   velocity, trk_valid, cfg.inertia)
 
-    is_unique, greedy = greedy_unique_match(
-        iou, det_valid, trk_valid, cfg.iou_threshold)
+    if cfg.batched:
+        # vmap-safe: no cond fast path (cond runs every branch for all
+        # lanes under vmap); one rectangular JV solve
+        det2trk = matching_forced(-(iou + angle), det_valid, trk_valid,
+                                  batched=True)
+    else:
+        is_unique, greedy = greedy_unique_match(
+            iou, det_valid, trk_valid, cfg.iou_threshold)
 
-    def solve(_):
-        return matching_forced(-(iou + angle), det_valid, trk_valid)
+        def solve(_):
+            return matching_forced(-(iou + angle), det_valid, trk_valid)
 
-    det2trk = lax.cond(is_unique, lambda _: greedy, solve, None)
+        det2trk = lax.cond(is_unique, lambda _: greedy, solve, None)
     # post-filter: drop matches with IoU below threshold
     d_idx = jnp.arange(det_ltrb.shape[0])
     got = det2trk >= 0
@@ -229,13 +240,16 @@ def _recovery_match(cfg, det_ltrb, det_valid, trk_ltrb, trk_valid):
     gate = jnp.max(iou) > cfg.iou_threshold
 
     def solve(_):
-        det2trk = matching_forced(-iou, det_valid, trk_valid)
+        det2trk = matching_forced(-iou, det_valid, trk_valid,
+                                  batched=cfg.batched)
         d_idx = jnp.arange(det_ltrb.shape[0])
         got = det2trk >= 0
         safe = jnp.where(got, det2trk, 0)
         keep = got & (iou[d_idx, safe] >= cfg.iou_threshold)
         return jnp.where(keep, det2trk, -1)
 
+    if cfg.batched:
+        return jnp.where(gate, solve(None), -1)
     return lax.cond(
         gate, solve,
         lambda _: jnp.full(det_ltrb.shape[0], -1, jnp.int32), None)

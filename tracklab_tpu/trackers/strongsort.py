@@ -61,6 +61,11 @@ class StrongSortConfig:
     mc_lambda: float = 0.995
     ema_alpha: float = 0.8962
     embed_dim: int = 512
+    # vmap-safe mode for multi-video batching: replaces lax.cond
+    # fast-path dispatch (which runs every branch for all lanes
+    # under vmap) with cond-free rectangular JV solves. Identical
+    # outputs; set True when vmapping the scan over a video axis.
+    batched: bool = False
     max_tracks: int = 128
     max_dets: int = 64
 
@@ -126,11 +131,14 @@ def _mean_to_ltrb(mean):
                      axis=1)
 
 
-def _clamped_matching(cost, row_mask, col_mask, max_distance):
+def _clamped_matching(cost, row_mask, col_mask, max_distance,
+                      batched=False):
     """min_cost_matching semantics (linear_assignment.py:55-73), with the
-    exact unique-candidate fast path (ops/assignment.py)."""
+    exact unique-candidate fast path (ops/assignment.py); batched=True is
+    the cond-free vmap-safe variant."""
     from tracklab_tpu.ops.assignment import min_cost_matching
-    return min_cost_matching(cost, row_mask, col_mask, max_distance)
+    return min_cost_matching(cost, row_mask, col_mask, max_distance,
+                             batched=batched)
 
 
 def _invert(det2trk, T):
@@ -190,7 +198,8 @@ def strongsort_step(cfg: StrongSortConfig, st: StrongSortState,
     )(st.mean, st.cov).T                                   # (D, T)
     app_cost = jnp.where(gating > CHI2INV95_4D, INFTY_COST, app_cost)
     app_cost = cfg.mc_lambda * app_cost + (1 - cfg.mc_lambda) * gating
-    d2t_a = _clamped_matching(app_cost, det.valid, confirmed, cfg.max_dist)
+    d2t_a = _clamped_matching(app_cost, det.valid, confirmed,
+                              cfg.max_dist, batched=cfg.batched)
     t2d_a = _invert(d2t_a, T)
 
     # --- stage B: IoU matching (tracker.py:173-183) ---
@@ -204,7 +213,8 @@ def strongsort_step(cfg: StrongSortConfig, st: StrongSortState,
     # iou_matching.iou_cost: tsu > 1 candidates cost INFTY (only affects
     # tentative tracks, which always have tsu <= 1 here)
     u_det = det.valid & (d2t_a < 0)
-    d2t_b = _clamped_matching(iou_cost, u_det, iou_cand, cfg.max_iou_dist)
+    d2t_b = _clamped_matching(iou_cost, u_det, iou_cand,
+                              cfg.max_iou_dist, batched=cfg.batched)
     t2d_b = _invert(d2t_b, T)
 
     trk2det = jnp.where(t2d_a >= 0, t2d_a, t2d_b)

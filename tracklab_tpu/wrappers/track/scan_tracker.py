@@ -244,11 +244,19 @@ class _ScanTrackerBase(VideoLevelModule):
         cfg = self._make_config()
         scan = self._scan_fn()
         if mesh is not None:
+            # one video per device: each runs its own sequential scan, so
+            # the cond fast paths stay beneficial
             from tracklab_tpu.parallel.mesh import tracker_videos_sharded
             run = tracker_videos_sharded(
                 lambda c, d: scan(c, d), cfg, mesh, axis="video")
             _, out = run(stacked)
         else:
+            # single-chip vmap: switch the tracker to its cond-free
+            # batched mode (identical outputs; lax.cond under vmap runs
+            # every branch for all lanes — the 12x cliff, BASELINE.md)
+            import dataclasses
+            if hasattr(cfg, "batched"):
+                cfg = dataclasses.replace(cfg, batched=True)
             _, out = jax.jit(jax.vmap(lambda d: scan(cfg, d)))(stacked)
         results = []
         for v, (lut, n) in enumerate(zip(luts, lens)):

@@ -335,3 +335,37 @@ def test_torch_checkpoint_roundtrip(tmp_path):
     a = model.apply(variables, x, method=YOLOX.predict)
     b = model.apply(restored, x, method=YOLOX.predict)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestRTMDet:
+    def test_forward_and_decode(self):
+        import jax
+        import jax.numpy as jnp
+        from tracklab_tpu.models.rtmdet import RTMDet, decode_rtmdet
+
+        model = RTMDet(num_classes=2, variant="nano")
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        outs = model.apply(variables, x, train=False)
+        assert len(outs) == 3
+        for (c, r), s in zip(outs, (8, 16, 32)):
+            assert c.shape == (1, 64 // s, 64 // s, 2)
+            assert r.shape == (1, 64 // s, 64 // s, 4)
+        dec = decode_rtmdet(outs)
+        A = sum((64 // s) ** 2 for s in (8, 16, 32))
+        assert dec.shape == (1, A, 7)
+        # obj column is identically 1 (RTMDet has no objectness)
+        assert jnp.all(dec[..., 4] == 1.0)
+
+    def test_decode_geometry(self):
+        import jax.numpy as jnp
+        from tracklab_tpu.models.rtmdet import decode_rtmdet
+
+        # one level, stride 8, 2x2 grid; reg = distances/stride
+        cls = jnp.zeros((1, 2, 2, 1))
+        reg = jnp.ones((1, 2, 2, 4)) * jnp.asarray([1.0, 0.5, 2.0, 1.5])
+        dec = decode_rtmdet([(cls, reg)], strides=(8,))
+        # grid point (1,1) -> (8, 8); distances (8, 4, 16, 12)
+        xywh = dec[0, 3, :4]
+        # ltrb = (0, 4, 24, 20) -> center (12, 12), size (24, 16)
+        assert jnp.allclose(xywh, jnp.asarray([12.0, 12.0, 24.0, 16.0]))

@@ -495,3 +495,248 @@ def test_osnet_convert_rejects_wrong_variant():
     with pytest.raises(ValueError):
         convert_osnet_torch(_state_dict_np(tm), OSNet(variant="x0_5"),
                             (1, 256, 128, 3))
+
+
+# ---------------------------------------------------------------------------
+# RTMDet vs an independent torch implementation with mmdetection's module
+# structure and state-dict naming (backbone.stem.0 / stage{i}.{j} /
+# neck.* / bbox_head.* with share_conv tied kernels)
+# ---------------------------------------------------------------------------
+
+def _build_torch_rtmdet(num_classes, deepen, widen):
+    import torch.nn as tnn
+
+    def widen_c(c):
+        return max(int(c * widen), 8)
+
+    def deepen_n(n):
+        return max(int(round(n * deepen)), 1)
+
+    class ConvModule(tnn.Module):
+        def __init__(self, ci, co, k, s=1, g=1):
+            super().__init__()
+            self.conv = tnn.Conv2d(ci, co, k, s, k // 2, groups=g,
+                                   bias=False)
+            self.bn = tnn.BatchNorm2d(co)
+            self.act = tnn.SiLU()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class DWSep(tnn.Module):
+        def __init__(self, ci, co, k):
+            super().__init__()
+            self.depthwise_conv = ConvModule(ci, ci, k, g=ci)
+            self.pointwise_conv = ConvModule(ci, co, 1)
+
+        def forward(self, x):
+            return self.pointwise_conv(self.depthwise_conv(x))
+
+    class CSPNeXtBlock(tnn.Module):
+        def __init__(self, ci, co, add_identity):
+            super().__init__()
+            self.conv1 = ConvModule(ci, co, 3)
+            self.conv2 = DWSep(co, co, 5)
+            self.add = add_identity and ci == co
+
+        def forward(self, x):
+            y = self.conv2(self.conv1(x))
+            return x + y if self.add else y
+
+    class ChannelAttention(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.fc = tnn.Conv2d(c, c, 1, bias=True)
+            self.act = tnn.Hardsigmoid()
+
+        def forward(self, x):
+            w = x.mean((2, 3), keepdim=True)
+            return x * self.act(self.fc(w))
+
+    class CSPLayer(tnn.Module):
+        def __init__(self, ci, co, n, add_identity, attention=True):
+            super().__init__()
+            mid = int(co * 0.5)
+            self.main_conv = ConvModule(ci, mid, 1)
+            self.short_conv = ConvModule(ci, mid, 1)
+            self.final_conv = ConvModule(2 * mid, co, 1)
+            self.blocks = tnn.Sequential(
+                *[CSPNeXtBlock(mid, mid, add_identity)
+                  for _ in range(n)])
+            self.attention = ChannelAttention(2 * mid) if attention \
+                else None
+
+        def forward(self, x):
+            s = self.short_conv(x)
+            m = self.blocks(self.main_conv(x))
+            y = torch.cat([m, s], dim=1)
+            if self.attention is not None:
+                y = self.attention(y)
+            return self.final_conv(y)
+
+    class SPP(tnn.Module):
+        def __init__(self, ci, co, ks=(5, 9, 13)):
+            super().__init__()
+            mid = ci // 2
+            self.conv1 = ConvModule(ci, mid, 1)
+            self.poolings = tnn.ModuleList(
+                [tnn.MaxPool2d(k, 1, k // 2) for k in ks])
+            self.conv2 = ConvModule(mid * (len(ks) + 1), co, 1)
+
+        def forward(self, x):
+            x = self.conv1(x)
+            return self.conv2(torch.cat(
+                [x] + [p(x) for p in self.poolings], dim=1))
+
+    class Backbone(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            c0 = widen_c(64)
+            self.stem = tnn.Sequential(
+                ConvModule(3, c0 // 2, 3, 2),
+                ConvModule(c0 // 2, c0 // 2, 3, 1),
+                ConvModule(c0 // 2, c0, 3, 1))
+            arch = [(128, 3, True, False), (256, 6, True, False),
+                    (512, 6, True, False), (1024, 3, False, True)]
+            ci = c0
+            for i, (c, n, add_id, spp) in enumerate(arch):
+                co = widen_c(c)
+                layers = [ConvModule(ci, co, 3, 2)]
+                if spp:
+                    layers.append(SPP(co, co))
+                layers.append(CSPLayer(co, co, deepen_n(n), add_id))
+                self.add_module(f"stage{i + 1}", tnn.Sequential(*layers))
+                ci = co
+
+        def forward(self, x):
+            x = self.stem(x)
+            outs = []
+            for i in range(4):
+                x = getattr(self, f"stage{i + 1}")(x)
+                if i >= 1:
+                    outs.append(x)
+            return outs
+
+    class Neck(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            in_ch = [widen_c(256), widen_c(512), widen_c(1024)]
+            n = deepen_n(3)
+            self.reduce_layers = tnn.ModuleList([
+                ConvModule(in_ch[2], in_ch[1], 1),
+                ConvModule(in_ch[1], in_ch[0], 1)])
+            self.top_down_blocks = tnn.ModuleList([
+                CSPLayer(2 * in_ch[1], in_ch[1], n, False),
+                CSPLayer(2 * in_ch[0], in_ch[0], n, False)])
+            self.downsamples = tnn.ModuleList([
+                ConvModule(in_ch[0], in_ch[0], 3, 2),
+                ConvModule(in_ch[1], in_ch[1], 3, 2)])
+            self.bottom_up_blocks = tnn.ModuleList([
+                CSPLayer(2 * in_ch[0], in_ch[1], n, False),
+                CSPLayer(2 * in_ch[1], in_ch[2], n, False)])
+            oc = widen_c(256)
+            self.out_convs = tnn.ModuleList(
+                [ConvModule(c, oc, 3) for c in in_ch])
+            self.up = tnn.Upsample(scale_factor=2, mode="nearest")
+
+        def forward(self, feats):
+            c3, c4, c5 = feats
+            r1 = self.reduce_layers[0](c5)
+            td1 = self.top_down_blocks[0](
+                torch.cat([self.up(r1), c4], dim=1))
+            r2 = self.reduce_layers[1](td1)
+            td2 = self.top_down_blocks[1](
+                torch.cat([self.up(r2), c3], dim=1))
+            d1 = self.downsamples[0](td2)
+            bu1 = self.bottom_up_blocks[0](torch.cat([d1, r2], dim=1))
+            d2 = self.downsamples[1](bu1)
+            bu2 = self.bottom_up_blocks[1](torch.cat([d2, r1], dim=1))
+            return [conv(f) for conv, f in
+                    zip(self.out_convs, [td2, bu1, bu2])]
+
+    class ConvBN(tnn.Module):
+        """Head ConvModule whose conv may be a TIED (shared) module."""
+        def __init__(self, conv, c):
+            super().__init__()
+            self.conv = conv
+            self.bn = tnn.BatchNorm2d(c)
+            self.act = tnn.SiLU()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class Head(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            fc = widen_c(256)
+            # level-0 convs own the kernels; levels 1-2 alias them
+            # (mmdet rtmdet_head.py RTMDetSepBNHead share_conv)
+            shared_cls = [tnn.Conv2d(fc, fc, 3, 1, 1, bias=False)
+                          for _ in range(2)]
+            shared_reg = [tnn.Conv2d(fc, fc, 3, 1, 1, bias=False)
+                          for _ in range(2)]
+            self.cls_convs = tnn.ModuleList(
+                [tnn.Sequential(*[ConvBN(shared_cls[j], fc)
+                                  for j in range(2)])
+                 for _ in range(3)])
+            self.reg_convs = tnn.ModuleList(
+                [tnn.Sequential(*[ConvBN(shared_reg[j], fc)
+                                  for j in range(2)])
+                 for _ in range(3)])
+            self.rtm_cls = tnn.ModuleList(
+                [tnn.Conv2d(fc, num_classes, 1) for _ in range(3)])
+            self.rtm_reg = tnn.ModuleList(
+                [tnn.Conv2d(fc, 4, 1) for _ in range(3)])
+
+        def forward(self, feats):
+            outs = []
+            for lvl, x in enumerate(feats):
+                c = self.cls_convs[lvl](x)
+                r = self.reg_convs[lvl](x)
+                outs.append((self.rtm_cls[lvl](c),
+                             self.rtm_reg[lvl](r)))
+            return outs
+
+    class Model(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = Backbone()
+            self.neck = Neck()
+            self.bbox_head = Head()
+
+        def forward(self, x):
+            return self.bbox_head(self.neck(self.backbone(x)))
+
+    return Model()
+
+
+@pytest.mark.parametrize("variant", ["nano", "s"])
+def test_rtmdet_activation_parity(variant):
+    import jax.numpy as jnp
+    from tracklab_tpu.models.rtmdet import RTMDet, RTMDET_VARIANTS
+    from tracklab_tpu.models.convert import convert_rtmdet_torch
+
+    v = RTMDET_VARIANTS[variant]
+    tm = _build_torch_rtmdet(2, v["deepen"], v["widen"])
+    tm.eval()
+    _randomize_module(tm, seed=17)
+
+    H = W = 64
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = [(c.numpy(), r.numpy()) for c, r in
+                tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+
+    fm = RTMDet(num_classes=2, variant=variant)
+    variables = convert_rtmdet_torch(_state_dict_np(tm), fm,
+                                     (1, H, W, 3))
+    got = fm.apply(variables, jnp.asarray(x), train=False)
+    assert len(got) == 3
+    for (gc, gr), (tc, tr) in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gc),
+                                   tc.transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gr),
+                                   tr.transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-4)

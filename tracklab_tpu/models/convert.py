@@ -15,7 +15,8 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 __all__ = ["save_checkpoint", "load_checkpoint", "convert_yolox_torch",
-           "convert_by_name", "convert_osnet_torch"]
+           "convert_by_name", "convert_osnet_torch",
+           "convert_rtmdet_torch"]
 
 
 def save_checkpoint(path, variables):
@@ -255,6 +256,49 @@ def convert_vitpose_torch(sd_or_path, model, input_shape,
             sd[k] = np.ascontiguousarray(
                 sd[k].transpose(1, 0, 2, 3)[:, :, ::-1, ::-1])
     return convert_by_name(sd, model, input_shape, key_fn)
+
+
+def _rtmdet_torch_key(path):
+    """Flax path -> mmdetection RTMDet state-dict key. Module names were
+    chosen to mirror the mmdet segments: ``stage1_2`` -> ``stage1.2``,
+    ``blocks_0`` -> ``blocks.0``; the head's shared conv kernels map to
+    level 0's tied copies and per-level BNs to
+    ``bbox_head.{cls,reg}_convs.{lvl}.{j}.bn``."""
+    import re
+    _, *mods, leaf = path
+    comps = []
+    for m in mods:
+        sh = re.match(r"^(cls|reg)_convs_share_(\d+)$", m)
+        bn = re.match(r"^(cls|reg)_bn_(\d+)_(\d+)$", m)
+        idx = re.match(r"^(.*)_(\d+)$", m)
+        if sh:
+            comps.extend([f"{sh.group(1)}_convs", "0", sh.group(2),
+                          "conv"])
+        elif bn:
+            comps.extend([f"{bn.group(1)}_convs", bn.group(2),
+                          bn.group(3), "bn"])
+        elif idx:
+            comps.extend([idx.group(1), idx.group(2)])
+        else:
+            comps.append(m)
+    return ".".join(comps + [_LEAF_MAP[leaf]])
+
+
+def convert_rtmdet_torch(sd_or_path, model, input_shape,
+                         allow_pickle=False):
+    """Convert an mmdetection RTMDet checkpoint into this repo's Flax
+    RTMDet variables (name-mapped, shape-verified). The SepBN head ties
+    its conv kernels across levels at init (mmdet rtmdet_head.py
+    share_conv), so the state dict's level>0 conv copies are
+    expected-unused (level 0's tensors are loaded into the shared flax
+    kernels)."""
+    sd = (sd_or_path if isinstance(sd_or_path, dict)
+          else _torch_state_dict(sd_or_path, allow_pickle=allow_pickle))
+    tied_copies = tuple(
+        f"bbox_head.{branch}_convs.{lvl}.{j}.conv."
+        for branch in ("cls", "reg") for lvl in (1, 2) for j in (0, 1))
+    return convert_by_name(sd, model, input_shape, _rtmdet_torch_key,
+                           expected_unused=tied_copies)
 
 
 def _yolov8_torch_key(path):

@@ -188,3 +188,75 @@ def test_clear_event_model_scenarios():
     assert r["IDSW"] == 2, "history must be preferred at frame 4"
     assert r["MOTA"] == pytest.approx((1 - 6 / 8) * 100)
     assert r["MOTP_sum"] == pytest.approx(0.9 * 2 + 0.8 * 2 + 0.55 * 2)
+
+
+class TestReidPoseAndPerJointAP:
+    """The evaluator's reid-pose HOTA + per-joint AP branches
+    (reference: posetrack21_evaluator.py eval_reid_pose_tracking +
+    poseval per-joint AP)."""
+
+    def _state(self, seed=0, n_videos=2, degrade_joint=None):
+        from types import SimpleNamespace
+        rng = np.random.default_rng(seed)
+        gt_rows, pred_rows, img_rows, vid_rows = [], [], [], []
+        iid = 0
+        for v in range(n_videos):
+            vid_rows.append(dict(name=f"v{v}"))
+            for f in range(8):
+                img_rows.append(dict(video_id=v, frame=f, _id=iid))
+                for person in range(2):
+                    c = np.array([300 + 200 * person, 400]) + f * 3
+                    kp = np.zeros((15, 3))
+                    kp[:, 0] = c[0] + np.linspace(0, 40, 15)
+                    kp[:, 1] = c[1] + np.linspace(0, 120, 15)
+                    kp[:, 2] = 1.0
+                    gt_rows.append(dict(
+                        video_id=v, image_id=iid, track_id=person,
+                        person_id=person, keypoints_xyc=kp,
+                        bbox_ltwh=np.array([c[0], c[1], 40, 120])))
+                    pk = kp.copy()
+                    pk[:, :2] += rng.normal(0, 0.5, (15, 2))
+                    if degrade_joint is not None:
+                        pk[degrade_joint, :2] += 500.0
+                    pred_rows.append(dict(
+                        video_id=v, image_id=iid, track_id=person,
+                        person_id=person, keypoints_xyc=pk,
+                        bbox_conf=0.9,
+                        bbox_ltwh=np.array([c[0], c[1], 40, 120])))
+                iid += 1
+        images = pd.DataFrame(img_rows).set_index("_id")
+        videos = pd.DataFrame(vid_rows)
+        return SimpleNamespace(
+            image_metadatas=images, video_metadatas=videos,
+            detections_gt=pd.DataFrame(gt_rows),
+            detections_pred=pd.DataFrame(pred_rows))
+
+    def test_perfect_reid_scores_high(self):
+        from tracklab_tpu.eval.pose_evaluator import PoseTrackEvaluator
+        res = PoseTrackEvaluator().run(self._state())
+        assert "REID_POSE" in res and "kp_AP_per_joint" in res
+        assert res["REID_POSE"]["HOTA"][0, -1] > 0.95
+        assert res["kp_AP_per_joint"]["total_AP"] > 95.0
+
+    def test_cross_video_id_split_hurts_reid_only(self):
+        from tracklab_tpu.eval.pose_evaluator import PoseTrackEvaluator
+        st = self._state()
+        # split pred identities per video: person p in video v -> 10v+p
+        pred = st.detections_pred
+        pred["person_id"] = pred["video_id"] * 10 + pred["track_id"]
+        good = PoseTrackEvaluator().run(self._state())
+        split = PoseTrackEvaluator().run(st)
+        assert split["REID_POSE"]["AssA"][0, -1] \
+            < good["REID_POSE"]["AssA"][0, -1] - 0.2
+        # per-video pose HOTA unaffected by cross-video ids
+        np.testing.assert_allclose(split["POSE_COMBINED"]["HOTA"],
+                                   good["POSE_COMBINED"]["HOTA"],
+                                   atol=1e-9)
+
+    def test_degraded_joint_shows_in_breakdown(self):
+        from tracklab_tpu.eval.pose_evaluator import PoseTrackEvaluator
+        res = PoseTrackEvaluator().run(self._state(degrade_joint=7))
+        aps = res["kp_AP_per_joint"]["per_joint_AP"]
+        assert aps[7] < 5.0
+        others = np.delete(aps, 7)
+        assert others.min() > 90.0

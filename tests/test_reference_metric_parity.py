@@ -289,3 +289,164 @@ def test_measured_hota_delta_ocsort():
     assert delta < 0.5, f"HOTA delta {delta} exceeds the 0.5 budget"
     # tracker parity is exact and eval parity is exact, so in fact:
     assert delta < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Cross-video reid keypoint HOTA vs the fork's HOTAReidKeypoints
+# (plugins/eval/PoseTrack21/.../metrics/hota_pose_reid.py)
+# ---------------------------------------------------------------------------
+
+def synth_pose_scenario(seed, n_seqs=3, n_frames=12, n_person=4,
+                        n_joints=15, drop=0.25, noise=0.15,
+                        switch_prob=0.05):
+    """Multi-sequence pose streams with GLOBAL person ids: each person
+    appears in several sequences (the reid setting), predictions carry
+    localization noise, dropped joints, missed dets and id switches."""
+    rng = np.random.default_rng(seed)
+    seqs = {}
+    next_pr = 100
+    for s in range(n_seqs):
+        frames = []
+        present = rng.permutation(n_person)[: rng.integers(2, n_person + 1)]
+        base = rng.uniform(100, 900, (n_person, 2))
+        pr_of = {int(g): int(g) for g in present}  # pred id per person
+        for t in range(n_frames):
+            g_ids, g_kps, g_hs, p_ids, p_kps = [], [], [], [], []
+            for g in present:
+                center = base[g] + rng.normal(0, 5, 2) + t * 2
+                kps = center[None, :] + rng.normal(0, 30, (n_joints, 2))
+                kps = np.abs(kps) + 1.0  # valid coords are > 0
+                vis = rng.uniform(size=n_joints) > 0.15
+                kg = kps.copy()
+                kg[~vis] = 0.0
+                g_ids.append(int(g))
+                g_kps.append(kg)
+                g_hs.append(rng.uniform(20, 40))
+                if rng.uniform() < drop:
+                    continue
+                if rng.uniform() < switch_prob:
+                    pr_of[int(g)] = next_pr
+                    next_pr += 1
+                kp = kps + rng.normal(0, noise * 30, (n_joints, 2))
+                pvis = vis & (rng.uniform(size=n_joints) > 0.1)
+                kp[~pvis] = 0.0
+                p_ids.append(pr_of[int(g)])
+                p_kps.append(np.abs(kp))
+            frames.append((
+                np.array(g_ids, int),
+                np.stack(g_kps) if g_kps else np.zeros((0, n_joints, 2)),
+                np.array(g_hs, float),
+                np.array(p_ids, int),
+                np.stack(p_kps) if p_kps else np.zeros((0, n_joints, 2)),
+            ))
+        seqs[f"seq{s}"] = frames
+    return seqs
+
+
+def ref_reid_hota(n_joints=15):
+    _install_eval_stubs()
+    if "tqdm" not in sys.modules:
+        tq = types.ModuleType("tqdm")
+        tq.tqdm = lambda x, *a, **k: x
+        sys.modules["tqdm"] = tq
+    from posetrack21.trackeval.metrics.hota_pose_reid import (
+        HOTAReidKeypoints,
+    )
+    return HOTAReidKeypoints(n_joints=n_joints)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_reid_keypoint_hota_vs_fork(seed):
+    from tracklab_tpu.eval.pose_reid_metrics import (
+        pckh_distance_matrix, reid_keypoint_hota, relabel_global_ids,
+    )
+
+    n_joints = 15
+    raw = synth_pose_scenario(seed, n_joints=n_joints)
+    seqs, n_gt, n_pr = relabel_global_ids(raw)
+    got = reid_keypoint_hota(seqs, n_gt, n_pr, n_joints=n_joints)
+
+    # build the fork's processed_seqs structure
+    processed = {}
+    total_frames = 0
+    for name, frames in seqs.items():
+        gt_ids = [f[0] for f in frames]
+        tracker_ids = [f[3] for f in frames]
+        gt_dets = [np.asarray(f[1], float) for f in frames]
+        tracker_dets = [np.asarray(f[4], float) for f in frames]
+        kd = [pckh_distance_matrix(g, p, f[2])
+              for f, g, p in zip(frames, gt_dets, tracker_dets)]
+        num_gt_joints = np.zeros(n_joints, int)
+        num_tracker_joints = np.zeros(n_joints, int)
+        for g in gt_dets:
+            if len(g):
+                num_gt_joints += (
+                    (g[:, :, 0] > 0) & (g[:, :, 1] > 0)).sum(0)
+        for p in tracker_dets:
+            if len(p):
+                num_tracker_joints += (
+                    (p[:, :, 0] > 0) & (p[:, :, 1] > 0)).sum(0)
+        processed[name] = {
+            "num_timesteps": len(frames),
+            "num_gt_dets": int(sum(len(f[0]) for f in frames)),
+            "num_tracker_dets": int(sum(len(f[3]) for f in frames)),
+            "num_gt_joints": num_gt_joints,
+            "num_tracker_joints": num_tracker_joints,
+            "gt_ids": gt_ids,
+            "tracker_ids": tracker_ids,
+            "gt_dets": gt_dets,
+            "tracker_dets": tracker_dets,
+            "keypoint_distances": kd,
+        }
+        total_frames += len(frames)
+    metric = ref_reid_hota(n_joints)
+    want = metric.eval_sequences(processed, np.arange(n_gt),
+                                 np.arange(n_pr), total_frames)
+
+    for field in ("HOTA_TP", "HOTA_FN", "HOTA_FP"):
+        np.testing.assert_allclose(got[field], want[field], atol=1e-9,
+                                   err_msg=field)
+    for field in ("HOTA", "DetA", "AssA", "FragA", "LocA", "RHOTA",
+                  "FA-HOTA", "DetRe", "DetPr", "AssRe", "AssPr"):
+        np.testing.assert_allclose(got[field], want[field], atol=1e-9,
+                                   err_msg=field)
+    # the fork's HOTA(0) is the per-joint row + its average; ours is the
+    # scalar average (the summary value)
+    np.testing.assert_allclose(got["HOTA(0)"], want["HOTA(0)"][-1],
+                               atol=1e-9)
+
+
+def test_reid_hota_cross_video_identity_matters():
+    """The reid property: consistent person ids across videos score
+    higher AssA than per-video ids that differ between videos."""
+    from tracklab_tpu.eval.pose_reid_metrics import (
+        reid_keypoint_hota, relabel_global_ids,
+    )
+
+    n_joints = 15
+    rng = np.random.default_rng(3)
+
+    def make(consistent):
+        seqs = {}
+        for s in range(3):
+            frames = []
+            for t in range(8):
+                kps = np.abs(rng.normal(500, 100, (2, n_joints, 2))) + 1
+                ids = np.array([0, 1])
+                pid = ids if consistent else ids + 10 * s
+                frames.append((ids, kps, np.full(2, 30.0), pid,
+                               kps.copy()))
+            seqs[f"s{s}"] = frames
+        return seqs
+
+    rng = np.random.default_rng(3)
+    a = make(True)
+    rng = np.random.default_rng(3)
+    b = make(False)
+    ra = reid_keypoint_hota(*relabel_global_ids(a)[:1],
+                            *relabel_global_ids(a)[1:], n_joints=n_joints)
+    rb = reid_keypoint_hota(*relabel_global_ids(b)[:1],
+                            *relabel_global_ids(b)[1:], n_joints=n_joints)
+    assert ra["AssA"][0, -1] > rb["AssA"][0, -1] + 0.2
+    # detection accuracy identical — only association differs
+    np.testing.assert_allclose(ra["DetA"], rb["DetA"], atol=1e-12)

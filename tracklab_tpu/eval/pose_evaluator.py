@@ -52,11 +52,13 @@ def _pose_frames(dets: pd.DataFrame, images: pd.DataFrame, id_col: str):
 class PoseTrackEvaluator(Evaluator):
     def __init__(self, cfg=None, eval_set: str = "val",
                  num_parallel: int = 4,
-                 pred_track_column: str = "track_id", **kwargs):
+                 pred_track_column: str = "track_id",
+                 eval_reid_pose_tracking: bool = True, **kwargs):
         super().__init__(cfg)
         self.eval_set = eval_set
         self.num_parallel = num_parallel
         self.pred_track_column = pred_track_column
+        self.eval_reid_pose_tracking = eval_reid_pose_tracking
 
     def run(self, tracker_state):
         images = tracker_state.image_metadatas
@@ -115,9 +117,161 @@ class PoseTrackEvaluator(Evaluator):
             log.info("Pose HOTA %.3f | kp mAP %.3f",
                      results["POSE_COMBINED"]["HOTA"],
                      results["kp_mAP"])
+            if self.eval_reid_pose_tracking:
+                reid = self._reid_pose_eval(gt, pred, images, videos)
+                if reid is not None:
+                    results["REID_POSE"] = reid
+                    log.info("Reid-pose HOTA(0.05) %.3f",
+                             reid["HOTA"][0, -1])
+            aps = self._per_joint_ap(gt, pred, images, videos)
+            if aps is not None:
+                results["kp_AP_per_joint"] = aps
+                log.info("kp AP per joint: total %.2f", aps["total_AP"])
         for k in ("HOTA", "MOTA", "IDF1"):
             log.info("  box %-6s %10.3f", k, results["COMBINED_SEQ"][k])
         return results
+
+    # ------------------------------------------------------------------
+    def _head_sizes(self, dets: pd.DataFrame) -> np.ndarray:
+        """Per-row PCKh head sizes: 0.6 * diag(bbox_head) when the
+        dataset carries head boxes (the fork's _get_head_size,
+        posetrack.py:128-130); otherwise 1/6 of the keypoint-bbox
+        diagonal (documented fallback — no head annotations exist
+        outside PoseTrack)."""
+        if "bbox_head" in dets.columns and dets["bbox_head"].notna().any():
+            hs = []
+            for hb, kp in zip(dets["bbox_head"], dets["keypoints_xyc"]):
+                if hb is not None and not np.any(pd.isna(hb)):
+                    l, t, w, h = np.asarray(hb, float)[:4]
+                    hs.append(0.6 * float(np.hypot(w, h)))
+                else:
+                    kp = np.asarray(kp, float)
+                    ok = kp[:, 0] > 0
+                    d = (np.ptp(kp[ok, :2], axis=0) if ok.any()
+                         else np.ones(2))
+                    hs.append(float(np.hypot(*d)) / 6.0)
+            return np.asarray(hs, float)
+        hs = []
+        for kp in dets["keypoints_xyc"]:
+            kp = np.asarray(kp, float)
+            ok = kp[:, 0] > 0
+            d = np.ptp(kp[ok, :2], axis=0) if ok.any() else np.ones(2)
+            hs.append(float(np.hypot(*d)) / 6.0)
+        return np.asarray(hs, float)
+
+    def _pose_reid_frames(self, dets, images, id_col):
+        """Per-video frame lists for the reid metric: (ids, kps (N,J,2),
+        head_sizes) keyed (video, frame). Pred side gets unit head
+        sizes (the metric normalizes by GT heads only)."""
+        if len(dets) == 0 or "keypoints_xyc" not in dets.columns:
+            return None
+        dets = dets.dropna(subset=["keypoints_xyc"])
+        if id_col not in dets.columns:
+            return None
+        dets = dets.dropna(subset=[id_col])
+        if len(dets) == 0:
+            return None
+        dets = dets.copy()
+        dets["_hs"] = self._head_sizes(dets)
+        merged = dets.merge(images[["frame", "video_id"]],
+                            left_on="image_id", right_index=True,
+                            suffixes=("", "_img"))
+        vcol = ("video_id_img" if "video_id_img" in merged
+                else "video_id")
+        fcol = "frame_img" if "frame_img" in merged else "frame"
+        out = {}
+        for (vid, frame), g in merged.groupby([vcol, fcol]):
+            kps = np.stack(g["keypoints_xyc"].to_numpy())[:, :, :2]
+            out[(vid, int(frame))] = (
+                g[id_col].to_numpy(float).astype(int), kps,
+                g["_hs"].to_numpy(float))
+        return out
+
+    def _reid_pose_eval(self, gt, pred, images, videos):
+        """Cross-video reid keypoint HOTA (the reference's
+        eval_reid_pose_tracking branch, posetrack21_evaluator.py:
+        161-189). GT ids come from person_id (dataset-global); pred ids
+        from person_id when a cross-video reid stage produced one, else
+        the track column (documented: per-video track ids then score no
+        cross-video association credit)."""
+        from tracklab_tpu.eval.pose_reid_metrics import (
+            reid_keypoint_hota, relabel_global_ids,
+        )
+        gt_col = "person_id" if "person_id" in gt.columns else "track_id"
+        pr_col = ("person_id" if "person_id" in pred.columns
+                  and pred["person_id"].notna().any()
+                  else self.pred_track_column)
+        g = self._pose_reid_frames(gt, images, gt_col)
+        p = self._pose_reid_frames(pred, images, pr_col)
+        if not g or not p:
+            return None
+        n_joints = next(iter(g.values()))[1].shape[1]
+        seqs = {}
+        for vid in videos.index:
+            frames = sorted({f for (v, f) in list(g) + list(p)
+                             if v == vid})
+            if not frames:
+                continue
+            seqs[str(vid)] = [
+                (g.get((vid, f), (np.zeros(0, int),
+                                  np.zeros((0, n_joints, 2)),
+                                  np.zeros(0)))[0],
+                 g.get((vid, f), (None, np.zeros((0, n_joints, 2)),
+                                  None))[1],
+                 g.get((vid, f), (None, None, np.zeros(0)))[2],
+                 p.get((vid, f), (np.zeros(0, int),
+                                  np.zeros((0, n_joints, 2)),
+                                  np.zeros(0)))[0],
+                 p.get((vid, f), (None, np.zeros((0, n_joints, 2)),
+                                  None))[1])
+                for f in frames]
+        relabeled, n_gt, n_pr = relabel_global_ids(seqs)
+        if n_gt == 0 or n_pr == 0:
+            return None
+        return reid_keypoint_hota(relabeled, n_gt, n_pr,
+                                  n_joints=n_joints)
+
+    def _per_joint_ap(self, gt, pred, images, videos):
+        """Per-joint PCKh keypoint AP (the reference's poseval
+        evaluateAP breakdown, posetrack21_evaluator.py:78-105),
+        aggregated over all videos."""
+        from tracklab_tpu.eval.pose_metrics import keypoint_ap_per_joint
+        g = self._pose_reid_frames(gt, images,
+                                   "track_id" if "track_id" in gt.columns
+                                   else "id")
+        if not g:
+            return None
+        if len(pred) == 0 or "keypoints_xyc" not in pred.columns:
+            return None
+        predk = pred.dropna(subset=["keypoints_xyc"])
+        merged = predk.merge(images[["frame", "video_id"]],
+                             left_on="image_id", right_index=True,
+                             suffixes=("", "_img"))
+        vcol = ("video_id_img" if "video_id_img" in merged
+                else "video_id")
+        fcol = "frame_img" if "frame_img" in merged else "frame"
+        gt_frames, pr_frames, pr_scores, head_sizes = {}, {}, {}, {}
+        key = 0
+        index = {}
+        for (vid, f), (ids, kps, hs) in g.items():
+            index[(vid, f)] = key
+            gt_frames[key] = kps
+            head_sizes[key] = hs
+            key += 1
+        for (vid, frame), grp in merged.groupby([vcol, fcol]):
+            k = index.get((vid, int(frame)))
+            if k is None:
+                continue
+            pr_frames[k] = np.stack(
+                grp["keypoints_xyc"].to_numpy())[:, :, :2]
+            pr_scores[k] = (grp["bbox_conf"].to_numpy(float)
+                            if "bbox_conf" in grp
+                            else np.ones(len(grp)))
+        if not pr_frames:
+            return None
+        n_joints = next(iter(gt_frames.values())).shape[1]
+        return keypoint_ap_per_joint(gt_frames, pr_frames, pr_scores,
+                                     head_sizes, n_joints=n_joints)
 
 
 class PoseTrack21Evaluator(PoseTrackEvaluator):

@@ -147,3 +147,85 @@ def keypoint_map(gt_frames, pred_frames, pred_scores,
     return {"kp_mAP": m * 100,
             "kp_AP50": aps[min(aps, key=lambda k: abs(k - 0.5))] * 100,
             "kp_AP75": aps[min(aps, key=lambda k: abs(k - 0.75))] * 100}
+
+
+def keypoint_ap_per_joint(gt_frames, pred_frames, pred_scores,
+                          head_sizes, n_joints: int = 15,
+                          joint_names=None) -> dict:
+    """Per-joint keypoint average precision with PCKh matching.
+
+    The per-joint breakdown the reference obtains from poseval's
+    evaluateAP (tracklab/wrappers/eval/posetrack/
+    posetrack21_evaluator.py:78-105, "Pose estimation - keypoints
+    average precision"). poseval is not vendored in the reference, so
+    this is a behavioral rebuild of its documented procedure: per frame,
+    predicted poses are one-to-one assigned to GT poses by maximal PCKh
+    (fraction of joints within 0.5 head sizes); per joint, a matched
+    pose pair contributes a TP when that joint's head-normalized
+    distance is <= 0.5 (FN otherwise if the GT joint is annotated), and
+    every valid predicted joint not a TP is a FP; AP is 101-point
+    interpolated over the pose-score ranking.
+
+    gt_frames/pred_frames: {frame: (N, J, >=2)}; pred_scores:
+    {frame: (N,)}; head_sizes: {frame: (N,)} aligned with gt.
+    Returns {"per_joint_AP": (J,), "total_AP": float, "names": [...]}.
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    from tracklab_tpu.eval.pose_reid_metrics import pckh_distance_matrix
+
+    records = [[] for _ in range(n_joints)]  # (score, is_tp) per joint
+    n_gt = np.zeros(n_joints, int)
+    for f in sorted(set(gt_frames) | set(pred_frames)):
+        g = np.asarray(gt_frames.get(f, np.zeros((0, n_joints, 2))),
+                       float)
+        p = np.asarray(pred_frames.get(f, np.zeros((0, n_joints, 2))),
+                       float)
+        s = np.asarray(pred_scores.get(f, np.ones(len(p))), float)
+        hs = np.asarray(head_sizes.get(f, np.ones(len(g))), float)
+        g_ok = (g[:, :, 0] > 0) & (g[:, :, 1] > 0) if len(g) \
+            else np.zeros((0, n_joints), bool)
+        p_ok = (p[:, :, 0] > 0) & (p[:, :, 1] > 0) if len(p) \
+            else np.zeros((0, n_joints), bool)
+        n_gt += g_ok.sum(0).astype(int)
+        if len(p) == 0:
+            continue
+        if len(g) == 0:
+            for j in range(n_joints):
+                for i in np.nonzero(p_ok[:, j])[0]:
+                    records[j].append((float(s[i]), False))
+            continue
+        dist = pckh_distance_matrix(g, p, hs)        # (N, M, J)
+        match = dist <= 0.5
+        pck = match.sum(-1).astype(float) \
+            / np.maximum(g_ok.sum(-1), 1)[:, None]   # (N, M)
+        rows, cols = linear_sum_assignment(-pck)
+        pair_of_pred = np.full(len(p), -1, int)
+        for r, c in zip(rows, cols):
+            if pck[r, c] > 0:
+                pair_of_pred[c] = r
+        for j in range(n_joints):
+            for i in range(len(p)):
+                if not p_ok[i, j]:
+                    continue
+                r = pair_of_pred[i]
+                tp = r >= 0 and bool(match[r, i, j]) and g_ok[r, j]
+                records[j].append((float(s[i]), bool(tp)))
+    aps = np.zeros(n_joints)
+    for j in range(n_joints):
+        if n_gt[j] == 0 or not records[j]:
+            continue
+        recs = sorted(records[j], key=lambda r: -r[0])
+        tp = np.array([r[1] for r in recs], float)
+        ctp, cfp = np.cumsum(tp), np.cumsum(1.0 - tp)
+        recall = ctp / n_gt[j]
+        precision = ctp / np.maximum(ctp + cfp, 1e-12)
+        ap = 0.0
+        for r in np.linspace(0, 1, 101):
+            mask = recall >= r
+            ap += precision[mask].max() if mask.any() else 0.0
+        aps[j] = ap / 101
+    return {"per_joint_AP": aps * 100,
+            "total_AP": float(aps.mean() * 100),
+            "names": list(joint_names) if joint_names else
+            [f"joint_{j}" for j in range(n_joints)]}

@@ -189,3 +189,51 @@ def test_tracker_determinism():
     _, b = scan(dets)
     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_external_video_url_via_ytdlp_stub(tmp_path, monkeypatch):
+    """URL inputs route through yt-dlp (reference
+    external_video.py:56-60); a stub records the call and returns a
+    local file the dataset then loads normally."""
+    import sys
+    import types
+    import cv2  # noqa: F401
+    from tracklab_tpu.wrappers.dataset import external_video as ev
+
+    vid = tmp_path / "downloaded.mp4"
+    make_test_video(vid)
+    calls = {}
+
+    class FakeYDL:
+        def __init__(self, params):
+            calls["params"] = params
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def extract_info(self, url):
+            calls["url"] = url
+            return {"id": "x"}
+
+        def prepare_filename(self, info):
+            return str(vid)
+
+    stub = types.ModuleType("yt_dlp")
+    stub.YoutubeDL = FakeYDL
+    monkeypatch.setitem(sys.modules, "yt_dlp", stub)
+    ds = ev.ExternalVideo("https://youtu.be/abc123",
+                          download_dir=str(tmp_path))
+    assert calls["url"] == "https://youtu.be/abc123"
+    assert calls["params"]["noplaylist"] is True
+    assert len(ds.sets["val"].image_metadatas) == 20
+
+
+def test_external_video_url_without_ytdlp(monkeypatch):
+    import sys
+    monkeypatch.setitem(sys.modules, "yt_dlp", None)
+    from tracklab_tpu.wrappers.dataset.external_video import ExternalVideo
+    with pytest.raises(ImportError, match="yt-dlp"):
+        ExternalVideo("https://youtu.be/abc123")

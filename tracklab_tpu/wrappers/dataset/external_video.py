@@ -24,10 +24,30 @@ VIDEO_EXTS = {".mp4", ".avi", ".mov", ".mkv", ".webm"}
 IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp"}
 
 
+def _download_video(url: str, download_dir: str | None = None) -> str:
+    """Fetch a video URL (YouTube etc.) via yt-dlp and return the local
+    file path (reference external_video.py:56-60). yt-dlp is an optional
+    dependency — a clear error names it when absent."""
+    try:
+        import yt_dlp
+    except ImportError as e:
+        raise ImportError(
+            "ExternalVideo got a URL but yt-dlp is not installed; "
+            "pip install yt-dlp or pass a local file path") from e
+    yt_params = {"noplaylist": True, "restrictfilenames": True}
+    if download_dir:
+        yt_params["paths"] = {"home": str(download_dir)}
+    with yt_dlp.YoutubeDL(yt_params) as ydl:
+        info_dict = ydl.extract_info(url)
+        return ydl.prepare_filename(info_dict)
+
+
 class ExternalVideo(TrackingDataset):
     def __init__(self, video_path: str, nvid: int = -1, nframes: int = -1,
-                 **kwargs):
+                 download_dir: str | None = None, **kwargs):
         import cv2
+        if str(video_path).startswith(("http://", "https://")):
+            video_path = _download_video(str(video_path), download_dir)
         path = Path(video_path)
         videos = []
         if path.is_dir():

@@ -179,3 +179,24 @@ class TestViTPose:
         import jax.numpy as jnp2
         kp = np.asarray(mod._infer(np.zeros((2, 64, 48, 3), np.uint8)))
         assert kp.shape == (2, 4, 3)
+
+
+class TestReidBackboneZoo:
+    @pytest.mark.parametrize("backbone,dim", [("resnet18", 512),
+                                              ("mobilenetv2_x1_0", 1280)])
+    def test_zoo_backbone_pipeline(self, tmp_path, backbone, dim):
+        import cv2
+        from tracklab_tpu.wrappers.reid import OSNetReId
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (120, 160, 3), np.uint8)
+        dets = pd.DataFrame({
+            "image_id": [0],
+            "bbox_ltwh": [np.array([10, 10, 40, 80], np.float32)],
+        }, index=[100])
+        module = OSNetReId(backbone=backbone, crop_size=(64, 32),
+                           batch_size=1)
+        samples = [module.preprocess(img, dets.loc[100], None)]
+        out = module.process(module.collate_fn(samples), dets, None)
+        emb = out.loc[100, "embeddings"]
+        assert emb.shape == (dim,)
+        assert np.isfinite(emb).all()

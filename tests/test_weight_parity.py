@@ -740,3 +740,65 @@ def test_rtmdet_activation_parity(variant):
         np.testing.assert_allclose(np.asarray(gr),
                                    tr.transpose(0, 2, 3, 1),
                                    rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# ReID backbone zoo vs the reference's vendored torchreid sources
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("variant", ["resnet18", "resnet50",
+                                     "resnet50_fc512"])
+def test_reid_resnet_activation_parity(variant):
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import (
+        ReidResNet, RESNET_VARIANTS,
+    )
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    from strong_sort.deep.models import resnet as tresnet
+
+    kind, layers, last_stride, fc_dims = RESNET_VARIANTS[variant]
+    block = tresnet.BasicBlock if kind == "basic" else tresnet.Bottleneck
+    tm = tresnet.ResNet(num_classes=5, loss="softmax", block=block,
+                        layers=list(layers), last_stride=last_stride,
+                        fc_dims=list(fc_dims) if fc_dims else None)
+    tm.eval()
+    _randomize_module(tm, seed=23)
+
+    H, W = 128, 64
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    fm = ReidResNet(variant=variant)
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_reid_mobilenetv2_activation_parity():
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import ReidMobileNetV2
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    from strong_sort.deep.models import mobilenetv2 as tmb
+
+    tm = tmb.MobileNetV2(num_classes=5, width_mult=1, loss="softmax")
+    tm.eval()
+    _randomize_module(tm, seed=29)
+
+    H, W = 128, 64
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    fm = ReidMobileNetV2()
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

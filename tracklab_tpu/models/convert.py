@@ -301,6 +301,38 @@ def convert_rtmdet_torch(sd_or_path, model, input_shape,
                            expected_unused=tied_copies)
 
 
+def _generic_torch_key(path):
+    """Flax path -> torch key when module names mirror the torch ones
+    with '_<index>' spelling '.<index>' (``layer1_0`` -> ``layer1.0``,
+    recursively: ``fc_0`` -> ``fc.0``)."""
+    import re
+    _, *mods, leaf = path
+    comps = []
+    for m in mods:
+        parts = [m]
+        while True:
+            idx = re.match(r"^(.*)_(\d+)$", parts[0])
+            if not idx:
+                break
+            parts = [idx.group(1), idx.group(2)] + parts[1:]
+        comps.extend(parts)
+    return ".".join(comps + [_LEAF_MAP[leaf]])
+
+
+def convert_reid_backbone_torch(sd_or_path, model, input_shape,
+                                allow_pickle=False):
+    """Convert a torchreid ResNet / MobileNetV2 checkpoint into the
+    Flax backbones (models/reid_backbones.py) by name mapping. The
+    torch classifier head (training-only; eval-mode forward returns the
+    feature vector before it) is expected-unused."""
+    sd = (sd_or_path if isinstance(sd_or_path, dict)
+          else _torch_state_dict(sd_or_path, allow_pickle=allow_pickle))
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    return convert_by_name(sd, model, input_shape, _generic_torch_key,
+                           expected_unused=("classifier.",))
+
+
 def _yolov8_torch_key(path):
     """Flax path -> ultralytics YOLOv8 state-dict key (model.0..model.22;
     '.' spelled '__' in flax module names)."""

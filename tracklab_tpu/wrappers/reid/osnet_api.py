@@ -48,8 +48,15 @@ class OSNetReId(DetectionLevelModule):
                  batch_size: int = 32, use_parts: bool = True,
                  use_keypoints: bool = False, ibn: bool = False,
                  checkpoint_path: str | None = None, device=None,
-                 **kwargs):
+                 backbone: str = "osnet", **kwargs):
         super().__init__(batch_size)
+        # backbone zoo (reference strong_sort/deep/models): "osnet"
+        # (part-capable) or a torchreid global-feature backbone:
+        # resnet18/34/50/101, resnet50_fc512, mobilenetv2_x1_0/x1_4
+        self.backbone = backbone
+        if backbone != "osnet":
+            use_parts = False
+            use_keypoints = False
         self.variant = variant
         self.feat_dim = feat_dim
         self.n_parts = n_parts
@@ -73,15 +80,40 @@ class OSNetReId(DetectionLevelModule):
     def _build(self):
         import jax
         import jax.numpy as jnp
-        from tracklab_tpu.models.osnet import OSNet
 
-        model = OSNet(variant=self.variant, feat_dim=self.feat_dim,
-                      n_parts=self.n_parts, ibn=self.ibn)
+        if self.backbone == "osnet":
+            from tracklab_tpu.models.osnet import OSNet
+
+            model = OSNet(variant=self.variant, feat_dim=self.feat_dim,
+                          n_parts=self.n_parts, ibn=self.ibn)
+        else:
+            from tracklab_tpu.models.reid_backbones import (
+                MOBILENETV2_VARIANTS, RESNET_VARIANTS, ReidMobileNetV2,
+                ReidResNet,
+            )
+
+            if self.backbone in RESNET_VARIANTS:
+                model = ReidResNet(variant=self.backbone)
+            elif self.backbone in MOBILENETV2_VARIANTS:
+                model = ReidMobileNetV2(variant=self.backbone)
+            else:
+                raise ValueError(f"Unknown reid backbone "
+                                 f"{self.backbone!r}")
         shape = (1, self.crop_h, self.crop_w, self._in_channels)
         if self.checkpoint_path:
-            from tracklab_tpu.models.convert import load_checkpoint
-            self.variables = load_checkpoint(self.checkpoint_path, model,
-                                             shape)
+            from pathlib import Path
+
+            from tracklab_tpu.models.convert import (
+                convert_reid_backbone_torch, load_checkpoint,
+            )
+            if (self.backbone != "osnet"
+                    and Path(self.checkpoint_path).suffix
+                    in (".pth", ".pt")):
+                self.variables = convert_reid_backbone_torch(
+                    self.checkpoint_path, model, shape)
+            else:
+                self.variables = load_checkpoint(
+                    self.checkpoint_path, model, shape)
         elif self.variables is None:
             log.warning("OSNetReId: no checkpoint — random weights")
             self.variables = model.init(
@@ -96,7 +128,16 @@ class OSNetReId(DetectionLevelModule):
             x = jnp.concatenate(
                 [rgb, crops[..., 3:].astype(jnp.float32)], axis=-1) \
                 if crops.shape[-1] > 3 else rgb
-            return self.model.apply(variables, x, train=False)
+            out = self.model.apply(variables, x, train=False)
+            if isinstance(out, dict):
+                return out
+            # global-feature zoo backbones: one "part" = the global
+            # feature, visibility 1 (the reference StrongSORT consumes
+            # these as flat embeddings)
+            return {"embeddings": out,
+                    "part_features": out[:, None, :],
+                    "visibility": jnp.ones((out.shape[0], 1),
+                                           out.dtype)}
 
         self._infer = jax.jit(infer)
 

@@ -200,3 +200,79 @@ class TestColumnCompaction:
             got_cost = sum(c[i, j] for i, j in got_pairs)
             want_cost = sum(c[i, j] for i, j in want_pairs)
             np.testing.assert_allclose(got_cost, want_cost, rtol=1e-6)
+
+
+class TestMatchingLimitTieCases:
+    """Adversarial tie suites for the cost-limit lap semantics
+    (VERDICT weak #6): matching_limit must agree with the reference's
+    lap.lapjv call path (byte_track/matching.py:37-49, emulated by
+    refbridge._lapjv on the same extended square construction) on the
+    OBJECTIVE of the cost-limit program — #matches and matched-cost sum
+    trade off as limit*n_matches - sum (ties may permute pairs)."""
+
+    def _objective(self, cost, r2c, limit):
+        m = r2c >= 0
+        rows = np.nonzero(m)[0]
+        return (int(m.sum()),
+                float(limit * m.sum() - cost[rows, r2c[m]].sum()))
+
+    def _check(self, cost, limit, batched=False):
+        import sys
+        sys.path.insert(0, "tests")
+        import refbridge
+        import jax
+
+        cost = np.asarray(cost, float)
+        R, C = cost.shape
+        _, x, _ = refbridge._lapjv(cost.copy(), extend_cost=True,
+                                   cost_limit=limit)
+        got = np.asarray(jax.jit(
+            lambda c: matching_limit(
+                c, jnp.ones(R, bool), jnp.ones(C, bool), limit,
+                batched=batched))(jnp.asarray(cost)))
+        n_ref, obj_ref = self._objective(cost, x, limit)
+        n_got, obj_got = self._objective(cost, got, limit)
+        assert n_ref == n_got, (cost, x, got)
+        assert abs(obj_ref - obj_got) < 1e-9, (cost, x, got)
+
+    @pytest.mark.parametrize("batched", [False, True])
+    def test_uniform_block_ties(self, batched):
+        # every valid edge identical and below the limit
+        self._check(np.full((3, 5), 0.4), 0.8, batched)
+        self._check(np.full((4, 4), 0.79999), 0.8, batched)
+
+    @pytest.mark.parametrize("batched", [False, True])
+    def test_edges_exactly_at_limit(self, batched):
+        # lap's construction: an edge == limit ties exactly with the
+        # two-dummy route (limit/2 + limit/2); either resolution has
+        # equal objective
+        cost = np.array([[0.8, 0.3], [0.5, 0.8]])
+        self._check(cost, 0.8, batched)
+        self._check(np.full((2, 2), 0.8), 0.8, batched)
+
+    @pytest.mark.parametrize("batched", [False, True])
+    def test_duplicate_rows_and_columns(self, batched):
+        cost = np.array([[0.1, 0.1, 0.6],
+                         [0.1, 0.1, 0.6],
+                         [0.6, 0.6, 0.2]])
+        self._check(cost, 0.5, batched)
+
+    @pytest.mark.parametrize("batched", [False, True])
+    def test_swap_chains(self, batched):
+        # a + d == b + c: optimal matching not unique, objective is
+        self._check(np.array([[0.1, 0.3], [0.3, 0.5]]), 0.6, batched)
+        self._check(np.array([[0.2, 0.4, 0.6],
+                              [0.4, 0.6, 0.2],
+                              [0.6, 0.2, 0.4]]), 0.65, batched)
+
+    @pytest.mark.parametrize("batched", [False, True])
+    def test_randomized_discrete_costs(self, batched):
+        # costs drawn from a tiny discrete set -> dense ties
+        rng = np.random.default_rng(0)
+        for _ in range(25):
+            R = rng.integers(1, 6)
+            C = rng.integers(1, 6)
+            cost = rng.choice([0.1, 0.25, 0.4, 0.55, 0.7],
+                              size=(R, C))
+            self._check(cost, float(rng.choice([0.3, 0.5, 0.7])),
+                        batched)

@@ -10,6 +10,8 @@ rectangular JV solve.
 """
 import dataclasses
 
+import pandas as pd
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -162,3 +164,169 @@ def test_vmapped_batched_scan_matches_sequential():
                  int(out.ref[v, f, t]))
                 for t in np.nonzero(valid)[0]])
         _assert_same(got, single)
+
+
+# ---------------------------------------------------------------------------
+# Time-concatenated multi-video mode: one sequential scan with state
+# resets at video boundaries must be bit-identical to per-video scans
+# (the TPU-native single-chip path; vmap alternatives measured 12-40x
+# slower on real TPU)
+# ---------------------------------------------------------------------------
+
+def _stack_streams(streams, capacity=16):
+    from tracklab_tpu.trackers.common import Detections, pad_detections
+    out = []
+    for frames in streams:
+        dets = [pad_detections(f[:, :4], f[:, 4], f[:, 5],
+                               f[:, 6].astype(int), capacity=capacity,
+                               dtype=np.float64) for f in frames]
+        out.append(Detections(
+            *[jnp.stack([getattr(d, n) for d in dets])
+              for n in Detections._fields]))
+    return out
+
+
+def _concat(trees):
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *trees)
+
+
+def test_concat_scan_ocsort_identical():
+    from tracklab_tpu.trackers.common import concat_resets
+    from tracklab_tpu.trackers.ocsort import OCSortConfig, ocsort_scan
+
+    cfg = OCSortConfig(max_tracks=32, max_dets=16, **CFG_KW)
+    V, T = 3, 25
+    streams = [synth_stream(40 + v, n_frames=T, n_obj=4)
+               for v in range(V)]
+    vids = _stack_streams(streams)
+    flat = _concat(vids)
+    resets = concat_resets(V, T)
+    _, out = jax.jit(lambda d, r: ocsort_scan(cfg, d, resets=r))(
+        flat, resets)
+    for v in range(V):
+        _, single = jax.jit(lambda d: ocsort_scan(cfg, d))(vids[v])
+        seg = jax.tree_util.tree_map(
+            lambda x: x[v * T:(v + 1) * T], out)
+        for name in single._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(seg, name)),
+                np.asarray(getattr(single, name)), err_msg=name)
+
+
+def test_concat_scan_bytetrack_identical():
+    from tracklab_tpu.trackers.common import concat_resets
+    from tracklab_tpu.trackers.bytetrack import (
+        ByteTrackConfig, bytetrack_scan,
+    )
+
+    cfg = ByteTrackConfig(track_thresh=0.5, track_buffer=12,
+                          max_tracks=32, max_dets=16)
+    V, T = 3, 25
+    streams = [synth_stream(50 + v, n_frames=T, n_obj=4)
+               for v in range(V)]
+    vids = _stack_streams(streams)
+    flat = _concat(vids)
+    resets = concat_resets(V, T)
+    _, out = jax.jit(lambda d, r: bytetrack_scan(cfg, d, resets=r))(
+        flat, resets)
+    for v in range(V):
+        _, single = jax.jit(lambda d: bytetrack_scan(cfg, d))(vids[v])
+        seg = jax.tree_util.tree_map(
+            lambda x: x[v * T:(v + 1) * T], out)
+        for name in single._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(seg, name)),
+                np.asarray(getattr(single, name)), err_msg=name)
+
+
+@pytest.mark.parametrize("tracker", ["strongsort", "botsort",
+                                     "deepocsort"])
+def test_concat_scan_embedding_trackers_identical(tracker):
+    from tracklab_tpu.trackers.common import concat_resets
+
+    V, T = 2, 20
+    streams, embs = zip(*[synth_stream_with_emb(60 + v, n_frames=T)
+                          for v in range(V)])
+    vids = _stack_streams(streams)
+    cap = vids[0].ltrb.shape[1]
+    embs = [jnp.asarray(np.stack([
+        np.pad(e, ((0, cap - len(e)), (0, 0))) if len(e) < cap
+        else e[:cap] for e in stream_emb]))
+        for stream_emb in embs]
+    if tracker == "strongsort":
+        from tracklab_tpu.trackers.strongsort import (
+            StrongSortConfig, strongsort_scan,
+        )
+        from test_strongsort import KW
+        cfg = StrongSortConfig(max_tracks=32, max_dets=cap,
+                               embed_dim=E_DIM, **KW)
+        scan = strongsort_scan
+    elif tracker == "botsort":
+        from tracklab_tpu.trackers.botsort import (
+            BotSortConfig, botsort_scan,
+        )
+        from test_botsort import KW
+        cfg = BotSortConfig(max_tracks=32, max_dets=cap,
+                            embed_dim=E_DIM, **KW)
+        scan = botsort_scan
+    else:
+        from tracklab_tpu.trackers.deepocsort import (
+            DeepOCSortConfig, deepocsort_scan,
+        )
+        from test_deepocsort import KW
+        cfg = DeepOCSortConfig(max_tracks=32, max_dets=cap,
+                               embed_dim=E_DIM, asso_func="iou", **KW)
+        scan = deepocsort_scan
+    flat = _concat(vids)
+    emb_flat = jnp.concatenate(embs, axis=0)
+    resets = concat_resets(V, T)
+    _, out = jax.jit(
+        lambda d, e, r: scan(cfg, d, e, resets=r))(flat, emb_flat,
+                                                   resets)
+    for v in range(V):
+        _, single = jax.jit(lambda d, e: scan(cfg, d, e))(vids[v],
+                                                          embs[v])
+        seg = jax.tree_util.tree_map(
+            lambda x: x[v * T:(v + 1) * T], out)
+        for name in single._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(seg, name)),
+                np.asarray(getattr(single, name)), err_msg=name)
+
+
+def test_process_video_batch_uses_concat(tmp_path):
+    """The wrapper's single-chip batch path (now time-concat) matches
+    per-video process()."""
+    from tracklab_tpu.wrappers.track import OCSORT
+
+    rng = np.random.default_rng(1)
+    items = []
+    for v in range(3):
+        frames = synth_stream(70 + v, n_frames=15, n_obj=3)
+        rows, metas = [], []
+        rid = 1000 * v
+        for f, arr in enumerate(frames):
+            metas.append(dict(frame=f, video_id=v, _id=v * 100 + f))
+            for r in arr:
+                rows.append(dict(
+                    image_id=v * 100 + f,
+                    bbox_ltwh=np.array([r[0], r[1], r[2] - r[0],
+                                        r[3] - r[1]], np.float32),
+                    bbox_conf=float(r[4]), category_id=1, _id=rid))
+                rid += 1
+        dets = pd.DataFrame(rows).set_index("_id")
+        meta = pd.DataFrame(metas).set_index("_id")
+        items.append((dets, meta))
+    mod = OCSORT(min_hits=1, det_thresh=0.4, max_dets=16, max_tracks=32)
+    batch_out = mod.process_video_batch(items)
+    for (dets, meta), got in zip(items, batch_out):
+        mod2 = OCSORT(min_hits=1, det_thresh=0.4, max_dets=16,
+                      max_tracks=32)
+        want = mod2.process(dets, meta)
+        got_ids = got["track_id"].sort_index()
+        want_ids = want["track_id"].sort_index()
+        common = got_ids.index.intersection(want_ids.index)
+        assert len(common) > 0
+        np.testing.assert_array_equal(got_ids.loc[common].to_numpy(),
+                                      want_ids.loc[common].to_numpy())

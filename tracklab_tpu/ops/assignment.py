@@ -26,6 +26,7 @@ provably never perturb the valid-block optimum (see wrapper docstrings).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -124,6 +125,23 @@ def _solve_square_lax(cost: jnp.ndarray) -> jnp.ndarray:
 
 from jax import custom_batching
 
+# Rectangular-solver backend under vmap on TPU: "pallas" routes all
+# lanes into one lane-batched Mosaic program; "lax" runs the pure-lax
+# rectangular JV per lane (vmap of while_loops). The lax path compiles
+# fast; the Pallas kernel is faster at large V but its compile inside
+# vmap(scan) is expensive through remote-compile setups — switch with
+# set_rect_backend() / TRACKLAB_TPU_RECT_BACKEND.
+import os as _os
+
+_RECT_BACKEND = _os.environ.get("TRACKLAB_TPU_RECT_BACKEND", "lax")
+
+
+def set_rect_backend(name: str):
+    """'pallas' or 'lax' (affects traced-after-this-call programs)."""
+    global _RECT_BACKEND
+    assert name in ("pallas", "lax"), name
+    _RECT_BACKEND = name
+
 
 @custom_batching.custom_vmap
 def solve_rect(cost: jnp.ndarray) -> jnp.ndarray:
@@ -148,6 +166,8 @@ def solve_rect(cost: jnp.ndarray) -> jnp.ndarray:
     R, C = cost.shape
     if R == C:
         return solve_square(cost)
+    if _RECT_BACKEND != "pallas":
+        return _solve_rect_lax(cost)
     return lax.platform_dependent(
         cost,
         tpu=lambda c: solve_rect_batched_pallas(c[None])[0],
@@ -167,11 +187,14 @@ def _solve_rect_vmap_rule(axis_size, in_batched, cost):
     lead = cost.shape[:-2]
     R, C = cost.shape[-2:]
     flat = cost.reshape((-1, R, C))
-    out = lax.platform_dependent(
-        flat,
-        tpu=lambda c: solve_rect_batched_pallas(c),
-        default=lambda c: lax.map(_solve_rect_lax, c),
-    )
+    if _RECT_BACKEND != "pallas":
+        out = jax.vmap(_solve_rect_lax)(flat)
+    else:
+        out = lax.platform_dependent(
+            flat,
+            tpu=lambda c: solve_rect_batched_pallas(c),
+            default=lambda c: lax.map(_solve_rect_lax, c),
+        )
     return out.reshape(lead + (C,)), True
 
 

@@ -305,7 +305,8 @@ def botsort_step(cfg: BotSortConfig, st: BotSortState, inputs):
 
 def botsort_scan(cfg: BotSortConfig, dets: Detections, emb: jnp.ndarray,
                  warps: Optional[jnp.ndarray] = None,
-                 init: BotSortState | None = None):
+                 init: BotSortState | None = None,
+                 resets: Optional[jnp.ndarray] = None):
     """Whole-video BoT-SORT; emb (F, D, E) detection features, warps
     optional (F, 2, 3) camera warps (identity when None)."""
     if init is None:
@@ -314,4 +315,9 @@ def botsort_scan(cfg: BotSortConfig, dets: Detections, emb: jnp.ndarray,
     if warps is None:
         warps = jnp.broadcast_to(jnp.eye(2, 3, dtype=dets.ltrb.dtype),
                                  (F, 2, 3))
-    return lax.scan(partial(botsort_step, cfg), init, (dets, emb, warps))
+    step = partial(botsort_step, cfg)
+    if resets is not None:
+        from tracklab_tpu.trackers.common import reset_wrapped_step
+        return lax.scan(reset_wrapped_step(step, init), init,
+                        ((dets, emb, warps), resets))
+    return lax.scan(step, init, (dets, emb, warps))

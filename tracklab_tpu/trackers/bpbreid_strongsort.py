@@ -338,7 +338,8 @@ def bpbreid_scan(cfg: BPBReIDStrongSortConfig, dets: Detections,
                  feat: jnp.ndarray, vis: jnp.ndarray,
                  kps: Optional[jnp.ndarray] = None,
                  warps: Optional[jnp.ndarray] = None,
-                 init: BPBReIDStrongSortState | None = None):
+                 init: BPBReIDStrongSortState | None = None,
+                 resets: Optional[jnp.ndarray] = None):
     """Whole-video tracking. feat (F, D, P, E) part features,
     vis (F, D, P) visibility, kps (F, D, K, 3) keypoints (zeros fine for
     iou motion), warps optional (F, 2, 3)."""
@@ -351,5 +352,9 @@ def bpbreid_scan(cfg: BPBReIDStrongSortConfig, dets: Detections,
     if warps is None:
         warps = jnp.broadcast_to(jnp.eye(2, 3, dtype=dets.ltrb.dtype),
                                  (F, 2, 3))
-    return lax.scan(partial(bpbreid_step, cfg), init,
-                    (dets, feat, vis, kps, warps))
+    step = partial(bpbreid_step, cfg)
+    if resets is not None:
+        from tracklab_tpu.trackers.common import reset_wrapped_step
+        return lax.scan(reset_wrapped_step(step, init), init,
+                        ((dets, feat, vis, kps, warps), resets))
+    return lax.scan(step, init, (dets, feat, vis, kps, warps))

@@ -280,8 +280,14 @@ def bytetrack_step(cfg: ByteTrackConfig, st: ByteTrackState,
 
 
 def bytetrack_scan(cfg: ByteTrackConfig, dets: Detections,
-                   init: ByteTrackState | None = None):
+                   init: ByteTrackState | None = None,
+                   resets: jnp.ndarray | None = None):
     """Whole-video ByteTrack in one XLA program."""
     if init is None:
         init = bytetrack_init(cfg, dets.ltrb.dtype)
-    return lax.scan(partial(bytetrack_step, cfg), init, dets)
+    step = partial(bytetrack_step, cfg)
+    if resets is not None:
+        from tracklab_tpu.trackers.common import reset_wrapped_step
+        return lax.scan(reset_wrapped_step(step, init), init,
+                        (dets, resets))
+    return lax.scan(step, init, dets)

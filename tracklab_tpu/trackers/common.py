@@ -104,3 +104,38 @@ def birth_scatter(det2slot, birth, arr, val):
                            jnp.zeros((), arr.dtype)).sum(axis=0)
     cl = claimed[(slice(None),) + (None,) * (arr.ndim - 1)]
     return jnp.where(cl, picked.astype(arr.dtype), arr)
+
+
+def reset_wrapped_step(step_fn, init_state):
+    """Wrap a tracker scan step with a per-frame state reset.
+
+    The TPU-native single-chip multi-video mode: V videos concatenate
+    along TIME into one stream with ``reset[t]=True`` at each video's
+    first frame; the carry re-initializes there, so every segment is
+    bit-identical to its own single-video scan — and the scan keeps its
+    data-dependent ``lax.cond`` fast paths, which ``vmap`` would
+    otherwise degrade (every branch runs for all lanes; measured 12x on
+    the cond cliff, and 40x worse with cond-free per-frame JV solves on
+    real TPU — BASELINE.md).
+
+    step_fn: (state, x) -> (state, out). Returns a step over
+    ``(x, reset)`` inputs.
+    """
+    import jax
+
+    def step(carry, inp):
+        x, reset = inp
+        carry = jax.tree_util.tree_map(
+            lambda i, c: jnp.where(
+                jnp.reshape(reset, (1,) * c.ndim), i, c),
+            init_state, carry)
+        return step_fn(carry, x)
+
+    return step
+
+
+def concat_resets(n_videos: int, n_frames: int):
+    """(V*T,) bool mask marking each video's first frame in a
+    time-concatenated stream."""
+    r = jnp.zeros((n_videos, n_frames), bool)
+    return r.at[:, 0].set(True).reshape(-1)

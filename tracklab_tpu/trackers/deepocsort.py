@@ -599,12 +599,17 @@ def _invert(det2trk, T):
 def deepocsort_scan(cfg: DeepOCSortConfig, dets: Detections,
                     emb: jnp.ndarray,
                     warps: Optional[jnp.ndarray] = None,
-                    init: DeepOCSortState | None = None):
+                    init: DeepOCSortState | None = None,
+                    resets: Optional[jnp.ndarray] = None):
     if init is None:
         init = deepocsort_init(cfg, dets.ltrb.dtype)
     F = dets.ltrb.shape[0]
     if warps is None:
         warps = jnp.broadcast_to(jnp.eye(2, 3, dtype=dets.ltrb.dtype),
                                  (F, 2, 3))
-    return lax.scan(partial(deepocsort_step, cfg), init,
-                    (dets, emb, warps))
+    step = partial(deepocsort_step, cfg)
+    if resets is not None:
+        from tracklab_tpu.trackers.common import reset_wrapped_step
+        return lax.scan(reset_wrapped_step(step, init), init,
+                        ((dets, emb, warps), resets))
+    return lax.scan(step, init, (dets, emb, warps))

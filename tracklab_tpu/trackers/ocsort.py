@@ -471,7 +471,8 @@ def ocsort_step(cfg: OCSortConfig, st: OCSortState, det: Detections):
 
 
 def ocsort_scan(cfg: OCSortConfig, dets: Detections,
-                init: OCSortState | None = None):
+                init: OCSortState | None = None,
+                resets: jnp.ndarray | None = None):
     """Track a whole padded video: ``dets`` pytree with leading frame axis.
 
     Returns (final_state, OCSortOutput with leading frame axis). Jitted by
@@ -481,4 +482,8 @@ def ocsort_scan(cfg: OCSortConfig, dets: Detections,
     if init is None:
         init = ocsort_init(cfg, dets.ltrb.dtype)
     step = partial(ocsort_step, cfg)
+    if resets is not None:
+        from tracklab_tpu.trackers.common import reset_wrapped_step
+        return lax.scan(reset_wrapped_step(step, init), init,
+                        (dets, resets))
     return lax.scan(step, init, dets)

@@ -300,7 +300,8 @@ def strongsort_step(cfg: StrongSortConfig, st: StrongSortState,
 
 def strongsort_scan(cfg: StrongSortConfig, dets: Detections,
                     emb: jnp.ndarray, warps: Optional[jnp.ndarray] = None,
-                    init: StrongSortState | None = None):
+                    init: StrongSortState | None = None,
+                    resets: Optional[jnp.ndarray] = None):
     """Whole-video StrongSORT. dets: leading frame axis; emb: (F, D, E)
     detection embeddings; warps: optional (F, 2, 3) camera warps."""
     if init is None:
@@ -311,4 +312,8 @@ def strongsort_scan(cfg: StrongSortConfig, dets: Detections,
                                (F, 2, 3))
         warps = eye
     step = partial(strongsort_step, cfg)
+    if resets is not None:
+        from tracklab_tpu.trackers.common import reset_wrapped_step
+        return lax.scan(reset_wrapped_step(step, init), init,
+                        ((dets, emb, warps), resets))
     return lax.scan(step, init, (dets, emb, warps))

@@ -251,13 +251,23 @@ class _ScanTrackerBase(VideoLevelModule):
                 lambda c, d: scan(c, d), cfg, mesh, axis="video")
             _, out = run(stacked)
         else:
-            # single-chip vmap: switch the tracker to its cond-free
-            # batched mode (identical outputs; lax.cond under vmap runs
-            # every branch for all lanes — the 12x cliff, BASELINE.md)
-            import dataclasses
-            if hasattr(cfg, "batched"):
-                cfg = dataclasses.replace(cfg, batched=True)
-            _, out = jax.jit(jax.vmap(lambda d: scan(cfg, d)))(stacked)
+            # TPU-native single-chip path: time-concatenate the videos
+            # into ONE sequential scan with a state reset at each
+            # video's first frame. Bit-identical to per-video scans and
+            # keeps the data-dependent lax.cond fast paths — vmap's
+            # cond-free alternatives measured 12x (cond cliff) to 40x
+            # (per-frame JV in batched mode) slower on real TPU
+            # (BASELINE.md).
+            from tracklab_tpu.trackers.common import concat_resets
+            V = stacked.ltrb.shape[0]
+            flat = jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), stacked)
+            resets = concat_resets(V, bucket)
+            _, out_flat = jax.jit(
+                lambda d, r: scan(cfg, d, resets=r))(flat, resets)
+            out = jax.tree_util.tree_map(
+                lambda x: x.reshape((V, bucket) + x.shape[1:]),
+                out_flat)
         results = []
         for v, (lut, n) in enumerate(zip(luts, lens)):
             results.append(self._emissions_to_df(

@@ -802,3 +802,84 @@ def test_reid_mobilenetv2_activation_parity():
                                             (1, H, W, 3))
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# HF-exact RT-DETR vs the installed transformers implementation
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("layer_type", ["basic", "bottleneck"])
+def test_rtdetr_hf_activation_parity(layer_type):
+    import jax.numpy as jnp
+    from transformers import RTDetrConfig, RTDetrForObjectDetection
+    from transformers.models.rt_detr.configuration_rt_detr_resnet import (
+        RTDetrResNetConfig,
+    )
+
+    from tracklab_tpu.models.rtdetr_hf import RTDetrHF, RTDetrHFConfig
+    from tracklab_tpu.models.convert import convert_rtdetr_hf_torch
+
+    hidden = [16, 32, 64, 128] if layer_type == "basic" \
+        else [64, 128, 256, 512]
+    backbone_config = RTDetrResNetConfig(
+        embedding_size=16, hidden_sizes=hidden, depths=[1, 1, 2, 1],
+        layer_type=layer_type, out_features=["stage2", "stage3",
+                                             "stage4"])
+    # num_queries == total anchors (12^2+6^2+3^2 at 96x96): the top-k
+    # selects EVERY anchor on both sides, so random-weight score ties at
+    # the selection boundary cannot change the query set — outputs then
+    # differ only by the selection permutation, which we align through
+    # the anchor ids
+    H = W = 96
+    S = (H // 8) ** 2 + (H // 16) ** 2 + (H // 32) ** 2
+    config = RTDetrConfig(
+        backbone_config=backbone_config,
+        d_model=64, num_queries=S, encoder_hidden_dim=64,
+        encoder_in_channels=hidden[1:], encoder_layers=1,
+        encoder_ffn_dim=128, num_attention_heads=4,
+        decoder_layers=2, decoder_ffn_dim=128,
+        decoder_attention_heads=4, decoder_n_points=2,
+        decoder_in_channels=[64, 64, 64],
+        num_labels=3, num_denoising=10, anchor_image_size=None,
+    )
+    tm = RTDetrForObjectDetection(config)
+    tm.eval()
+    _randomize_module(tm, seed=31)
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                 return_dict=True)
+    want_logits = out.logits.numpy()
+    want_boxes = out.pred_boxes.numpy()
+    tt = torch.topk(out.enc_outputs_class.max(-1).values, S,
+                    dim=1)[1].numpy()
+
+    fcfg = RTDetrHFConfig(
+        num_labels=3, d_model=64, num_queries=S,
+        embedding_size=16, hidden_sizes=tuple(hidden),
+        depths=(1, 1, 2, 1), layer_type=layer_type,
+        encoder_hidden_dim=64, encoder_in_channels=tuple(hidden[1:]),
+        encoder_layers=1, encoder_ffn_dim=128, num_attention_heads=4,
+        decoder_layers=2, decoder_ffn_dim=128,
+        decoder_attention_heads=4, decoder_n_points=2,
+    )
+    fm = RTDetrHF(config=fcfg)
+    variables = convert_rtdetr_hf_torch(_state_dict_np(tm), fm,
+                                        (1, H, W, 3))
+    logits, boxes, topk_f = fm.apply(variables, jnp.asarray(x),
+                                     train=False, return_topk=True)
+    logits, boxes, topk_f = (np.asarray(logits), np.asarray(boxes),
+                             np.asarray(topk_f))
+    B = x.shape[0]
+    for b in range(B):
+        # align flax query j (anchor topk_f[b, j]) with the torch query
+        # holding the same anchor
+        pos_t = np.empty(S, int)
+        pos_t[tt[b]] = np.arange(S)
+        perm = pos_t[topk_f[b]]
+        np.testing.assert_allclose(boxes[b], want_boxes[b][perm],
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(logits[b], want_logits[b][perm],
+                                   rtol=1e-3, atol=2e-3)

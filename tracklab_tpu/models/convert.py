@@ -333,6 +333,52 @@ def convert_reid_backbone_torch(sd_or_path, model, input_shape,
                            expected_unused=("classifier.",))
 
 
+def _rtdetr_hf_torch_key(path):
+    """Flax path -> HF RTDetrForObjectDetection state-dict key:
+    '__' spells '.' inside one flax name, and trailing '_<index>'
+    segments expand to '.<index>' recursively
+    (``encoder__stages_0__layers_1`` -> ``encoder.stages.0.layers.1``,
+    ``encoder_input_proj_0_1`` -> ``encoder_input_proj.0.1``)."""
+    import re
+    _, *mods, leaf = path
+    comps = []
+    for m in mods:
+        for part in m.split("__"):
+            stack = [part]
+            while True:
+                mm = re.match(r"^(.*)_(\d+)$", stack[0])
+                if not mm:
+                    break
+                stack = [mm.group(1), mm.group(2)] + stack[1:]
+            comps.extend(stack)
+    return ".".join(comps + [_LEAF_MAP[leaf]])
+
+
+def convert_rtdetr_hf_torch(sd_or_path, model, input_shape,
+                            allow_pickle=False):
+    """Convert an HF RTDetrForObjectDetection checkpoint (the PekingU
+    rtdetr_* zoo the reference uses) into the Flax RTDetrHF variables.
+    The prediction heads are TIED into the decoder
+    (modeling_rt_detr.py:1840-1841), so whichever alias the checkpoint
+    carries is normalized to the top-level ``bbox_embed``/``class_embed``
+    names; the denoising embedding table (training-only) is
+    expected-unused."""
+    sd = (sd_or_path if isinstance(sd_or_path, dict)
+          else _torch_state_dict(sd_or_path, allow_pickle=allow_pickle))
+    sd = dict(sd)
+    for k in list(sd):
+        for head in ("bbox_embed", "class_embed"):
+            pref = f"model.decoder.{head}."
+            if k.startswith(pref):
+                sd.setdefault(k[len("model.decoder."):], sd[k])
+    return convert_by_name(
+        sd, model, input_shape, _rtdetr_hf_torch_key,
+        expected_unused=("model.decoder.bbox_embed.",
+                         "model.decoder.class_embed.",
+                         "model.denoising_class_embed.",
+                         "model.anchors", "model.valid_mask"))
+
+
 def _yolov8_torch_key(path):
     """Flax path -> ultralytics YOLOv8 state-dict key (model.0..model.22;
     '.' spelled '__' in flax module names)."""

@@ -15,11 +15,80 @@ __all__ = ["RTDETRDetector"]
 
 
 class RTDETRDetector(YOLOXDetector):
+    """Two model families behind one wrapper:
+
+    * ``variant`` in {r18vd, r34vd, r50vd, r101vd}: the HF-exact
+      RT-DETR (models/rtdetr_hf.py) — checkpoint-compatible with the
+      PekingU zoo the reference's RTDetr wrapper loads
+      (transformers_api.py + rtdetr_transformers*.yaml); preprocessing
+      follows RTDetrImageProcessor (stretch-resize, 1/255, no
+      normalization, no letterbox).
+    * other variants: the lightweight first-party query detector
+      (models/rtdetr.py) with the shared letterbox pipeline.
+    """
+
+    HF_VARIANTS = ("r18vd", "r34vd", "r50vd", "r101vd")
+
     def __init__(self, *args, num_queries: int = 100, **kwargs):
         self.num_queries = num_queries
         super().__init__(*args, **kwargs)
 
+    @property
+    def _hf_mode(self):
+        return self.variant in self.HF_VARIANTS
+
+    def preprocess(self, image, detections, metadata):
+        if not self._hf_mode:
+            return super().preprocess(image, detections, metadata)
+        import cv2
+        h0, w0 = image.shape[:2]
+        th, tw = self.input_size
+        resized = cv2.resize(image, (tw, th),
+                             interpolation=cv2.INTER_LINEAR)
+        return {
+            "image": resized,
+            # stretch-resize: per-axis scale, no padding
+            "scale": np.array([w0 / tw, h0 / th], np.float32),
+            "pad": np.zeros(2, np.float32),
+            "shape": np.array([w0, h0], np.float32),
+        }
+
+    def process(self, batch, detections, metadatas):
+        if not self._hf_mode:
+            return super().process(batch, detections, metadatas)
+        if self._infer is None:
+            self._build()
+        out = self._infer(batch["image"])
+        ltrb = np.asarray(out["ltrb"])
+        score = np.asarray(out["score"])
+        cls = np.asarray(out["cls"])
+        valid = np.asarray(out["valid"])
+        rows = []
+        for i, (image_id, metadata) in enumerate(metadatas.iterrows()):
+            sx, sy = np.asarray(batch["scale"][i])
+            w0, h0 = np.asarray(batch["shape"][i])
+            for d in np.nonzero(valid[i])[0]:
+                box = ltrb[i, d].copy()
+                box[0::2] = np.clip(box[0::2] * sx, 0, w0)
+                box[1::2] = np.clip(box[1::2] * sy, 0, h0)
+                lt = box[:2]
+                wh = box[2:] - box[:2]
+                if wh[0] <= 0 or wh[1] <= 0:
+                    continue
+                rows.append(pd.Series(dict(
+                    image_id=image_id,
+                    video_id=metadata.video_id,
+                    category_id=int(cls[i, d]) + self.class_offset,
+                    bbox_ltwh=np.concatenate([lt, wh]).astype(
+                        np.float32),
+                    bbox_conf=float(score[i, d]),
+                ), name=self.id))
+                self.id += 1
+        return rows
+
     def _build(self):
+        if self._hf_mode:
+            return self._build_hf()
         import jax
         import jax.numpy as jnp
         from tracklab_tpu.models.rtdetr import RTDETR
@@ -58,6 +127,51 @@ class RTDETRDetector(YOLOXDetector):
                 "cls": take(classes, top_i),
                 "valid": top_s >= self.min_confidence,
             }
+
+        self._model = model
+        self._variables = variables
+        self._infer = jax.jit(infer)
+
+    def _build_hf(self):
+        import jax
+        import jax.numpy as jnp
+        from tracklab_tpu.models.rtdetr_hf import (
+            RTDetrHF, postprocess_rtdetr,
+        )
+
+        model = RTDetrHF(variant=self.variant,
+                         num_labels=max(self.num_classes, 1))
+        h, w = self.input_size
+        if self._variables is not None:
+            variables = self._variables
+        elif self.checkpoint_path:
+            from pathlib import Path
+
+            from tracklab_tpu.models.convert import (
+                convert_rtdetr_hf_torch, load_checkpoint,
+            )
+            if Path(self.checkpoint_path).suffix in (".pth", ".pt",
+                                                     ".bin"):
+                variables = convert_rtdetr_hf_torch(
+                    self.checkpoint_path, model, (1, h, w, 3))
+            else:
+                variables = load_checkpoint(self.checkpoint_path,
+                                            model, (1, h, w, 3))
+        else:
+            log.warning("RTDETRDetector(%s): random weights",
+                        self.variant)
+            variables = model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, h, w, 3)),
+                                   train=False)
+
+        def infer(images):
+            # RTDetrImageProcessor: rescale 1/255, NO normalization
+            x = images.astype(jnp.float32) / 255.0
+            logits, boxes = model.apply(variables, x, train=False)
+            return postprocess_rtdetr(
+                logits, boxes, img_w=w, img_h=h,
+                conf_threshold=self.min_confidence,
+                max_out=self.max_dets)
 
         self._model = model
         self._variables = variables

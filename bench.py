@@ -72,12 +72,18 @@ def main():
     # bs=256 ~1859 img/s); NMS adds only ~2 ms/batch
     H = W = 640
     model = YOLOX(num_classes=1, variant="s", dtype=jnp.bfloat16)
+    # stage frames as uint8 (the camera-native dtype): the detector is
+    # HBM-bandwidth bound, and reading the input batch at 0.3 GB
+    # instead of 1.2 GB (f32) trims the dominant term; the cast to
+    # bf16 happens on device inside the jitted program
     images = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 255, (BATCH, H, W, 3)),
-        jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), images, train=False)
+        np.random.default_rng(0).integers(0, 255, (BATCH, H, W, 3)),
+        jnp.uint8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, H, W, 3)), train=False)
 
     def detect(imgs):
+        imgs = imgs.astype(jnp.bfloat16)
         decoded = model.apply(variables, imgs, method=YOLOX.predict)
         return postprocess_detections(decoded, conf_threshold=0.3,
                                       max_out=32)

@@ -883,3 +883,70 @@ def test_rtdetr_hf_activation_parity(layer_type):
                                    rtol=1e-3, atol=1e-4)
         np.testing.assert_allclose(logits[b], want_logits[b][perm],
                                    rtol=1e-3, atol=2e-3)
+
+
+def test_rtdetr_v2_checkpoint_parity():
+    """RT-DETRv2 checkpoints (rtdetr_v2_r18vd etc. in the reference's
+    model list) load into the SAME flax model: with the released
+    defaults the v2 deformable sampling reduces exactly to v1
+    (offsets * (1/P) * wh * 0.5)."""
+    import jax.numpy as jnp
+    from transformers import RTDetrV2Config, RTDetrV2ForObjectDetection
+    from transformers.models.rt_detr.configuration_rt_detr_resnet import (
+        RTDetrResNetConfig,
+    )
+
+    from tracklab_tpu.models.rtdetr_hf import RTDetrHF, RTDetrHFConfig
+    from tracklab_tpu.models.convert import convert_rtdetr_hf_torch
+
+    hidden = [16, 32, 64, 128]
+    backbone_config = RTDetrResNetConfig(
+        embedding_size=16, hidden_sizes=hidden, depths=[1, 1, 2, 1],
+        layer_type="basic", out_features=["stage2", "stage3", "stage4"])
+    H = W = 96
+    S = (H // 8) ** 2 + (H // 16) ** 2 + (H // 32) ** 2
+    config = RTDetrV2Config(
+        backbone_config=backbone_config,
+        d_model=64, num_queries=S, encoder_hidden_dim=64,
+        encoder_in_channels=hidden[1:], encoder_layers=1,
+        encoder_ffn_dim=128, num_attention_heads=4,
+        decoder_layers=2, decoder_ffn_dim=128,
+        decoder_attention_heads=4, decoder_n_points=2,
+        decoder_in_channels=[64, 64, 64],
+        num_labels=3, num_denoising=10, anchor_image_size=None,
+    )
+    tm = RTDetrV2ForObjectDetection(config)
+    tm.eval()
+    _randomize_module(tm, seed=37)
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(1, H, W, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                 return_dict=True)
+    tt = torch.topk(out.enc_outputs_class.max(-1).values, S,
+                    dim=1)[1].numpy()
+
+    fcfg = RTDetrHFConfig(
+        num_labels=3, d_model=64, num_queries=S,
+        embedding_size=16, hidden_sizes=tuple(hidden),
+        depths=(1, 1, 2, 1), layer_type="basic",
+        encoder_hidden_dim=64, encoder_in_channels=tuple(hidden[1:]),
+        encoder_layers=1, encoder_ffn_dim=128, num_attention_heads=4,
+        decoder_layers=2, decoder_ffn_dim=128,
+        decoder_attention_heads=4, decoder_n_points=2,
+    )
+    fm = RTDetrHF(config=fcfg)
+    variables = convert_rtdetr_hf_torch(_state_dict_np(tm), fm,
+                                        (1, H, W, 3))
+    logits, boxes, topk_f = fm.apply(variables, jnp.asarray(x),
+                                     train=False, return_topk=True)
+    logits, boxes, topk_f = (np.asarray(logits), np.asarray(boxes),
+                             np.asarray(topk_f))
+    pos_t = np.empty(S, int)
+    pos_t[tt[0]] = np.arange(S)
+    perm = pos_t[topk_f[0]]
+    np.testing.assert_allclose(boxes[0], out.pred_boxes.numpy()[0][perm],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(logits[0], out.logits.numpy()[0][perm],
+                               rtol=1e-3, atol=2e-3)

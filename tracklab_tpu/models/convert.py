@@ -371,12 +371,20 @@ def convert_rtdetr_hf_torch(sd_or_path, model, input_shape,
             pref = f"model.decoder.{head}."
             if k.startswith(pref):
                 sd.setdefault(k[len("model.decoder."):], sd[k])
+    # RT-DETRv2 checkpoints additionally carry per-layer n_points_scale
+    # buffers; with the released defaults (uniform points,
+    # offset_scale=0.5, method=default) the v2 sampling math reduces
+    # exactly to v1's offsets/P * wh * 0.5, so the same flax model
+    # loads them (modeling_rt_detr_v2.py:41-120 vs
+    # modeling_rt_detr.py:744-760)
+    v2_buffers = tuple(k for k in sd if k.endswith("n_points_scale"))
     return convert_by_name(
         sd, model, input_shape, _rtdetr_hf_torch_key,
         expected_unused=("model.decoder.bbox_embed.",
                          "model.decoder.class_embed.",
                          "model.denoising_class_embed.",
-                         "model.anchors", "model.valid_mask"))
+                         "model.anchors", "model.valid_mask")
+        + v2_buffers)
 
 
 def _yolov8_torch_key(path):

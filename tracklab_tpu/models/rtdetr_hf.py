@@ -22,8 +22,7 @@ expected-unused during conversion).
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence, Tuple  # noqa: F401
 
 import flax.linen as nn
 import jax

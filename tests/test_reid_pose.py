@@ -200,3 +200,19 @@ class TestReidBackboneZoo:
         emb = out.loc[100, "embeddings"]
         assert emb.shape == (dim,)
         assert np.isfinite(emb).all()
+
+
+def test_zoo_osnet_ain_pipeline():
+    from tracklab_tpu.wrappers.reid import OSNetReId
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (120, 160, 3), np.uint8)
+    dets = pd.DataFrame({
+        "image_id": [0],
+        "bbox_ltwh": [np.array([10, 10, 40, 80], np.float32)],
+    }, index=[100])
+    module = OSNetReId(backbone="osnet_ain_x0_25", feat_dim=64,
+                       crop_size=(64, 32), batch_size=1)
+    samples = [module.preprocess(img, dets.loc[100], None)]
+    out = module.process(module.collate_fn(samples), dets, None)
+    emb = out.loc[100, "embeddings"]
+    assert emb.shape == (64,) and np.isfinite(emb).all()

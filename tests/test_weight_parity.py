@@ -950,3 +950,34 @@ def test_rtdetr_v2_checkpoint_parity():
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(logits[0], out.logits.numpy()[0][perm],
                                rtol=1e-3, atol=2e-3)
+
+
+def test_osnet_ain_activation_parity():
+    import jax.numpy as jnp
+    from tracklab_tpu.models.osnet import OSNetAIN
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    from strong_sort.deep.models import osnet_ain as tain
+
+    tm = tain.OSNet(
+        num_classes=5,
+        blocks=[[tain.OSBlockINin, tain.OSBlockINin],
+                [tain.OSBlock, tain.OSBlockINin],
+                [tain.OSBlockINin, tain.OSBlock]],
+        layers=[2, 2, 2], channels=[16, 64, 96, 128],
+        conv1_IN=True)
+    tm.eval()
+    _randomize_module(tm, seed=41)
+
+    H, W = 128, 64
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    fm = OSNetAIN(variant="ain_x0_25")
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -230,3 +230,121 @@ class OSNet(nn.Module):
             [jnp.ones((B, 1), vis.dtype), vis], axis=1)
         return {"embeddings": g, "part_features": parts,
                 "visibility": vis_full}
+
+
+# ---------------------------------------------------------------------------
+# OSNet-AIN (osnet_ain.py in the reference's vendored torchreid):
+# per-stream LightConv stacks, a SHARED aggregation gate, and instance
+# normalization inside selected residuals
+# ---------------------------------------------------------------------------
+
+class Conv1x1LinearNoBN(nn.Module):
+    """Conv1x1Linear(bn=False) (osnet_ain.py:55-71)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.Conv(self.features, (1, 1), use_bias=False,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class LightConvStream(nn.Module):
+    """depth x LightConv3x3 (osnet_ain.py:127-142; names layers_{d})."""
+    features: int
+    depth: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for d in range(self.depth):
+            x = LightConv3x3(self.features, dtype=self.dtype,
+                             name=f"layers_{d}")(x, train)
+        return x
+
+
+class OSBlockAIN(nn.Module):
+    """osnet_ain.py OSBlock / OSBlockINin: T parallel LightConv streams
+    of increasing depth, ONE shared ChannelGate, linear 1x1 out
+    (bn dropped + InstanceNorm inside the residual for the INin
+    variant)."""
+    features: int
+    instance_norm: bool = False     # True -> OSBlockINin
+    T: int = 4
+    reduction: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.features // self.reduction
+        identity = x
+        x1 = Conv1x1(mid, dtype=self.dtype, name="conv1")(x, train)
+        gate = ChannelGate(mid, dtype=self.dtype, name="gate")
+        x2 = None
+        for t in range(self.T):
+            s = LightConvStream(mid, t + 1, dtype=self.dtype,
+                                name=f"conv2_{t}")(x1, train)
+            s = gate(s)
+            x2 = s if x2 is None else x2 + s
+        if self.instance_norm:
+            x3 = Conv1x1LinearNoBN(self.features, dtype=self.dtype,
+                                   name="conv3")(x2, train)
+            x3 = nn.GroupNorm(num_groups=self.features, epsilon=1e-5,
+                              dtype=jnp.float32, name="IN")(x3)
+        else:
+            x3 = Conv1x1Linear(self.features, dtype=self.dtype,
+                               name="conv3")(x2, train)
+        if x.shape[-1] != self.features:
+            identity = Conv1x1Linear(self.features, dtype=self.dtype,
+                                     name="downsample")(x, train)
+        return nn.relu(x3 + identity)
+
+
+OSNET_AIN_VARIANTS = {
+    # channels + per-stage block kinds (osnet_ain.py:531-596);
+    # True = OSBlockINin
+    "ain_x1_0": dict(channels=(64, 256, 384, 512),
+                     blocks=((True, True), (False, True),
+                             (True, False))),
+    "ain_x0_75": dict(channels=(48, 192, 288, 384),
+                      blocks=((True, True), (False, True),
+                              (True, False))),
+    "ain_x0_5": dict(channels=(32, 128, 192, 256),
+                     blocks=((True, True), (False, True),
+                             (True, False))),
+    "ain_x0_25": dict(channels=(16, 64, 96, 128),
+                      blocks=((True, True), (False, True),
+                              (True, False))),
+}
+
+
+class OSNetAIN(nn.Module):
+    """osnet_ain_x* topology; eval-mode forward returns the post-fc
+    feature vector (the StrongSORT appearance embedding)."""
+    variant: str = "ain_x1_0"
+    feat_dim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        v = OSNET_AIN_VARIANTS[self.variant]
+        chans = v["channels"]
+        x = ConvLayer(chans[0], 7, 2, instance_norm=True,
+                      dtype=self.dtype, name="conv1")(x, train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        for stage, kinds in enumerate(v["blocks"]):
+            sname = f"conv{stage + 2}"
+            for b, inin in enumerate(kinds):
+                x = OSBlockAIN(chans[stage + 1], instance_norm=inin,
+                               dtype=self.dtype,
+                               name=f"{sname}_{b}")(x, train)
+            if stage < len(v["blocks"]) - 1:
+                x = Conv1x1(chans[stage + 1], dtype=self.dtype,
+                            name=f"pool{stage + 2}_0")(x, train)
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = Conv1x1(chans[-1], dtype=self.dtype, name="conv5")(x, train)
+        g = jnp.mean(x, axis=(1, 2))
+        g = nn.Dense(self.feat_dim, dtype=self.dtype, name="fc_0")(g)
+        g = nn.BatchNorm(use_running_average=not train,
+                         dtype=jnp.float32, name="fc_1")(g)
+        return nn.relu(g)

@@ -52,7 +52,8 @@ class OSNetReId(DetectionLevelModule):
         super().__init__(batch_size)
         # backbone zoo (reference strong_sort/deep/models): "osnet"
         # (part-capable) or a torchreid global-feature backbone:
-        # resnet18/34/50/101, resnet50_fc512, mobilenetv2_x1_0/x1_4
+        # resnet18/34/50/101, resnet50_fc512, mobilenetv2_x1_0/x1_4,
+        # osnet_ain_x1_0/x0_75/x0_5/x0_25
         self.backbone = backbone
         if backbone != "osnet":
             use_parts = False
@@ -87,15 +88,21 @@ class OSNetReId(DetectionLevelModule):
             model = OSNet(variant=self.variant, feat_dim=self.feat_dim,
                           n_parts=self.n_parts, ibn=self.ibn)
         else:
+            from tracklab_tpu.models.osnet import (
+                OSNET_AIN_VARIANTS, OSNetAIN,
+            )
             from tracklab_tpu.models.reid_backbones import (
                 MOBILENETV2_VARIANTS, RESNET_VARIANTS, ReidMobileNetV2,
                 ReidResNet,
             )
 
+            ain = self.backbone.replace("osnet_", "")
             if self.backbone in RESNET_VARIANTS:
                 model = ReidResNet(variant=self.backbone)
             elif self.backbone in MOBILENETV2_VARIANTS:
                 model = ReidMobileNetV2(variant=self.backbone)
+            elif ain in OSNET_AIN_VARIANTS:
+                model = OSNetAIN(variant=ain, feat_dim=self.feat_dim)
             else:
                 raise ValueError(f"Unknown reid backbone "
                                  f"{self.backbone!r}")

@@ -260,3 +260,55 @@ class TestReidPoseAndPerJointAP:
         assert aps[7] < 5.0
         others = np.delete(aps, 7)
         assert others.min() > 90.0
+
+
+class TestBoxMAP:
+    def test_perfect_is_100(self):
+        from tracklab_tpu.eval.pose_metrics import box_map
+        rng = np.random.default_rng(0)
+        gt, pr, sc = {}, {}, {}
+        for f in range(5):
+            b = rng.uniform(0, 500, (4, 2))
+            boxes = np.concatenate([b, rng.uniform(30, 80, (4, 2))], 1)
+            gt[f] = boxes
+            pr[f] = boxes.copy()
+            sc[f] = rng.uniform(0.5, 1.0, 4)
+        res = box_map(gt, pr, sc)
+        assert res["bbox_mAP"] > 99.0
+        assert res["bbox_AP50"] > 99.0
+
+    def test_localization_noise_hurts_high_iou_only(self):
+        from tracklab_tpu.eval.pose_metrics import box_map
+        rng = np.random.default_rng(1)
+        gt, pr, sc = {}, {}, {}
+        for f in range(10):
+            b = rng.uniform(100, 500, (3, 2))
+            boxes = np.concatenate([b, np.full((3, 2), 100.0)], 1)
+            gt[f] = boxes
+            noisy = boxes.copy()
+            noisy[:, :2] += rng.uniform(8, 12, (3, 2))  # ~10 px shift
+            pr[f] = noisy
+            sc[f] = np.full(3, 0.9)
+        res = box_map(gt, pr, sc)
+        # IoU of a 100x100 box shifted ~10px in x and y ~ 0.66:
+        # AP50 perfect, AP75 zero, mAP between
+        assert res["bbox_AP50"] > 99.0
+        assert res["bbox_AP75"] < 1.0
+        assert 20.0 < res["bbox_mAP"] < 60.0
+
+    def test_false_positives_rank_below_tps(self):
+        from tracklab_tpu.eval.pose_metrics import box_map
+        gt = {0: np.array([[10.0, 10, 50, 50]])}
+        # one TP at high score + one FP at low score: AP stays 1.0
+        pr = {0: np.array([[10.0, 10, 50, 50], [300.0, 300, 50, 50]])}
+        res = box_map(gt, pr, {0: np.array([0.9, 0.1])})
+        assert res["bbox_AP50"] > 99.0
+        # FP ABOVE the TP halves the interpolated precision tail
+        res2 = box_map(gt, pr, {0: np.array([0.1, 0.9])})
+        assert res2["bbox_AP50"] < 60.0
+
+    def test_evaluator_reports_bbox_map(self):
+        from tracklab_tpu.eval.pose_evaluator import PoseTrackEvaluator
+        t = TestReidPoseAndPerJointAP()
+        res = PoseTrackEvaluator().run(t._state())
+        assert "bbox_mAP" in res and res["bbox_mAP"] > 99.0

@@ -81,6 +81,31 @@ class PoseTrackEvaluator(Evaluator):
                                if "track_bbox_ltwh" in vpred.columns
                                else "bbox_ltwh", self.pred_track_column)
             out["box"] = evaluate_sequence(make_sequence_data(gtf, prf))
+            # detection bbox mAP (the reference's eval_mot branch,
+            # posetrack21_evaluator.py:193-201)
+            from tracklab_tpu.eval.pose_metrics import box_map
+
+            def _boxes_scores(df, col):
+                boxes, scores = {}, {}
+                if len(df) == 0 or col not in df.columns:
+                    return boxes, scores
+                m = df.dropna(subset=[col]).merge(
+                    vimgs[["frame"]], left_on="image_id",
+                    right_index=True, suffixes=("", "_img"))
+                fcol = "frame_img" if "frame_img" in m else "frame"
+                for fr, g in m.groupby(fcol):
+                    boxes[int(fr)] = np.stack(g[col].to_numpy())
+                    scores[int(fr)] = (
+                        g["bbox_conf"].to_numpy(float)
+                        if "bbox_conf" in g else np.ones(len(g)))
+                return boxes, scores
+
+            bb_g, _ = _boxes_scores(vgt, "bbox_ltwh")
+            pcol = ("track_bbox_ltwh"
+                    if "track_bbox_ltwh" in vpred.columns
+                    else "bbox_ltwh")
+            bb_p, bb_s = _boxes_scores(vpred, pcol)
+            out["bbox_map"] = box_map(bb_g, bb_p, bb_s)
             # pose tracking (OKS HOTA) + keypoint mAP
             g_ids, g_kp, _ = _pose_frames(vgt, vimgs, "track_id")
             p_ids, p_kp, p_sc = _pose_frames(vpred, vimgs,
@@ -107,6 +132,11 @@ class PoseTrackEvaluator(Evaluator):
                 {k: v["box"] for k, v in per_seq.items()}),
             "per_seq": per_seq,
         }
+        bmaps = [v["bbox_map"]["bbox_mAP"] for v in per_seq.values()
+                 if "bbox_map" in v]
+        if bmaps:
+            results["bbox_mAP"] = float(np.mean(bmaps))
+            log.info("bbox mAP %.2f", results["bbox_mAP"])
         pose_seqs = {k: v["pose"] for k, v in per_seq.items()
                      if "pose" in v}
         if pose_seqs:

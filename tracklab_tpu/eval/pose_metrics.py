@@ -229,3 +229,67 @@ def keypoint_ap_per_joint(gt_frames, pred_frames, pred_scores,
             "total_AP": float(aps.mean() * 100),
             "names": list(joint_names) if joint_names else
             [f"joint_{j}" for j in range(n_joints)]}
+
+
+def box_map(gt_frames, pred_frames, pred_scores,
+            thresholds=None) -> dict:
+    """COCO-style detection box mAP over IoU thresholds (the metric the
+    reference gets from torchmetrics MeanAveragePrecision in its
+    eval_mot branch, posetrack21_evaluator.py:193-201 — torchmetrics is
+    not installed here, so this is a native implementation of the COCO
+    procedure: score-ranked greedy matching per threshold, 101-point
+    interpolated AP, averaged over IoU 0.50:0.95).
+
+    gt_frames/pred_frames: {frame: (N, 4) ltwh}; pred_scores:
+    {frame: (N,)}.
+    """
+    if thresholds is None:
+        thresholds = np.arange(0.5, 0.99, 0.05)
+    from tracklab_tpu.eval.metrics import _iou_ltwh
+
+    records = []
+    n_gt = 0
+    for f in sorted(set(gt_frames) | set(pred_frames)):
+        g = np.asarray(gt_frames.get(f, np.zeros((0, 4))), float)
+        p = np.asarray(pred_frames.get(f, np.zeros((0, 4))), float)
+        s = np.asarray(pred_scores.get(f, np.ones(len(p))), float)
+        n_gt += len(g)
+        if len(p) == 0:
+            continue
+        iou = _iou_ltwh(g, p) if len(g) else np.zeros((0, len(p)))
+        order = np.argsort(-s)
+        taken = {float(t): np.zeros(len(g), bool) for t in thresholds}
+        for j in order:
+            rec = {"score": float(s[j]), "tp": {}}
+            for t in thresholds:
+                t = float(t)
+                best, best_g = t, -1
+                for gi in range(len(g)):
+                    if taken[t][gi]:
+                        continue
+                    if iou[gi, j] >= best:
+                        best, best_g = iou[gi, j], gi
+                if best_g >= 0:
+                    taken[t][best_g] = True
+                    rec["tp"][t] = True
+                else:
+                    rec["tp"][t] = False
+            records.append(rec)
+    if n_gt == 0 or not records:
+        return {"bbox_mAP": 0.0, "bbox_AP50": 0.0, "bbox_AP75": 0.0}
+    records.sort(key=lambda r: -r["score"])
+    aps = {}
+    for t in thresholds:
+        t = float(t)
+        tp = np.array([r["tp"][t] for r in records], float)
+        ctp, cfp = np.cumsum(tp), np.cumsum(1.0 - tp)
+        recall = ctp / n_gt
+        precision = ctp / np.maximum(ctp + cfp, 1e-12)
+        ap = 0.0
+        for r in np.linspace(0, 1, 101):
+            mask = recall >= r
+            ap += precision[mask].max() if mask.any() else 0.0
+        aps[t] = ap / 101
+    return {"bbox_mAP": float(np.mean(list(aps.values()))) * 100,
+            "bbox_AP50": aps[min(aps, key=lambda k: abs(k - 0.5))] * 100,
+            "bbox_AP75": aps[min(aps, key=lambda k: abs(k - 0.75))] * 100}

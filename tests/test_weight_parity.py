@@ -981,3 +981,30 @@ def test_osnet_ain_activation_parity():
                                             (1, H, W, 3))
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_shufflenetv2_activation_parity():
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import ReidShuffleNetV2
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    from strong_sort.deep.models import shufflenetv2 as tsh
+
+    tm = tsh.ShuffleNetV2(num_classes=5, loss="softmax",
+                          stages_repeats=[4, 8, 4],
+                          stages_out_channels=[24, 48, 96, 192, 1024])
+    tm.eval()
+    _randomize_module(tm, seed=43)
+
+    H, W = 128, 64
+    rng = np.random.default_rng(10)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    fm = ReidShuffleNetV2(variant="shufflenet_v2_x0_5")
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -24,8 +24,9 @@ from typing import Any, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ["ReidResNet", "ReidMobileNetV2", "RESNET_VARIANTS",
-           "MOBILENETV2_VARIANTS"]
+__all__ = ["ReidResNet", "ReidMobileNetV2", "ReidShuffleNetV2",
+           "RESNET_VARIANTS", "MOBILENETV2_VARIANTS",
+           "SHUFFLENETV2_VARIANTS"]
 
 RESNET_VARIANTS = {
     # (block, layers, last_stride, fc_dims) — resnet.py:398-500
@@ -208,4 +209,95 @@ class ReidMobileNetV2(nn.Module):
                                   name=f"conv{si + 2}_{b}")(x, train)
         x = _MBConvBlock(feat_dim, 1, dtype=self.dtype,
                          name="conv9")(x, train)
+        return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# ShuffleNetV2 (torchreid shufflenetv2.py, torchvision layout)
+# ---------------------------------------------------------------------------
+
+SHUFFLENETV2_VARIANTS = {
+    "shufflenet_v2_x0_5": ((4, 8, 4), (24, 48, 96, 192, 1024)),
+    "shufflenet_v2_x1_0": ((4, 8, 4), (24, 116, 232, 464, 1024)),
+    "shufflenet_v2_x1_5": ((4, 8, 4), (24, 176, 352, 704, 1024)),
+    "shufflenet_v2_x2_0": ((4, 8, 4), (24, 244, 488, 976, 2048)),
+}
+
+
+def _channel_shuffle(x, groups=2):
+    """NHWC channel shuffle (shufflenetv2.py:24-36)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, groups, c // groups)
+    x = jnp.swapaxes(x, 3, 4)
+    return x.reshape(b, h, w, c)
+
+
+class _ShuffleUnit(nn.Module):
+    """InvertedResidual (shufflenetv2.py:39-113); Sequential-index
+    names so torch keys map directly (branch2_0 -> branch2.0)."""
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        half = self.features // 2
+
+        def bn(y, name):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5,
+                                dtype=jnp.float32, name=name)(y)
+
+        def conv(y, feats, k, stride, groups, name):
+            return nn.Conv(feats, (k, k), strides=stride,
+                           padding=[(k // 2, k // 2)] * 2,
+                           feature_group_count=groups, use_bias=False,
+                           dtype=self.dtype, name=name)(y)
+
+        if self.stride > 1:
+            in_ch = x.shape[-1]
+            b1 = conv(x, in_ch, 3, self.stride, in_ch, "branch1_0")
+            b1 = bn(b1, "branch1_1")
+            b1 = conv(b1, half, 1, 1, 1, "branch1_2")
+            b1 = nn.relu(bn(b1, "branch1_3"))
+            b2_in = x
+        else:
+            b1, b2_in = x[..., :half], x[..., half:]
+        y = conv(b2_in, half, 1, 1, 1, "branch2_0")
+        y = nn.relu(bn(y, "branch2_1"))
+        y = conv(y, half, 3, self.stride, half, "branch2_3")
+        y = bn(y, "branch2_4")
+        y = conv(y, half, 1, 1, 1, "branch2_5")
+        y = nn.relu(bn(y, "branch2_6"))
+        out = jnp.concatenate([b1, y], axis=-1)
+        return _channel_shuffle(out, 2)
+
+
+class ReidShuffleNetV2(nn.Module):
+    """torchreid ShuffleNetV2 (shufflenetv2.py:118-205); eval-mode
+    forward returns the post-pool feature vector."""
+    variant: str = "shufflenet_v2_x1_0"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        repeats, chans = SHUFFLENETV2_VARIANTS[self.variant]
+        x = nn.Conv(chans[0], (3, 3), strides=2, padding=[(1, 1)] * 2,
+                    use_bias=False, dtype=self.dtype, name="conv1_0")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="conv1_1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        for si, (n, c) in enumerate(zip(repeats, chans[1:4])):
+            for j in range(n):
+                x = _ShuffleUnit(c, 2 if j == 0 else 1,
+                                 dtype=self.dtype,
+                                 name=f"stage{si + 2}_{j}")(x, train)
+        x = nn.Conv(chans[4], (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv5_0")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="conv5_1")(x)
+        x = nn.relu(x)
         return jnp.mean(x, axis=(1, 2))

@@ -53,7 +53,7 @@ class OSNetReId(DetectionLevelModule):
         # backbone zoo (reference strong_sort/deep/models): "osnet"
         # (part-capable) or a torchreid global-feature backbone:
         # resnet18/34/50/101, resnet50_fc512, mobilenetv2_x1_0/x1_4,
-        # osnet_ain_x1_0/x0_75/x0_5/x0_25
+        # osnet_ain_x1_0/x0_75/x0_5/x0_25, shufflenet_v2_x0_5..x2_0
         self.backbone = backbone
         if backbone != "osnet":
             use_parts = False
@@ -92,8 +92,9 @@ class OSNetReId(DetectionLevelModule):
                 OSNET_AIN_VARIANTS, OSNetAIN,
             )
             from tracklab_tpu.models.reid_backbones import (
-                MOBILENETV2_VARIANTS, RESNET_VARIANTS, ReidMobileNetV2,
-                ReidResNet,
+                MOBILENETV2_VARIANTS, RESNET_VARIANTS,
+                SHUFFLENETV2_VARIANTS, ReidMobileNetV2, ReidResNet,
+                ReidShuffleNetV2,
             )
 
             ain = self.backbone.replace("osnet_", "")
@@ -103,6 +104,8 @@ class OSNetReId(DetectionLevelModule):
                 model = ReidMobileNetV2(variant=self.backbone)
             elif ain in OSNET_AIN_VARIANTS:
                 model = OSNetAIN(variant=ain, feat_dim=self.feat_dim)
+            elif self.backbone in SHUFFLENETV2_VARIANTS:
+                model = ReidShuffleNetV2(variant=self.backbone)
             else:
                 raise ValueError(f"Unknown reid backbone "
                                  f"{self.backbone!r}")

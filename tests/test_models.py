@@ -369,3 +369,19 @@ class TestRTMDet:
         xywh = dec[0, 3, :4]
         # ltrb = (0, 4, 24, 20) -> center (12, 12), size (24, 16)
         assert jnp.allclose(xywh, jnp.asarray([12.0, 12.0, 24.0, 16.0]))
+
+
+def test_checkpoint_kind_dispatch():
+    """Multibackend loader role (ref reid_multibackend.py:33-66):
+    torch weights convert, orbax dirs restore, runtime-only exports
+    raise a clear error naming the alternatives."""
+    import pytest
+    from tracklab_tpu.models.convert import checkpoint_kind
+
+    assert checkpoint_kind("w.pth") == "torch"
+    assert checkpoint_kind("w.pt") == "torch"
+    assert checkpoint_kind("w.bin") == "torch"
+    assert checkpoint_kind("ckpt_dir") == "orbax"
+    for suffix in ("onnx", "engine", "tflite", "torchscript"):
+        with pytest.raises(ValueError, match="torch .pth"):
+            checkpoint_kind(f"w.{suffix}")

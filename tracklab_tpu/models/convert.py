@@ -32,7 +32,8 @@ def load_checkpoint(path, model=None, input_shape=None):
     checkpoints (converted on the fly, requires model+input_shape);
     anything else is an orbax directory."""
     path = Path(path)
-    if path.suffix in (".pth", ".pt"):
+    kind = checkpoint_kind(path)  # raises on runtime-only exports
+    if kind == "torch":
         assert model is not None and input_shape is not None
         return convert_yolox_torch(path, model, input_shape)
     import jax
@@ -45,6 +46,31 @@ def load_checkpoint(path, model=None, input_shape=None):
                                jnp.zeros(input_shape), train=False))
         return ckptr.restore(path.absolute(), target)
     return ckptr.restore(path.absolute())
+
+
+_RUNTIME_FORMATS = {
+    ".onnx": "ONNX", ".engine": "TensorRT", ".trt": "TensorRT",
+    ".tflite": "TFLite", ".torchscript": "TorchScript",
+    ".mlmodel": "CoreML",
+}
+
+
+def checkpoint_kind(path) -> str:
+    """Classify a checkpoint path the way the reference's multibackend
+    loader does by suffix (strong_sort/reid_multibackend.py:33-66):
+    'torch' (.pth/.pt/.bin -> name-mapped conversion), 'orbax'
+    (directory), or a named runtime format that has no TPU loader —
+    callers raise a clear error naming the alternatives."""
+    suffix = Path(path).suffix.lower()
+    if suffix in (".pth", ".pt", ".bin"):
+        return "torch"
+    if suffix in _RUNTIME_FORMATS:
+        raise ValueError(
+            f"{path}: {_RUNTIME_FORMATS[suffix]} checkpoints are "
+            "runtime-specific exports and cannot be loaded on TPU; "
+            "supply the original torch .pth/.pt weights (converted by "
+            "name mapping) or an orbax checkpoint directory")
+    return "orbax"
 
 
 def _torch_state_dict(path, allow_pickle=False):

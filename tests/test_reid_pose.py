@@ -216,3 +216,46 @@ def test_zoo_osnet_ain_pipeline():
     out = module.process(module.collate_fn(samples), dets, None)
     emb = out.loc[100, "embeddings"]
     assert emb.shape == (64,) and np.isfinite(emb).all()
+
+
+class TestSimCC:
+    def test_decode_semantics(self):
+        """mmpose get_simcc_maximum golden behaviors: argmax/ratio
+        locations, min-axis score, invalidation at score <= 0."""
+        import jax.numpy as jnp
+        from tracklab_tpu.models.pose import decode_simcc
+
+        B, K, W2, H2 = 1, 3, 20, 16
+        sx = np.zeros((B, K, W2), np.float32)
+        sy = np.zeros((B, K, H2), np.float32)
+        # kp0: clean peak at x-bin 7, y-bin 4, scores .8/.6 -> min .6
+        sx[0, 0, 7] = 0.8
+        sy[0, 0, 4] = 0.6
+        # kp1: negative peaks -> invalid
+        sx[0, 1] = -1.0
+        sy[0, 1] = -1.0
+        # kp2: peak at bin 0 with positive score
+        sx[0, 2, 0] = 0.5
+        sy[0, 2, 15] = 0.9
+        out = np.asarray(decode_simcc(jnp.asarray(sx), jnp.asarray(sy),
+                                      split_ratio=2.0))
+        np.testing.assert_allclose(out[0, 0], [3.5, 2.0, 0.6])
+        assert out[0, 1, 0] == -1.0 and out[0, 1, 1] == -1.0
+        np.testing.assert_allclose(out[0, 2], [0.0, 7.5, 0.5])
+
+    def test_simcc_model_shapes_and_train_signal(self):
+        import jax
+        import jax.numpy as jnp
+        from tracklab_tpu.models.pose import SimCCPose
+
+        model = SimCCPose(num_keypoints=5, variant="nano",
+                          input_size=(64, 48))
+        x = jnp.zeros((2, 64, 48, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        sx, sy = model.apply(variables, x, train=False)
+        assert sx.shape == (2, 5, 96)
+        assert sy.shape == (2, 5, 128)
+        kp = model.predict_keypoints(variables, x)
+        assert kp.shape == (2, 5, 3)
+        assert np.all(np.asarray(kp[..., 0]) < 48)
+        assert np.all(np.asarray(kp[..., 1]) < 64)

@@ -138,3 +138,62 @@ class YOLOXPose(nn.Module):
             kps.append(jnp.stack([x, y, c], axis=-1).reshape(
                 b, h * w, self.num_keypoints, 3))
         return decoded, jnp.concatenate(kps, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# SimCC codec (RTMPose): x/y 1D classification at sub-pixel bin width
+# ---------------------------------------------------------------------------
+
+def decode_simcc(simcc_x, simcc_y, split_ratio: float = 2.0):
+    """mmpose ``get_simcc_maximum`` semantics (the decode behind the
+    reference's RTMPose rtmlib path): per-keypoint argmax over the x
+    and y bin vectors, location = argmax / split_ratio, score = the
+    MINIMUM of the two axis maxima, and locations are invalidated (-1)
+    where the score is <= 0.
+
+    simcc_x: (B, K, W*ratio), simcc_y: (B, K, H*ratio) ->
+    (B, K, 3) [x, y, score] in crop pixels.
+    """
+    x_locs = jnp.argmax(simcc_x, axis=-1).astype(jnp.float32)
+    y_locs = jnp.argmax(simcc_y, axis=-1).astype(jnp.float32)
+    max_x = jnp.max(simcc_x, axis=-1)
+    max_y = jnp.max(simcc_y, axis=-1)
+    vals = jnp.minimum(max_x, max_y)
+    locs = jnp.stack([x_locs, y_locs], axis=-1) / split_ratio
+    locs = jnp.where(vals[..., None] > 0, locs, -1.0)
+    return jnp.concatenate([locs, vals[..., None]], axis=-1)
+
+
+class SimCCPose(nn.Module):
+    """Top-down pose with a SimCC head (the RTMPose codec): backbone
+    /32 feature -> 1x1 conv to K channels -> flatten -> two linear
+    projections to the x / y bin vectors. The full RTMPose head also
+    interposes a gated attention unit; this is the SimCC formulation on
+    the shared CSP backbone (the codec — argmax/split_ratio decode with
+    min-axis scores — matches mmpose exactly, decode_simcc)."""
+    num_keypoints: int = 17
+    variant: str = "s"
+    input_size: tuple = (256, 192)      # (H, W)
+    split_ratio: float = 2.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        v = YOLOX_VARIANTS[self.variant]
+        _, _, c5 = CSPDarknet(v["depth_mult"], v["width_mult"],
+                              v["depthwise"], dtype=self.dtype)(x, train)
+        y = nn.Conv(self.num_keypoints, (1, 1), dtype=self.dtype,
+                    name="final_layer")(c5)
+        B = y.shape[0]
+        # (B, h, w, K) -> (B, K, h*w)
+        y = y.transpose(0, 3, 1, 2).reshape(B, self.num_keypoints, -1)
+        H, W = self.input_size
+        wx = int(W * self.split_ratio)
+        wy = int(H * self.split_ratio)
+        simcc_x = nn.Dense(wx, dtype=self.dtype, name="mlp_x")(y)
+        simcc_y = nn.Dense(wy, dtype=self.dtype, name="mlp_y")(y)
+        return simcc_x, simcc_y
+
+    def predict_keypoints(self, variables, crops):
+        simcc_x, simcc_y = self.apply(variables, crops, train=False)
+        return decode_simcc(simcc_x, simcc_y, self.split_ratio)

@@ -259,3 +259,21 @@ class TestSimCC:
         assert kp.shape == (2, 5, 3)
         assert np.all(np.asarray(kp[..., 0]) < 48)
         assert np.all(np.asarray(kp[..., 1]) < 64)
+
+
+def test_topdown_simcc_backbone_pipeline():
+    from tracklab_tpu.wrappers.pose_estimator import TopDownPoseEstimator
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (240, 320, 3), np.uint8)
+    det = pd.Series({"bbox_ltwh": np.array([40, 40, 80, 160],
+                                           np.float32)})
+    mod = TopDownPoseEstimator(variant="nano", backbone="simcc",
+                               num_keypoints=5, crop_size=(64, 48),
+                               batch_size=1)
+    sample = mod.preprocess(img, det, None)
+    batch = mod.collate_fn([sample])
+    dets = pd.DataFrame([det], index=[0])
+    out = mod.process(batch, dets, None)
+    kp = out.loc[0, "keypoints_xyc"]
+    assert kp.shape == (5, 3)
+    assert np.isfinite(kp).all()

@@ -46,6 +46,12 @@ class TopDownPoseEstimator(DetectionLevelModule):
             from tracklab_tpu.models.vitpose import ViTPose
             model = ViTPose(num_keypoints=self.num_keypoints,
                             variant=self.variant)
+        elif self.backbone == "simcc":
+            # RTMPose-style SimCC codec (models/pose.py:SimCCPose)
+            from tracklab_tpu.models.pose import SimCCPose
+            model = SimCCPose(num_keypoints=self.num_keypoints,
+                              variant=self.variant,
+                              input_size=(self.crop_h, self.crop_w))
         else:
             from tracklab_tpu.models.pose import TopDownPose
             model = TopDownPose(num_keypoints=self.num_keypoints,

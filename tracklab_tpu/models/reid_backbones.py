@@ -19,7 +19,7 @@ tests/test_weight_parity.py.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -117,3 +117,58 @@ def test_gamestate_pipeline_plumbing(tmp_path):
     state.detections_pred = pred
     results = GameStateEvaluator(use_jerseys=False).run(state)
     assert results["COMBINED_SEQ"]["GS-HOTA"] > 95.0
+
+
+def test_bpbreid_cost_instrumentation():
+    """emit_costs reproduces the reference's debug-viz columns
+    (sort/tracker.py:365-425): per-detection un-gated cost dicts to
+    every live track (R/S/K + thresholds) and matched_with tuples."""
+    from tracklab_tpu.wrappers.track import BPBReIDStrongSORT
+
+    rng = np.random.default_rng(0)
+    rows, metas = [], []
+    rid = 0
+    for f in range(12):
+        metas.append(dict(frame=f, video_id=0, _id=f))
+        for t in range(3):
+            x = 30 + 60 * t + 2 * f
+            rows.append(dict(
+                image_id=f,
+                bbox_ltwh=np.array([x, 30, 30, 80], np.float32),
+                bbox_conf=0.9, category_id=1,
+                embeddings=rng.normal(size=(5, 16)).astype(np.float32),
+                visibility_scores=np.ones(5, np.float32),
+                _id=rid))
+            rid += 1
+    dets = pd.DataFrame(rows).set_index("_id")
+    metas = pd.DataFrame(metas).set_index("_id")
+    tracker = BPBReIDStrongSORT(
+        motion_criterium="iou", n_parts=5, embed_dim=16,
+        max_dets=8, max_tracks=8, n_init=1, max_dist=0.99,
+        max_iou_distance=0.9, emit_costs=True)
+    out = tracker.process(dets, metas)
+    assert "costs" in out.columns and "matched_with" in out.columns
+    got_some = False
+    for row, mw in out["matched_with"].items():
+        c = out.loc[row, "costs"]
+        if c is None or (isinstance(c, float) and np.isnan(c)):
+            continue
+        assert set(c) == {"R", "Rt", "S", "St", "K", "Kt"}
+        assert c["Rt"] == 0.99 and c["St"] == 0.9
+        if mw is not None:
+            stage, cost = mw
+            assert stage in ("R", "S")
+            got_some = True
+            # the matched cost is finite and plausible
+            assert np.isfinite(cost)
+        # cost dicts are keyed by live track ids
+        for k in c["R"]:
+            assert isinstance(k, int)
+    assert got_some
+    # default mode emits no instrumentation columns
+    t2 = BPBReIDStrongSORT(
+        motion_criterium="iou", n_parts=5, embed_dim=16,
+        max_dets=8, max_tracks=8, n_init=1, max_dist=0.99,
+        max_iou_distance=0.9)
+    out2 = t2.process(dets, metas)
+    assert "costs" not in out2.columns

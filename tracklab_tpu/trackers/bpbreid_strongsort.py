@@ -79,6 +79,11 @@ class BPBReIDStrongSortConfig:
     # under vmap) with cond-free rectangular JV solves. Identical
     # outputs; set True when vmapping the scan over a video axis.
     batched: bool = False
+    # debug-viz instrumentation (sort/tracker.py:365-408
+    # compute_all_costs_matrix + add_matching_information): emit the
+    # UN-GATED reid / spatio-temporal / KF-gating cost matrices and the
+    # per-detection matched stage/cost every frame
+    emit_costs: bool = False
     max_tracks: int = 128
     max_dets: int = 64
 
@@ -112,6 +117,17 @@ class BPBReIDStrongSortOutput(NamedTuple):
     age: jnp.ndarray
     time_since_update: jnp.ndarray
     valid: jnp.ndarray
+    # instrumentation (cfg.emit_costs; None otherwise): un-gated cost
+    # matrices (D, T) vs the pre-birth track set, the matched
+    # stage per detection (0 none, 1 reid/"R", 2 motion/"S") and its
+    # cost, plus the pre-birth track validity/ids the matrices refer to
+    costs_r: Optional[jnp.ndarray] = None
+    costs_s: Optional[jnp.ndarray] = None
+    costs_k: Optional[jnp.ndarray] = None
+    matched_stage: Optional[jnp.ndarray] = None
+    matched_cost: Optional[jnp.ndarray] = None
+    cost_track_valid: Optional[jnp.ndarray] = None
+    cost_track_id: Optional[jnp.ndarray] = None
 
 
 def bpbreid_init(cfg: BPBReIDStrongSortConfig,
@@ -202,6 +218,12 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
         iou = B.iou_matrix(det.ltrb, _mean_to_ltrb(st.mean))
         return 1.0 - iou, cfg.max_iou_distance
 
+    # pre-birth snapshot for the instrumentation matrices
+    cost_active = st.active
+    cost_tid = st.track_id + 1
+    raw_motion, _ = motion_cost_matrix() if cfg.emit_costs \
+        else (None, None)
+
     if cfg.matching_strategy == "bot_sort":
         # one LSA over all tracks: weighted sum of sqrt-Mahalanobis,
         # part-ReID and spatio-temporal costs, OR-gated
@@ -225,6 +247,7 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
         t2d_a = _invert(d2t_a, T)
         d2t_b = jnp.full(det.ltrb.shape[0], -1, jnp.int32)
         t2d_b = _invert(d2t_b, T)
+        stage_a_cost, stage_b_cost = cost, None
     else:
         # --- stage A: part-based ReID on confirmed tracks, KF-gated ---
         app_g = jnp.where(gating > gthr, INFTY_COST, app)
@@ -244,6 +267,7 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
         d2t_b = _clamped_matching(motion_cost, u_det, cand, motion_max,
                                   batched=cfg.batched)
         t2d_b = _invert(d2t_b, T)
+        stage_a_cost, stage_b_cost = app_g, motion_cost
 
     trk2det = jnp.where(t2d_a >= 0, t2d_a, t2d_b)
     matched = trk2det >= 0
@@ -323,13 +347,29 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
     # (strong_sort.py:96 'time_since_update > 0 -> skip')
     emit = (st.active & (st.tstate == CONFIRMED)
             & (st.time_since_update == 0))
+    extras = {}
+    if cfg.emit_costs:
+        d_idx = jnp.arange(det.ltrb.shape[0])
+        in_a = d2t_a >= 0
+        in_b = d2t_b >= 0
+        stage = jnp.where(in_a, 1, jnp.where(in_b, 2, 0))
+        ca = stage_a_cost[d_idx, jnp.where(in_a, d2t_a, 0)]
+        cb = (stage_b_cost[d_idx, jnp.where(in_b, d2t_b, 0)]
+              if stage_b_cost is not None else jnp.zeros_like(ca))
+        extras = dict(
+            costs_r=app, costs_s=raw_motion, costs_k=gating,
+            matched_stage=stage,
+            matched_cost=jnp.where(in_a, ca,
+                                   jnp.where(in_b, cb, jnp.inf)),
+            cost_track_valid=cost_active, cost_track_id=cost_tid,
+        )
     out = BPBReIDStrongSortOutput(
         ltrb=_mean_to_ltrb(st.mean),
         track_id=st.track_id + 1,
         cls=st.cls, conf=st.conf, ref=st.ref,
         hits=st.hits, age=st.age,
         time_since_update=st.time_since_update,
-        valid=emit,
+        valid=emit, **extras,
     )
     return st, out
 

@@ -531,7 +531,7 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
                      "embeddings", "visibility_scores"]
     output_columns = ["track_id", "track_bbox_ltwh", "track_bbox_conf",
                       "track_bbox_kf_ltwh", "hits", "age",
-                      "time_since_update"]
+                      "time_since_update", "matched_with", "costs"]
 
     def __init__(self, max_dist: float = 0.2,
                  motion_criterium: str = "iou",
@@ -541,6 +541,7 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
                  ema_alpha: float = 0.9, only_position: bool = False,
                  n_parts: int = 6, embed_dim: int = 512,
                  n_keypoints: int = 17, min_confidence: float = 0.0,
+                 emit_costs: bool = False,
                  max_tracks: int = 128, max_dets: int = 64, device=None,
                  **kwargs):
         super().__init__(max_dets=max_dets, **kwargs)
@@ -551,8 +552,10 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
             n_init=n_init, mc_lambda=mc_lambda, ema_alpha=ema_alpha,
             only_position=only_position, n_parts=n_parts,
             embed_dim=embed_dim, n_keypoints=n_keypoints,
+            emit_costs=emit_costs,
             max_tracks=max_tracks, max_dets=max_dets)
         self.min_confidence = min_confidence
+        self.emit_costs = emit_costs
         self.n_parts = n_parts
         self.embed_dim = embed_dim
         self.n_keypoints = n_keypoints
@@ -639,6 +642,49 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
         result["age"] = np.asarray(out.age[:n_frames])[fs, ts]
         result["time_since_update"] = np.asarray(
             out.time_since_update[:n_frames])[fs, ts]
+        if self.emit_costs and out.costs_r is not None:
+            # debug-viz instrumentation (reference
+            # sort/tracker.py:365-425): per-detection cost dicts to
+            # every pre-birth track + the matched stage/cost
+            thr = dict(Rt=self.params["max_dist"],
+                       St=(self.params["max_oks_distance"]
+                           if self.params["motion_criterium"] == "oks"
+                           else self.params["max_iou_distance"]),
+                       Kt=(5.9915 if self.params["only_position"]
+                           else 9.4877))
+            cr = np.asarray(out.costs_r[:n_frames])
+            cs = np.asarray(out.costs_s[:n_frames])
+            ck = np.asarray(out.costs_k[:n_frames])
+            stage = np.asarray(out.matched_stage[:n_frames])
+            mcost = np.asarray(out.matched_cost[:n_frames])
+            tvalid = np.asarray(out.cost_track_valid[:n_frames])
+            tids = np.asarray(out.cost_track_id[:n_frames])
+            ref_np2 = np.asarray(dets.ref)
+            costs_by_row, matched_by_row = {}, {}
+            for f in range(n_frames):
+                live = np.nonzero(tvalid[f])[0]
+                ids = tids[f, live]
+                for d in np.nonzero(np.asarray(dets.valid)[f])[0]:
+                    row = lut[ref_np2[f, d]]
+                    costs_by_row[row] = {
+                        "R": dict(zip(ids.tolist(),
+                                      cr[f, d, live].tolist())),
+                        "Rt": thr["Rt"],
+                        "S": dict(zip(ids.tolist(),
+                                      cs[f, d, live].tolist())),
+                        "St": thr["St"],
+                        "K": dict(zip(ids.tolist(),
+                                      ck[f, d, live].tolist())),
+                        "Kt": thr["Kt"],
+                    }
+                    st_ = int(stage[f, d])
+                    matched_by_row[row] = (
+                        ("R" if st_ == 1 else "S", float(mcost[f, d]))
+                        if st_ else None)
+            result["costs"] = pd.Series(costs_by_row).reindex(
+                result.index).to_numpy()
+            result["matched_with"] = pd.Series(matched_by_row).reindex(
+                result.index).to_numpy()
         return result[~result.index.duplicated(keep="last")]
 
 

@@ -330,3 +330,40 @@ def test_process_video_batch_uses_concat(tmp_path):
         assert len(common) > 0
         np.testing.assert_array_equal(got_ids.loc[common].to_numpy(),
                                       want_ids.loc[common].to_numpy())
+
+
+def test_process_video_batch_embedding_tracker():
+    """Embedding trackers batch through the same time-concat path and
+    match per-video process()."""
+    from tracklab_tpu.wrappers.track import StrongSORT
+
+    rng = np.random.default_rng(2)
+    items = []
+    for v in range(2):
+        frames, embs = synth_stream_with_emb(80 + v, n_frames=12)
+        rows, metas = [], []
+        rid = 1000 * v
+        for f, (arr, es) in enumerate(zip(frames, embs)):
+            metas.append(dict(frame=f, video_id=v, _id=v * 100 + f))
+            for r, e in zip(arr, es):
+                rows.append(dict(
+                    image_id=v * 100 + f,
+                    bbox_ltwh=np.array([r[0], r[1], r[2] - r[0],
+                                        r[3] - r[1]], np.float32),
+                    bbox_conf=float(r[4]), category_id=1,
+                    embeddings=np.asarray(e, np.float32), _id=rid))
+                rid += 1
+        dets = pd.DataFrame(rows).set_index("_id")
+        meta = pd.DataFrame(metas).set_index("_id")
+        items.append((dets, meta))
+    kw = dict(embed_dim=E_DIM, max_dets=16, max_tracks=32, n_init=1,
+              min_confidence=0.0)
+    mod = StrongSORT(**kw)
+    batch_out = mod.process_video_batch(items)
+    for (dets, meta), got in zip(items, batch_out):
+        want = StrongSORT(**kw).process(dets, meta)
+        common = got.index.intersection(want.index)
+        assert len(common) > 0
+        np.testing.assert_array_equal(
+            got.loc[common, "track_id"].to_numpy(),
+            want.loc[common, "track_id"].to_numpy())

@@ -374,6 +374,57 @@ class _EmbScanTrackerBase(_ScanTrackerBase):
     def _scan3(self):
         raise NotImplementedError
 
+    def process_video_batch(self, items, mesh=None):
+        """Single-chip multi-video batching for embedding trackers:
+        time-concatenated scan with per-video state resets (same
+        mechanics as the base class, with the embedding/warp inputs
+        concatenated alongside). Mesh mode falls back to per-video
+        processing (the shard_map helper carries detections only)."""
+        import jax
+        import jax.numpy as jnp
+        from tracklab_tpu.trackers.common import (
+            Detections, concat_resets,
+        )
+
+        if mesh is not None:
+            return [self.process(d, m) for d, m in items]
+        padded, luts, lens, embs, warps_l = [], [], [], [], []
+        max_frames = max((len(m) for _, m in items), default=0)
+        bucket = max(((max_frames + self.n_frame_bucket - 1)
+                      // self.n_frame_bucket) * self.n_frame_bucket,
+                     self.n_frame_bucket)
+        for dets_df, metas in items:
+            dets_in = dets_df[dets_df["bbox_conf"]
+                              > self.min_confidence] \
+                if self.min_confidence > 0 else dets_df
+            d, n, lut = _pad_video(dets_in, metas, self.max_dets,
+                                   bucket)
+            padded.append(d)
+            luts.append(lut)
+            lens.append(n)
+            embs.append(_collect_embeddings(dets_in, d, lut, n,
+                                            self.embed_dim))
+            warps_l.append(_collect_warps(metas, n, bucket))
+        flat = Detections(*[
+            jnp.concatenate([getattr(d, f) for d in padded])
+            for f in Detections._fields])
+        emb = jnp.asarray(np.concatenate(embs, axis=0))
+        warps = jnp.asarray(np.concatenate(warps_l, axis=0))
+        resets = concat_resets(len(items), bucket)
+        cfg = self._make_config()
+        scan = self._scan3()
+        _, out_flat = jax.jit(
+            lambda d, e, w, r: scan(cfg, d, e, w, resets=r))(
+            flat, emb, warps, resets)
+        out = jax.tree_util.tree_map(
+            lambda x: x.reshape((len(items), bucket) + x.shape[1:]),
+            out_flat)
+        results = []
+        for v, (lut, n) in enumerate(zip(luts, lens)):
+            results.append(self._emissions_to_df(
+                jax.tree_util.tree_map(lambda x: x[v], out), n, lut))
+        return results
+
     @property
     def _jitted(self):
         import jax

@@ -67,9 +67,13 @@ def main():
     # ---- detector stage: YOLOX-s bf16, batch of frames, pipelined
     # dispatch (the production streaming shape: the host queues the next
     # batch while the device runs the current one) ----
-    BATCH = 256  # throughput sweet spot: dispatch overhead amortizes
-    # with batch (v5e: bs=32 ~500, bs=64 ~967, bs=128 ~1527,
-    # bs=256 ~1859 img/s); NMS adds only ~2 ms/batch
+    BATCH = 384  # r2 sweep with bf16 activations + uint8 staging:
+    # bs=256 2165, bs=320 2182, bs=384 2371 img/s (still HBM-bound;
+    # bs=512 compile hung historically, 384 compiles in ~1 min on a
+    # warm lower-layer cache). NMS postprocess is a net WIN: it shrinks
+    # the program output from the 51 MB decoded tensor to fixed
+    # (B, 32) detections (materializing raw decode measured SLOWER:
+    # 1382 img/s)
     H = W = 640
     model = YOLOX(num_classes=1, variant="s", dtype=jnp.bfloat16)
     # stage frames as uint8 (the camera-native dtype): the detector is

@@ -1008,3 +1008,29 @@ def test_shufflenetv2_activation_parity():
                                             (1, H, W, 3))
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_resnet50_ibn_a_activation_parity():
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import ReidResNetIBN
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    from strong_sort.deep.models import resnet_ibn_a as tibn
+
+    tm = tibn.ResNet(block=tibn.Bottleneck, layers=[1, 1, 1, 1],
+                     num_classes=5, loss="softmax")
+    tm.eval()
+    _randomize_module(tm, seed=47)
+
+    H, W = 128, 64
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    fm = ReidResNetIBN(layers=(1, 1, 1, 1))
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -301,3 +301,86 @@ class ReidShuffleNetV2(nn.Module):
                          name="conv5_1")(x)
         x = nn.relu(x)
         return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# ResNet50-IBN-a (torchreid resnet_ibn_a.py): half-instance/half-batch
+# norm after conv1 in layers 1-3
+# ---------------------------------------------------------------------------
+
+class _IBN(nn.Module):
+    """IBN layer (resnet_ibn_a.py:63-78): channel split, first half
+    InstanceNorm (affine), second half BatchNorm (names: IN, BN)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        half = self.features // 2
+        a = nn.GroupNorm(num_groups=half, epsilon=1e-5,
+                         dtype=jnp.float32, name="IN")(x[..., :half])
+        b = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="BN")(x[..., half:])
+        return jnp.concatenate([a, b], axis=-1)
+
+
+class BottleneckIBN(nn.Module):
+    """resnet_ibn_a.py Bottleneck: bn1 is IBN when enabled; stride on
+    conv2 (v1 layout here matches the vendored source)."""
+    features: int
+    ibn: bool = True
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        idt = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        if self.ibn:
+            y = _IBN(self.features, dtype=self.dtype,
+                     name="bn1")(y, train)
+        else:
+            y = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-5,
+                             dtype=jnp.float32, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.relu(_conv_bn(y, self.features, 3, self.stride,
+                             "conv2", "bn2", train, self.dtype))
+        y = _conv_bn(y, 4 * self.features, 1, 1, "conv3", "bn3", train,
+                     self.dtype)
+        if self.downsample:
+            idt = _conv_bn(x, 4 * self.features, 1, self.stride,
+                           "downsample_0", "downsample_1", train,
+                           self.dtype)
+        return nn.relu(y + idt)
+
+
+class ReidResNetIBN(nn.Module):
+    """resnet50_ibn_a (resnet_ibn_a.py:131-260): IBN in layers 1-3,
+    plain layer4; eval-mode forward returns the pooled feature."""
+    layers: tuple = (3, 4, 6, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        in_ch = 64
+        for li, (w, n) in enumerate(zip((64, 128, 256, 512),
+                                        self.layers)):
+            ibn = w != 512
+            stride = 1 if li == 0 else 2
+            for b in range(n):
+                s = stride if b == 0 else 1
+                down = b == 0 and (s != 1 or in_ch != 4 * w)
+                x = BottleneckIBN(w, ibn, s, down, dtype=self.dtype,
+                                  name=f"layer{li + 1}_{b}")(x, train)
+                in_ch = 4 * w
+        return jnp.mean(x, axis=(1, 2))

@@ -53,7 +53,8 @@ class OSNetReId(DetectionLevelModule):
         # backbone zoo (reference strong_sort/deep/models): "osnet"
         # (part-capable) or a torchreid global-feature backbone:
         # resnet18/34/50/101, resnet50_fc512, mobilenetv2_x1_0/x1_4,
-        # osnet_ain_x1_0/x0_75/x0_5/x0_25, shufflenet_v2_x0_5..x2_0
+        # osnet_ain_x1_0/x0_75/x0_5/x0_25, shufflenet_v2_x0_5..x2_0,
+        # resnet50_ibn_a
         self.backbone = backbone
         if backbone != "osnet":
             use_parts = False
@@ -106,6 +107,11 @@ class OSNetReId(DetectionLevelModule):
                 model = OSNetAIN(variant=ain, feat_dim=self.feat_dim)
             elif self.backbone in SHUFFLENETV2_VARIANTS:
                 model = ReidShuffleNetV2(variant=self.backbone)
+            elif self.backbone == "resnet50_ibn_a":
+                from tracklab_tpu.models.reid_backbones import (
+                    ReidResNetIBN,
+                )
+                model = ReidResNetIBN()
             else:
                 raise ValueError(f"Unknown reid backbone "
                                  f"{self.backbone!r}")

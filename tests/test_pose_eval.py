@@ -312,3 +312,59 @@ class TestBoxMAP:
         t = TestReidPoseAndPerJointAP()
         res = PoseTrackEvaluator().run(t._state())
         assert "bbox_mAP" in res and res["bbox_mAP"] > 99.0
+
+
+class TestKeypointMOTAPerJoint:
+    def _seqs(self, degrade_joint=None, switch_at=None):
+        rng = np.random.default_rng(0)
+        frames = []
+        for t in range(12):
+            kps = np.zeros((2, 15, 2))
+            for p in range(2):
+                c = np.array([200 + 300 * p + 3 * t, 300.0])
+                kps[p] = c + rng.normal(0, 2, (15, 2))
+            kps = np.abs(kps) + 1
+            pk = kps + rng.normal(0, 0.5, kps.shape)
+            if degrade_joint is not None:
+                pk[:, degrade_joint] += 500.0
+            pids = np.array([0, 1])
+            if switch_at is not None and t >= switch_at:
+                pids = np.array([1, 0])
+            frames.append((np.array([0, 1]), kps, np.full(2, 30.0),
+                           pids, np.abs(pk)))
+        return {"s": frames}
+
+    def test_perfect_is_100(self):
+        from tracklab_tpu.eval.pose_reid_metrics import (
+            keypoint_mota_per_joint,
+        )
+        res = keypoint_mota_per_joint(self._seqs())
+        assert res["total_MOTA"] > 99.0
+        assert (res["per_joint_MOTA"] > 99.0).all()
+
+    def test_degraded_joint_isolated(self):
+        from tracklab_tpu.eval.pose_reid_metrics import (
+            keypoint_mota_per_joint,
+        )
+        res = keypoint_mota_per_joint(self._seqs(degrade_joint=4))
+        assert res["per_joint_MOTA"][4] < 0.0   # FP + FN per frame
+        others = np.delete(res["per_joint_MOTA"], 4)
+        assert (others > 99.0).all()
+
+    def test_id_switch_counts_per_joint(self):
+        from tracklab_tpu.eval.pose_reid_metrics import (
+            keypoint_mota_per_joint,
+        )
+        good = keypoint_mota_per_joint(self._seqs())
+        sw = keypoint_mota_per_joint(self._seqs(switch_at=6))
+        # one swap -> 2 IDSW per joint, MOTA drops equally everywhere
+        assert (sw["per_joint_MOTA"] < good["per_joint_MOTA"] - 1).all()
+        assert sw["per_joint"][0]["IDSW"] == 2
+
+
+def test_evaluator_reports_per_joint_mota():
+    from tracklab_tpu.eval.pose_evaluator import PoseTrackEvaluator
+    t = TestReidPoseAndPerJointAP()
+    res = PoseTrackEvaluator().run(t._state())
+    assert "kp_MOTA_per_joint" in res
+    assert res["kp_MOTA_per_joint"]["total_MOTA"] > 99.0

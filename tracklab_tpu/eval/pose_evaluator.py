@@ -157,6 +157,11 @@ class PoseTrackEvaluator(Evaluator):
             if aps is not None:
                 results["kp_AP_per_joint"] = aps
                 log.info("kp AP per joint: total %.2f", aps["total_AP"])
+            motas = self._per_joint_mota(gt, pred, images, videos)
+            if motas is not None:
+                results["kp_MOTA_per_joint"] = motas
+                log.info("kp MOTA per joint: total %.2f",
+                         motas["total_MOTA"])
         for k in ("HOTA", "MOTA", "IDF1"):
             log.info("  box %-6s %10.3f", k, results["COMBINED_SEQ"][k])
         return results
@@ -260,6 +265,36 @@ class PoseTrackEvaluator(Evaluator):
             return None
         return reid_keypoint_hota(relabeled, n_gt, n_pr,
                                   n_joints=n_joints)
+
+    def _per_joint_mota(self, gt, pred, images, videos):
+        """Per-joint keypoint MOTA (the reference's poseval
+        evaluateTracking breakdown, posetrack21_evaluator.py:138-161),
+        on per-video track ids."""
+        from tracklab_tpu.eval.pose_reid_metrics import (
+            keypoint_mota_per_joint,
+        )
+        g = self._pose_reid_frames(gt, images, "track_id")
+        p = self._pose_reid_frames(pred, images,
+                                   self.pred_track_column)
+        if not g or not p:
+            return None
+        n_joints = next(iter(g.values()))[1].shape[1]
+        seqs = {}
+        for vid in videos.index:
+            frames = sorted({f for (v, f) in list(g) + list(p)
+                             if v == vid})
+            if not frames:
+                continue
+            empty = (np.zeros(0, int),
+                     np.zeros((0, n_joints, 2)), np.zeros(0))
+            rows = []
+            for f in frames:
+                ge = g.get((vid, f), empty)
+                pe = p.get((vid, f), empty)
+                # (gt_ids, gt_kps, head_sizes, pr_ids, pr_kps)
+                rows.append((ge[0], ge[1], ge[2], pe[0], pe[1]))
+            seqs[str(vid)] = rows
+        return keypoint_mota_per_joint(seqs, n_joints=n_joints)
 
     def _per_joint_ap(self, gt, pred, images, videos):
         """Per-joint PCKh keypoint AP (the reference's poseval

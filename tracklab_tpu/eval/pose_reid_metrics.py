@@ -258,3 +258,62 @@ def reid_keypoint_hota(sequences: Dict[str, List[Tuple]],
     res["LocA(0)"] = float(res["LocA"][0, -1])
     res["HOTALocA(0)"] = res["HOTA(0)"] * res["LocA(0)"]
     return res
+
+
+def keypoint_mota_per_joint(sequences, n_joints: int = 15) -> dict:
+    """Per-joint keypoint MOTA — the poseval evaluateTracking breakdown
+    the reference prints as "Pose tracking - keypoints MOTA"
+    (posetrack21_evaluator.py:138-161: per-joint MOTA columns + the
+    total). Matching follows the PCKh convention: a predicted joint can
+    match a GT joint of the same frame when the head-normalized
+    distance is <= 0.5 (similarity = 1 - dist, threshold 0.5), with
+    CLEAR's prefer-previous-assignment identity bookkeeping per joint.
+
+    sequences: {name: [(gt_ids, gt_kps (N, J, >=2), head_sizes,
+    pr_ids, pr_kps)]}. Returns {"per_joint_MOTA": (J,),
+    "total_MOTA": float, "per_joint": [clear dicts]}.
+    """
+    from tracklab_tpu.eval.metrics import SequenceData, clear_metrics
+
+    per_joint = []
+    for j in range(n_joints):
+        gt_ids_l, pr_ids_l, sims = [], [], []
+        gmap, pmap = {}, {}
+        n_g = n_p = 0
+        for frames in sequences.values():
+            for gt_ids, gt_kps, head_sizes, pr_ids, pr_kps in frames:
+                gt_kps = np.asarray(gt_kps, float).reshape(
+                    len(gt_ids), n_joints, -1)
+                pr_kps = np.asarray(pr_kps, float).reshape(
+                    len(pr_ids), n_joints, -1)
+                g_ok = (gt_kps[:, j, 0] > 0) & (gt_kps[:, j, 1] > 0)
+                p_ok = (pr_kps[:, j, 0] > 0) & (pr_kps[:, j, 1] > 0)
+                gi = np.asarray(gt_ids, int)[g_ok]
+                pi = np.asarray(pr_ids, int)[p_ok]
+                for i in gi:
+                    gmap.setdefault(int(i), len(gmap))
+                for i in pi:
+                    pmap.setdefault(int(i), len(pmap))
+                hs = np.asarray(head_sizes, float)[g_ok]
+                d = np.linalg.norm(
+                    gt_kps[g_ok][:, None, j, :2]
+                    - pr_kps[p_ok][None, :, j, :2], axis=-1)
+                d = d / np.maximum(hs, 1e-12)[:, None]
+                sims.append(np.clip(1.0 - d, 0.0, 1.0))
+                gt_ids_l.append(np.array([gmap[int(i)] for i in gi],
+                                         int))
+                pr_ids_l.append(np.array([pmap[int(i)] for i in pi],
+                                         int))
+                n_g += len(gi)
+                n_p += len(pi)
+        data = SequenceData(len(gmap), len(pmap), n_g, n_p,
+                            gt_ids_l, pr_ids_l, sims)
+        per_joint.append(clear_metrics(data, threshold=0.5))
+    motas = np.array([c["MOTA"] for c in per_joint])
+    fn = sum(c["CLR_FN"] for c in per_joint)
+    fp = sum(c["CLR_FP"] for c in per_joint)
+    idsw = sum(c["IDSW"] for c in per_joint)
+    n_gt = sum(c["CLR_gt"] for c in per_joint)
+    total = float((1 - (fn + fp + idsw) / max(n_gt, 1)) * 100)
+    return {"per_joint_MOTA": motas, "total_MOTA": total,
+            "per_joint": per_joint}

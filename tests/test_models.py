@@ -385,3 +385,35 @@ def test_checkpoint_kind_dispatch():
     for suffix in ("onnx", "engine", "tflite", "torchscript"):
         with pytest.raises(ValueError, match="torch .pth"):
             checkpoint_kind(f"w.{suffix}")
+
+
+def test_torch_converter_routing():
+    """load_checkpoint must route torch files to the converter of the
+    MODEL's family, not YOLOX's (each family mirrors a different
+    upstream key layout)."""
+    import pytest
+    from tracklab_tpu.models import convert as cv
+    from tracklab_tpu.models.yolov8 import YOLOv8
+    from tracklab_tpu.models.yolox import YOLOX
+    from tracklab_tpu.models.osnet import OSNet, OSNetAIN
+    from tracklab_tpu.models.vitpose import ViTPose
+    from tracklab_tpu.models.rtmdet import RTMDet
+    from tracklab_tpu.models.rtdetr_hf import RTDetrHF
+    from tracklab_tpu.models.reid_backbones import ReidResNet
+
+    assert cv._torch_converter_for(YOLOX(num_classes=1)) \
+        is cv.convert_yolox_torch
+    assert cv._torch_converter_for(YOLOv8(num_classes=1)) \
+        is cv.convert_yolov8_torch
+    assert cv._torch_converter_for(OSNet()) is cv.convert_osnet_torch
+    assert cv._torch_converter_for(OSNetAIN()) \
+        is cv.convert_reid_backbone_torch
+    assert cv._torch_converter_for(ViTPose()) \
+        is cv.convert_vitpose_torch
+    assert cv._torch_converter_for(RTMDet()) is cv.convert_rtmdet_torch
+    assert cv._torch_converter_for(RTDetrHF()) \
+        is cv.convert_rtdetr_hf_torch
+    assert cv._torch_converter_for(ReidResNet()) \
+        is cv.convert_reid_backbone_torch
+    with pytest.raises(ValueError, match="No torch-checkpoint"):
+        cv._torch_converter_for(object())

@@ -162,3 +162,19 @@ class TestGMCFile:
                   seq_name="MOT17-04-FRCNN")
         H = gmc.apply(None, np.zeros((8, 8, 3), np.uint8))
         np.testing.assert_allclose(H, [[1, 0, 5], [0, 1, -3]])
+
+
+def test_gmc_file_reset_rewinds(tmp_path):
+    """Per-video reset() replays the file from its first line
+    (CameraMotion.reset runs at each video start)."""
+    from tracklab_tpu.motion.gmc import GMC
+    f = tmp_path / "GMC-X.txt"
+    f.write_text("0\t1\t0\t5\t0\t1\t-3\n1\t1\t0\t7\t0\t1\t2\n")
+    gmc = GMC("file", gmc_file=str(f))
+    frame = np.zeros((8, 8, 3), np.uint8)
+    first = gmc.apply(None, frame)
+    gmc.apply(frame, frame)
+    gmc.reset()
+    again = gmc.apply(None, frame)
+    np.testing.assert_allclose(first, again)
+    gmc.close()

@@ -28,14 +28,15 @@ def save_checkpoint(path, variables):
 
 
 def load_checkpoint(path, model=None, input_shape=None):
-    """Load a checkpoint. ``.pth``/``.pt`` files are torch YOLOX
-    checkpoints (converted on the fly, requires model+input_shape);
-    anything else is an orbax directory."""
+    """Load a checkpoint. Torch files (.pth/.pt/.bin) are converted on
+    the fly by the name-mapped converter matching the MODEL's family
+    (requires model+input_shape); anything else is an orbax
+    directory."""
     path = Path(path)
     kind = checkpoint_kind(path)  # raises on runtime-only exports
     if kind == "torch":
         assert model is not None and input_shape is not None
-        return convert_yolox_torch(path, model, input_shape)
+        return _torch_converter_for(model)(path, model, input_shape)
     import jax
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
@@ -46,6 +47,34 @@ def load_checkpoint(path, model=None, input_shape=None):
                                jnp.zeros(input_shape), train=False))
         return ckptr.restore(path.absolute(), target)
     return ckptr.restore(path.absolute())
+
+
+def _torch_converter_for(model):
+    """Pick the name-mapped torch converter matching the flax model's
+    family (each family mirrors a different upstream state-dict
+    layout). Raises a clear error for families without a converter
+    instead of mis-applying another family's key map."""
+    name = type(model).__name__
+    table = {
+        "YOLOX": convert_yolox_torch,
+        "YOLOv8": convert_yolov8_torch,
+        "ViTPose": convert_vitpose_torch,
+        "RTMDet": convert_rtmdet_torch,
+        "RTDetrHF": convert_rtdetr_hf_torch,
+        "OSNet": convert_osnet_torch,
+        "OSNetAIN": convert_reid_backbone_torch,
+        "ReidResNet": convert_reid_backbone_torch,
+        "ReidResNetIBN": convert_reid_backbone_torch,
+        "ReidMobileNetV2": convert_reid_backbone_torch,
+        "ReidShuffleNetV2": convert_reid_backbone_torch,
+    }
+    fn = table.get(name)
+    if fn is None:
+        raise ValueError(
+            f"No torch-checkpoint converter for model family {name!r}; "
+            f"supported: {sorted(table)} — or supply an orbax "
+            "checkpoint directory")
+    return fn
 
 
 _RUNTIME_FORMATS = {
@@ -77,14 +106,19 @@ def _torch_state_dict(path, allow_pickle=False):
     """Load a torch checkpoint's tensors. Tries the safe weights-only
     loader first; full unpickling (arbitrary code execution on untrusted
     files) requires the explicit ``allow_pickle=True`` opt-in."""
+    import pickle
+
     import torch
     try:
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except (pickle.UnpicklingError, RuntimeError) as e:
+        # only unpickling-safety failures suggest the unsafe fallback;
+        # missing files / IO errors propagate as themselves
         if not allow_pickle:
             raise ValueError(
-                f"{path} is not loadable with weights_only=True; pass "
-                "allow_pickle=True only for checkpoints you trust")
+                f"{path} is not loadable with weights_only=True "
+                f"({e}); pass allow_pickle=True only for checkpoints "
+                "you trust") from e
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict):
         for key in ("model", "state_dict", "ema"):

@@ -65,7 +65,20 @@ class GMC:
                 import os
                 gmc_file = os.path.join(gmc_file_dir,
                                         f"GMC-{seq_name}.txt")
+            self._gmc_file_path = gmc_file
             self._gmc_fh = open(gmc_file, "r")
+
+    def reset(self):
+        """Start of a new video: rewind file playback to the first
+        frame's warp and drop the feature cache."""
+        self._feat_cache = None
+        if self._gmc_fh is not None:
+            self._gmc_fh.seek(0)
+
+    def close(self):
+        if self._gmc_fh is not None:
+            self._gmc_fh.close()
+            self._gmc_fh = None
 
     def _features(self, gray, frame_ref, detections=None):
         """FAST/ORB or SIFT keypoints+descriptors with the reference's
@@ -264,6 +277,7 @@ class CameraMotion(ImageLevelModule):
 
     def reset(self):
         self._prev = None
+        self.gmc.reset()
 
     def preprocess(self, image, detections, metadata):
         return {"image": Unbatchable(image)}

@@ -57,8 +57,15 @@ class RTMDetDetector(YOLOXDetector):
             variables = model.init(jax.random.PRNGKey(0),
                                    jnp.zeros((1, h, w, 3)), train=False)
 
+        # mmdet's normalization lives in its data_preprocessor (not the
+        # state dict): BGR mean/std [103.53,116.28,123.675] /
+        # [57.375,57.12,58.395] — RGB order here since the pipeline
+        # decodes to RGB. Converted checkpoints expect it.
+        mean = jnp.asarray([123.675, 116.28, 103.53])
+        std = jnp.asarray([58.395, 57.12, 57.375])
+
         def infer(images):
-            images = images.astype(jnp.float32)
+            images = (images.astype(jnp.float32) - mean) / std
             decoded = model.apply(variables, images,
                                   method=RTMDet.predict)
             return postprocess_detections(

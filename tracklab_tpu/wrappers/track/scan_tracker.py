@@ -395,8 +395,7 @@ class _EmbScanTrackerBase(_ScanTrackerBase):
                      self.n_frame_bucket)
         for dets_df, metas in items:
             dets_in = dets_df[dets_df["bbox_conf"]
-                              > self.min_confidence] \
-                if self.min_confidence > 0 else dets_df
+                              > self.min_confidence]
             d, n, lut = _pad_video(dets_in, metas, self.max_dets,
                                    bucket)
             padded.append(d)
@@ -582,13 +581,15 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
                      "embeddings", "visibility_scores"]
     output_columns = ["track_id", "track_bbox_ltwh", "track_bbox_conf",
                       "track_bbox_kf_ltwh", "hits", "age",
-                      "time_since_update", "matched_with", "costs"]
+                      "time_since_update"]
 
-    def __init__(self, max_dist: float = 0.2,
+    # defaults mirror the reference's bpbreid_strong_sort.yaml (and
+    # the BPBReIDStrongSortConfig dataclass)
+    def __init__(self, max_dist: float = 0.5,
                  motion_criterium: str = "iou",
-                 max_iou_distance: float = 0.7,
-                 max_oks_distance: float = 0.7, max_age: int = 30,
-                 n_init: int = 3, mc_lambda: float = 0.995,
+                 max_iou_distance: float = 0.8,
+                 max_oks_distance: float = 0.7, max_age: int = 300,
+                 n_init: int = 0, mc_lambda: float = 0.995,
                  ema_alpha: float = 0.9, only_position: bool = False,
                  n_parts: int = 6, embed_dim: int = 512,
                  n_keypoints: int = 17, min_confidence: float = 0.0,
@@ -607,9 +608,20 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
             max_tracks=max_tracks, max_dets=max_dets)
         self.min_confidence = min_confidence
         self.emit_costs = emit_costs
+        if emit_costs:
+            # instance-level: the instrumentation columns exist only
+            # when requested, so Pipeline.validate stays truthful
+            self.output_columns = self.output_columns + [
+                "matched_with", "costs"]
         self.n_parts = n_parts
         self.embed_dim = embed_dim
         self.n_keypoints = n_keypoints
+
+    def process_video_batch(self, items, mesh=None):
+        """Part-feature inputs don't fit the flat-embedding concat
+        path; process per video (each video is still one whole-video
+        scan on device)."""
+        return [self.process(d, m) for d, m in items]
 
     def _make_config(self):
         from tracklab_tpu.trackers.bpbreid_strongsort import (

@@ -417,3 +417,20 @@ def test_torch_converter_routing():
         is cv.convert_reid_backbone_torch
     with pytest.raises(ValueError, match="No torch-checkpoint"):
         cv._torch_converter_for(object())
+
+
+def test_yolo11_wrapper_smoke():
+    import numpy as np
+    import pandas as pd
+    import tracklab_tpu.utils.collate as Co
+    from tracklab_tpu.wrappers.bbox_detector import YOLOv8Detector
+
+    det = YOLOv8Detector(variant="11n", num_classes=1,
+                         input_size=(128, 128), min_confidence=0.0,
+                         max_dets=8, batch_size=1)
+    img = np.random.default_rng(0).integers(0, 255, (96, 128, 3),
+                                            np.uint8)
+    meta = pd.DataFrame([dict(video_id=0)], index=[5])
+    batch = Co.default_collate([det.preprocess(img, None, meta.iloc[0])])
+    rows = det.process(batch, None, meta)
+    assert isinstance(rows, list)

@@ -1034,3 +1034,246 @@ def test_resnet50_ibn_a_activation_parity():
                                             (1, H, W, 3))
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# YOLO11 vs an independent torch implementation with ultralytics module
+# structure and state-dict naming (model.0..model.23) — the reference's
+# DEFAULT detector family (yolo_ultralytics.yaml -> yolo11m.pt)
+# ---------------------------------------------------------------------------
+
+def _build_torch_yolo11(num_classes, d, w, mc, force_c3k, reg_max=16):
+    import torch.nn as tnn
+
+    def ch(c):
+        import math
+        return max(math.ceil(min(c, mc) * w / 8) * 8, 8)
+
+    def rep(n):
+        return max(int(round(n * d)), 1)
+
+    class TConv(tnn.Module):
+        def __init__(self, ci, co, k=3, s=1, g=1, act=True):
+            super().__init__()
+            self.conv = tnn.Conv2d(ci, co, k, s, k // 2, groups=g,
+                                   bias=False)
+            self.bn = tnn.BatchNorm2d(co, eps=1e-3, momentum=0.03)
+            self.act = tnn.SiLU() if act else tnn.Identity()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class TBottleneck(tnn.Module):
+        def __init__(self, ci, co, shortcut=True, e=0.5):
+            super().__init__()
+            c_ = int(co * e)
+            self.cv1 = TConv(ci, c_, 3)
+            self.cv2 = TConv(c_, co, 3)
+            self.add = shortcut and ci == co
+
+        def forward(self, x):
+            y = self.cv2(self.cv1(x))
+            return x + y if self.add else y
+
+    class TC3k(tnn.Module):
+        def __init__(self, ci, co, n=2, shortcut=True):
+            super().__init__()
+            c_ = co // 2
+            self.cv1 = TConv(ci, c_, 1)
+            self.cv2 = TConv(ci, c_, 1)
+            self.cv3 = TConv(2 * c_, co, 1)
+            self.m = tnn.Sequential(
+                *[TBottleneck(c_, c_, shortcut, e=1.0)
+                  for _ in range(n)])
+
+        def forward(self, x):
+            return self.cv3(torch.cat([self.m(self.cv1(x)),
+                                       self.cv2(x)], 1))
+
+    class TC3k2(tnn.Module):
+        def __init__(self, ci, co, n=1, c3k=False, e=0.5,
+                     shortcut=True):
+            super().__init__()
+            self.c = int(co * e)
+            self.cv1 = TConv(ci, 2 * self.c, 1)
+            self.cv2 = TConv((2 + n) * self.c, co, 1)
+            self.m = tnn.ModuleList(
+                TC3k(self.c, self.c, 2, shortcut) if c3k
+                else TBottleneck(self.c, self.c, shortcut, e=0.5)
+                for _ in range(n))
+
+        def forward(self, x):
+            y = list(self.cv1(x).chunk(2, 1))
+            y.extend(m(y[-1]) for m in self.m)
+            return self.cv2(torch.cat(y, 1))
+
+    class TSPPF(tnn.Module):
+        def __init__(self, ci, co, k=5):
+            super().__init__()
+            c_ = ci // 2
+            self.cv1 = TConv(ci, c_, 1)
+            self.cv2 = TConv(c_ * 4, co, 1)
+            self.m = tnn.MaxPool2d(k, 1, k // 2)
+
+        def forward(self, x):
+            x = self.cv1(x)
+            y1 = self.m(x)
+            y2 = self.m(y1)
+            return self.cv2(torch.cat([x, y1, y2, self.m(y2)], 1))
+
+    class TAttention(tnn.Module):
+        def __init__(self, dim, num_heads, attn_ratio=0.5):
+            super().__init__()
+            self.num_heads = num_heads
+            self.head_dim = dim // num_heads
+            self.key_dim = int(self.head_dim * attn_ratio)
+            self.scale = self.key_dim ** -0.5
+            nh_kd = self.key_dim * num_heads
+            h = dim + nh_kd * 2
+            self.qkv = TConv(dim, h, 1, act=False)
+            self.proj = TConv(dim, dim, 1, act=False)
+            self.pe = TConv(dim, dim, 3, 1, g=dim, act=False)
+
+        def forward(self, x):
+            B, C, H, W = x.shape
+            N = H * W
+            qkv = self.qkv(x)
+            q, k, v = qkv.view(
+                B, self.num_heads, self.key_dim * 2 + self.head_dim,
+                N).split([self.key_dim, self.key_dim, self.head_dim],
+                         dim=2)
+            attn = (q.transpose(-2, -1) @ k) * self.scale
+            attn = attn.softmax(dim=-1)
+            x2 = (v @ attn.transpose(-2, -1)).view(B, C, H, W) \
+                + self.pe(v.reshape(B, C, H, W))
+            return self.proj(x2)
+
+    class TPSABlock(tnn.Module):
+        def __init__(self, c, num_heads):
+            super().__init__()
+            self.attn = TAttention(c, num_heads)
+            self.ffn = tnn.Sequential(TConv(c, c * 2, 1),
+                                      TConv(c * 2, c, 1, act=False))
+
+        def forward(self, x):
+            x = x + self.attn(x)
+            return x + self.ffn(x)
+
+    class TC2PSA(tnn.Module):
+        def __init__(self, c, n=1):
+            super().__init__()
+            self.c = c // 2
+            self.cv1 = TConv(c, 2 * self.c, 1)
+            self.cv2 = TConv(2 * self.c, c, 1)
+            self.m = tnn.Sequential(
+                *[TPSABlock(self.c, max(self.c // 64, 1))
+                  for _ in range(n)])
+
+        def forward(self, x):
+            a, b = self.cv1(x).split((self.c, self.c), dim=1)
+            b = self.m(b)
+            return self.cv2(torch.cat([a, b], 1))
+
+    class TDetect11(tnn.Module):
+        def __init__(self, nc, chs):
+            super().__init__()
+            c2 = max(16, chs[0] // 4, reg_max * 4)
+            c3 = max(chs[0], min(nc, 100))
+            self.cv2 = tnn.ModuleList(
+                tnn.Sequential(TConv(x, c2, 3), TConv(c2, c2, 3),
+                               tnn.Conv2d(c2, 4 * reg_max, 1))
+                for x in chs)
+            self.cv3 = tnn.ModuleList(
+                tnn.Sequential(
+                    tnn.Sequential(TConv(x, x, 3, g=x),
+                                   TConv(x, c3, 1)),
+                    tnn.Sequential(TConv(c3, c3, 3, g=c3),
+                                   TConv(c3, c3, 1)),
+                    tnn.Conv2d(c3, nc, 1)) for x in chs)
+
+        def forward(self, feats):
+            return [torch.cat([self.cv2[i](f), self.cv3[i](f)], 1)
+                    for i, f in enumerate(feats)]
+
+    class Model(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            fc = force_c3k
+            self.model = tnn.ModuleList([
+                TConv(3, ch(64), 3, 2),                       # 0
+                TConv(ch(64), ch(128), 3, 2),                 # 1
+                TC3k2(ch(128), ch(256), rep(2), fc, 0.25),    # 2
+                TConv(ch(256), ch(256), 3, 2),                # 3
+                TC3k2(ch(256), ch(512), rep(2), fc, 0.25),    # 4
+                TConv(ch(512), ch(512), 3, 2),                # 5
+                TC3k2(ch(512), ch(512), rep(2), True),        # 6
+                TConv(ch(512), ch(1024), 3, 2),               # 7
+                TC3k2(ch(1024), ch(1024), rep(2), True),      # 8
+                TSPPF(ch(1024), ch(1024)),                    # 9
+                TC2PSA(ch(1024), rep(2)),                     # 10
+                tnn.Upsample(scale_factor=2, mode="nearest"),  # 11
+                tnn.Identity(),                               # 12 concat
+                TC3k2(ch(1024) + ch(512), ch(512), rep(2), fc),  # 13
+                tnn.Upsample(scale_factor=2, mode="nearest"),  # 14
+                tnn.Identity(),                               # 15 concat
+                TC3k2(ch(512) + ch(512), ch(256), rep(2), fc),  # 16
+                TConv(ch(256), ch(256), 3, 2),                # 17
+                tnn.Identity(),                               # 18 concat
+                TC3k2(ch(256) + ch(512), ch(512), rep(2), fc),  # 19
+                TConv(ch(512), ch(512), 3, 2),                # 20
+                tnn.Identity(),                               # 21 concat
+                TC3k2(ch(512) + ch(1024), ch(1024), rep(2),
+                      True),                                  # 22
+                TDetect11(num_classes,
+                          (ch(256), ch(512), ch(1024))),      # 23
+            ])
+
+        def forward(self, x):
+            m = self.model
+            x = m[1](m[0](x))
+            x = m[2](x)
+            x = m[3](x)
+            p3 = m[4](x)
+            x = m[5](p3)
+            p4 = m[6](x)
+            x = m[7](p4)
+            x = m[8](x)
+            x = m[9](x)
+            p5 = m[10](x)
+            u4 = m[13](torch.cat([m[11](p5), p4], 1))
+            u3 = m[16](torch.cat([m[14](u4), p3], 1))
+            d4 = m[19](torch.cat([m[17](u3), u4], 1))
+            d5 = m[22](torch.cat([m[20](d4), p5], 1))
+            return m[23]([u3, d4, d5])
+
+    return Model()
+
+
+@pytest.mark.parametrize("variant", ["n", "m"])
+def test_yolo11_activation_parity(variant):
+    import jax.numpy as jnp
+    from tracklab_tpu.models.yolo11 import YOLO11, YOLO11_VARIANTS
+    from tracklab_tpu.models.convert import convert_yolov8_torch
+
+    v = YOLO11_VARIANTS[variant]
+    tm = _build_torch_yolo11(3, v["d"], v["w"], v["mc"],
+                             v["force_c3k"])
+    tm.eval()
+    _randomize_module(tm, seed=53)
+
+    H = W = 64
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in
+                tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+
+    fm = YOLO11(num_classes=3, variant=variant)
+    variables = convert_yolov8_torch(_state_dict_np(tm), fm,
+                                     (1, H, W, 3))
+    got = fm.apply(variables, jnp.asarray(x), train=False)
+    assert len(got) == len(want)
+    for g, t in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g),
+                                   t.transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-4)

@@ -58,6 +58,7 @@ def _torch_converter_for(model):
     table = {
         "YOLOX": convert_yolox_torch,
         "YOLOv8": convert_yolov8_torch,
+        "YOLO11": convert_yolov8_torch,
         "ViTPose": convert_vitpose_torch,
         "RTMDet": convert_rtmdet_torch,
         "RTDetrHF": convert_rtdetr_hf_torch,
@@ -471,4 +472,8 @@ def convert_yolov8_torch(sd_or_path, model, input_shape,
     if not any(k.startswith("model.") for k in sd):
         sd = {f"model.{k}": v for k, v in sd.items()}
     return convert_by_name(sd, model, input_shape, _yolov8_torch_key,
-                           expected_unused=("model.22.dfl.",))
+                           # the DFL projection is the fixed arange
+                           # kernel (math in decode_v8); head index 22
+                           # in v8 checkpoints, 23 in yolo11
+                           expected_unused=("model.22.dfl.",
+                                            "model.23.dfl."))

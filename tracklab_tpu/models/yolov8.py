@@ -47,6 +47,7 @@ class Conv(nn.Module):
     features: int
     kernel: int = 3
     stride: int = 1
+    groups: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -54,10 +55,13 @@ class Conv(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=self.stride,
                     padding=[(self.kernel // 2,) * 2] * 2,
+                    feature_group_count=self.groups,
                     use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=jnp.float32, name="bn")(x)
-        return nn.silu(x)
+        # bf16 inter-layer activations: BN+silu in f32, output cast back
+        # (the detector is HBM-bandwidth bound; see models/yolox.py)
+        return nn.silu(x).astype(self.dtype)
 
 
 class Bottleneck(nn.Module):

@@ -13,17 +13,26 @@ __all__ = ["YOLOv8Detector"]
 
 
 class YOLOv8Detector(YOLOXDetector):
-    """Same pipeline surface as YOLOXDetector with the YOLOv8 backbone
-    and DFL decode."""
+    """Same pipeline surface as YOLOXDetector with the YOLOv8 / YOLO11
+    backbones and DFL decode. variant "n".."x" selects YOLOv8;
+    "11n".."11x" selects YOLO11 (the family the reference's default
+    config loads — yolo_ultralytics.yaml -> yolo11m.pt)."""
 
     def _build(self):
         import jax
         import jax.numpy as jnp
-        from tracklab_tpu.models.yolov8 import YOLOv8
         from tracklab_tpu.ops.nms import postprocess_detections
 
-        model = YOLOv8(num_classes=self.num_classes,
-                       variant=self.variant)
+        if self.variant.startswith("11"):
+            from tracklab_tpu.models.yolo11 import YOLO11
+
+            model = YOLO11(num_classes=self.num_classes,
+                           variant=self.variant[2:])
+        else:
+            from tracklab_tpu.models.yolov8 import YOLOv8
+
+            model = YOLOv8(num_classes=self.num_classes,
+                           variant=self.variant)
         h, w = self.input_size
         if self._variables is not None:
             variables = self._variables
@@ -40,7 +49,7 @@ class YOLOv8Detector(YOLOXDetector):
         def infer(images):
             images = images.astype(jnp.float32) / 255.0
             decoded = model.apply(variables, images,
-                                  method=YOLOv8.predict)
+                                  method=type(model).predict)
             return postprocess_detections(
                 decoded, conf_threshold=self.min_confidence,
                 iou_threshold=self.nms_iou, max_out=self.max_dets)

@@ -277,3 +277,37 @@ def test_topdown_simcc_backbone_pipeline():
     kp = out.loc[0, "keypoints_xyc"]
     assert kp.shape == (5, 3)
     assert np.isfinite(kp).all()
+
+
+def test_yolo11_pose_decode_geometry_and_wrapper():
+    """decode_v11_kpts: xy = (raw*2 + cell_center - 0.5) * stride,
+    sigmoid conf; wrapper smoke with variant='11n'."""
+    import jax
+    import jax.numpy as jnp
+    from tracklab_tpu.models.yolo11 import decode_v11_kpts
+
+    kmap = np.zeros((1, 2, 2, 3), np.float32)   # 1 level, K=1
+    kmap[0, 1, 1] = [0.25, -0.25, 0.0]          # cell (1,1)
+    out = np.asarray(decode_v11_kpts([jnp.asarray(kmap)], 1,
+                                     strides=(8,)))
+    # anchor center (1.5, 1.5): x = (0.5 + 1.5 - 0.5)*8 = 12;
+    # y = (-0.5 + 1.5 - 0.5)*8 = 4; conf = sigmoid(0) = 0.5
+    np.testing.assert_allclose(out[0, 3, 0], [12.0, 4.0, 0.5])
+
+    from tracklab_tpu.wrappers.pose_estimator import (
+        BottomUpPoseEstimator,
+    )
+    mod = BottomUpPoseEstimator(variant="11n", num_keypoints=5,
+                                input_size=(128, 128),
+                                min_confidence=0.0, max_dets=8,
+                                batch_size=1)
+    img = np.random.default_rng(0).integers(0, 255, (96, 128, 3),
+                                            np.uint8)
+    meta = pd.DataFrame([dict(video_id=0)], index=[3])
+    import tracklab_tpu.utils.collate as Co
+    batch = Co.default_collate(
+        [mod.preprocess(img, None, meta.iloc[0])])
+    rows = mod.process(batch, None, meta)
+    assert isinstance(rows, list)
+    if rows:
+        assert rows[0].keypoints_xyc.shape == (5, 3)

@@ -1277,3 +1277,74 @@ def test_yolo11_activation_parity(variant):
         np.testing.assert_allclose(np.asarray(g),
                                    t.transpose(0, 2, 3, 1),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_yolo11_pose_activation_parity():
+    import jax.numpy as jnp
+    from tracklab_tpu.models.yolo11 import YOLO11Pose, YOLO11_VARIANTS
+    from tracklab_tpu.models.convert import convert_yolov8_torch
+    import torch.nn as tnn
+
+    v = YOLO11_VARIANTS["n"]
+    tm = _build_torch_yolo11(1, v["d"], v["w"], v["mc"],
+                             v["force_c3k"])
+    # attach the ultralytics Pose branch (cv4) to the torch model
+    K = 5
+    nk = K * 3
+    det = tm.model[23]
+    ch0 = det.cv2[0][0].conv.in_channels
+    chs = [seq[0].conv.in_channels for seq in det.cv2]
+    c4 = max(ch0 // 4, nk)
+
+    class TConv(tnn.Module):
+        def __init__(self, ci, co, k=3):
+            super().__init__()
+            self.conv = tnn.Conv2d(ci, co, k, 1, k // 2, bias=False)
+            self.bn = tnn.BatchNorm2d(co, eps=1e-3, momentum=0.03)
+            self.act = tnn.SiLU()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    det.cv4 = tnn.ModuleList(
+        tnn.Sequential(TConv(x, c4, 3), TConv(c4, c4, 3),
+                       tnn.Conv2d(c4, nk, 1)) for x in chs)
+    tm.eval()
+    _randomize_module(tm, seed=59)
+
+    H = W = 64
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        # torch side: run the trunk manually to the neck feats, then
+        # both branches
+        m = tm.model
+        h1 = m[1](m[0](xt))
+        h2 = m[3](m[2](h1))
+        p3 = m[4](h2)
+        p4 = m[6](m[5](p3))
+        h8 = m[8](m[7](p4))
+        p5 = m[10](m[9](h8))
+        u4 = m[13](torch.cat([m[11](p5), p4], 1))
+        u3 = m[16](torch.cat([m[14](u4), p3], 1))
+        d4 = m[19](torch.cat([m[17](u3), u4], 1))
+        d5 = m[22](torch.cat([m[20](d4), p5], 1))
+        feats = [u3, d4, d5]
+        want_det = [torch.cat([det.cv2[i](f), det.cv3[i](f)], 1).numpy()
+                    for i, f in enumerate(feats)]
+        want_kpt = [det.cv4[i](f).numpy()
+                    for i, f in enumerate(feats)]
+
+    fm = YOLO11Pose(num_classes=1, num_keypoints=K, variant="n")
+    variables = convert_yolov8_torch(_state_dict_np(tm), fm,
+                                     (1, H, W, 3))
+    got_det, got_kpt = fm.apply(variables, jnp.asarray(x), train=False)
+    for g, t in zip(got_det, want_det):
+        np.testing.assert_allclose(np.asarray(g),
+                                   t.transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-4)
+    for g, t in zip(got_kpt, want_kpt):
+        np.testing.assert_allclose(np.asarray(g),
+                                   t.transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-4)

@@ -59,6 +59,7 @@ def _torch_converter_for(model):
         "YOLOX": convert_yolox_torch,
         "YOLOv8": convert_yolov8_torch,
         "YOLO11": convert_yolov8_torch,
+        "YOLO11Pose": convert_yolov8_torch,
         "ViTPose": convert_vitpose_torch,
         "RTMDet": convert_rtmdet_torch,
         "RTDetrHF": convert_rtdetr_hf_torch,

@@ -29,7 +29,8 @@ from tracklab_tpu.models.yolov8 import (
     Conv, SPPF, _up2, decode_v8,
 )
 
-__all__ = ["YOLO11", "YOLO11_VARIANTS"]
+__all__ = ["YOLO11", "YOLO11Pose", "YOLO11_VARIANTS",
+           "decode_v11_kpts"]
 
 # depth, width, max_channels (ultralytics yolo11.yaml scales); for the
 # m/l/x scales ultralytics forces c3k=True in EVERY C3k2
@@ -209,6 +210,15 @@ class YOLO11(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
+        outs, _ = self._forward(x, train)
+        return outs
+
+    def _forward(self, x, train=False):
+        """Shared trunk+detect graph; returns (per-level det maps,
+        the three neck features) so the Pose subclass can attach its
+        keypoint branch to the SAME features within one module scope
+        (keeping the model.23.* key namespace flat, as in ultralytics
+        pose checkpoints)."""
         v = YOLO11_VARIANTS[self.variant]
         dt = self.dtype
 
@@ -252,7 +262,7 @@ class YOLO11(nn.Module):
 
         # Detect (node 23, legacy=False): reg branch as v8, class
         # branch = two DW+PW pairs then 1x1 (nn/modules/head.py)
-        feats = [u3, d4, d5]
+        feats = [u3, d4, d5]  # also returned for the Pose subclass
         c2 = max(16, feats[0].shape[-1] // 4, self.reg_max * 4)
         c3 = max(feats[0].shape[-1], min(self.num_classes, 100))
         outs = []
@@ -275,8 +285,60 @@ class YOLO11(nn.Module):
             c = nn.Conv(self.num_classes, (1, 1), dtype=dt,
                         name=f"model__23__cv3__{i}__2")(c)
             outs.append(jnp.concatenate([r, c], -1))
-        return outs
+        return outs, feats
 
     def predict(self, images, train=False):
         return decode_v8(self(images, train=train), self.num_classes,
                          self.reg_max)
+
+
+def decode_v11_kpts(kpt_outs, num_keypoints, strides=(8, 16, 32)):
+    """ultralytics Pose.kpts_decode: per-anchor (K, 3) raw maps ->
+    pixel keypoints: xy = (raw*2 + anchor - 0.5) * stride with anchor
+    points at cell centers (x+0.5, y+0.5); conf = sigmoid."""
+    import jax
+
+    out = []
+    for kmap, stride in zip(kpt_outs, strides):
+        b, h, w, _ = kmap.shape
+        k = kmap.astype(jnp.float32).reshape(b, h * w, num_keypoints, 3)
+        gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+        gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+        anchor = jnp.stack([gx, gy], -1).reshape(1, h * w, 1, 2)
+        xy = (k[..., :2] * 2.0 + anchor - 0.5) * stride
+        conf = jax.nn.sigmoid(k[..., 2:3])
+        out.append(jnp.concatenate([xy, conf], -1))
+    return jnp.concatenate(out, axis=1)
+
+
+class YOLO11Pose(YOLO11):
+    """YOLO11 pose model (ultralytics Pose head on the v11 trunk):
+    the reference's bottom-up pose default
+    (yolo_ultralytics-pose.yaml -> yolo11m-pose.pt). The keypoint
+    branch (model.23.cv4) regresses per-anchor (K, 3) offsets.
+
+    ``__call__`` returns (det_outs, kpt_outs); ``predict`` returns
+    (decoded boxes (B, A, 5+C), keypoints (B, A, K, 3) in pixels)."""
+    num_keypoints: int = 17
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        det_outs, feats = self._forward(x, train)
+        nk = self.num_keypoints * 3
+        c4 = max(feats[0].shape[-1] // 4, nk)
+        kpt_outs = []
+        for i, f in enumerate(feats):
+            k = Conv(c4, 3, dtype=self.dtype,
+                     name=f"model__23__cv4__{i}__0")(f, train)
+            k = Conv(c4, 3, dtype=self.dtype,
+                     name=f"model__23__cv4__{i}__1")(k, train)
+            k = nn.Conv(nk, (1, 1), dtype=self.dtype,
+                        name=f"model__23__cv4__{i}__2")(k)
+            kpt_outs.append(k)
+        return det_outs, kpt_outs
+
+    def predict(self, images, train=False):
+        det_outs, kpt_outs = self(images, train=train)
+        decoded = decode_v8(det_outs, self.num_classes, self.reg_max)
+        kps = decode_v11_kpts(kpt_outs, self.num_keypoints)
+        return decoded, kps

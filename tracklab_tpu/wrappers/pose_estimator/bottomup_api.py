@@ -48,12 +48,29 @@ class BottomUpPoseEstimator(ImageLevelModule):
     def _build(self):
         import jax
         import jax.numpy as jnp
-        from tracklab_tpu.models.pose import YOLOXPose
         from tracklab_tpu.ops.nms import postprocess_detections
 
-        model = YOLOXPose(num_classes=1,
-                          num_keypoints=self.num_keypoints,
-                          variant=self.variant)
+        if self.variant.startswith("11"):
+            # ultralytics YOLO11-pose (the reference's bottom-up pose
+            # default: yolo_ultralytics-pose.yaml -> yolo11m-pose.pt)
+            from tracklab_tpu.models.yolo11 import YOLO11Pose
+
+            model = YOLO11Pose(num_classes=1,
+                               num_keypoints=self.num_keypoints,
+                               variant=self.variant[2:])
+
+            def predict_fn(variables, images):
+                return model.apply(variables, images / 255.0,
+                                   method=YOLO11Pose.predict)
+        else:
+            from tracklab_tpu.models.pose import YOLOXPose
+
+            model = YOLOXPose(num_classes=1,
+                              num_keypoints=self.num_keypoints,
+                              variant=self.variant)
+
+            def predict_fn(variables, images):
+                return model.predict(variables, images)
         h, w = self.input_size
         if self.checkpoint_path:
             from tracklab_tpu.models.convert import load_checkpoint
@@ -65,8 +82,8 @@ class BottomUpPoseEstimator(ImageLevelModule):
                                    jnp.zeros((1, h, w, 3)), train=False)
 
         def infer(images):
-            decoded, kps = model.predict(variables,
-                                         images.astype(jnp.float32))
+            decoded, kps = predict_fn(variables,
+                                      images.astype(jnp.float32))
             out = postprocess_detections(
                 decoded, conf_threshold=self.min_confidence,
                 iou_threshold=self.nms_iou, max_out=self.max_dets)

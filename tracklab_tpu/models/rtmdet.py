@@ -64,7 +64,9 @@ class ConvModule(nn.Module):
                     dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
-        return nn.silu(x)
+        # bf16 inter-layer activations: BN+silu in f32, output cast back
+        # (the detector is HBM-bandwidth bound; see models/yolox.py)
+        return nn.silu(x).astype(self.dtype)
 
 
 class DWSepConvModule(nn.Module):

@@ -234,3 +234,24 @@ def test_e2e_jersey_vote_graceful(tmp_path):
     parts, results = run(cfg)
     pred = parts["tracker_state"].detections_pred
     assert pred["track_id"].notna().sum() > 0
+
+
+@pytest.mark.parametrize("module,expect", [
+    ("modules/bbox_detector=rtmdet", "RTMDetDetector"),
+    ("modules/bbox_detector=rtdetr_hf", "RTDETRDetector"),
+    ("modules/bbox_detector=yolo11", "YOLOv8Detector"),
+    ("modules/reid=backbone_zoo", "OSNetReId"),
+])
+def test_new_module_configs_compose_and_instantiate(module, expect):
+    """Every round-2 module YAML composes and its _target_ resolves to
+    a constructible wrapper (catches config <-> constructor drift)."""
+    group = module.split("=")[0].split("/")[-1]
+    cfg = compose(CONFIG_DIR, "config", [module])
+    node = getattr(cfg.modules, group)
+    assert node._target_.endswith(expect)
+    obj = instantiate(node)
+    assert type(obj).__name__ == expect
+    if group == "bbox_detector" and expect == "YOLOv8Detector":
+        assert obj.variant == "11m"
+    if group == "reid":
+        assert obj.backbone == "resnet50_ibn_a"

@@ -1348,3 +1348,31 @@ def test_yolo11_pose_activation_parity():
         np.testing.assert_allclose(np.asarray(g),
                                    t.transpose(0, 2, 3, 1),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_densenet_activation_parity():
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import ReidDenseNet
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    from strong_sort.deep.models import densenet as tdn
+
+    tm = tdn.DenseNet(num_classes=5, loss="softmax", growth_rate=8,
+                      block_config=(2, 2, 2, 2), num_init_features=16,
+                      bn_size=4)
+    tm.eval()
+    _randomize_module(tm, seed=61)
+
+    H, W = 128, 64
+    rng = np.random.default_rng(14)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    fm = ReidDenseNet(growth_rate=8, block_config=(2, 2, 2, 2),
+                      num_init_features=16)
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

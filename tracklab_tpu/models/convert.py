@@ -69,6 +69,7 @@ def _torch_converter_for(model):
         "ReidResNetIBN": convert_reid_backbone_torch,
         "ReidMobileNetV2": convert_reid_backbone_torch,
         "ReidShuffleNetV2": convert_reid_backbone_torch,
+        "ReidDenseNet": convert_reid_backbone_torch,
     }
     fn = table.get(name)
     if fn is None:

@@ -384,3 +384,105 @@ class ReidResNetIBN(nn.Module):
                                   name=f"layer{li + 1}_{b}")(x, train)
                 in_ch = 4 * w
         return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# DenseNet121 (torchreid densenet.py, torchvision layout)
+# ---------------------------------------------------------------------------
+
+class _DenseLayer(nn.Module):
+    """norm1-relu-conv1(1x1)-norm2-relu-conv2(3x3); output concatenates
+    onto the input (densenet.py:29-66)."""
+    growth_rate: int
+    bn_size: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="norm1")(x)
+        y = nn.relu(y)
+        y = nn.Conv(self.bn_size * self.growth_rate, (1, 1),
+                    use_bias=False, dtype=self.dtype, name="conv1")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="norm2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.growth_rate, (3, 3), padding=[(1, 1)] * 2,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        return jnp.concatenate([x, y], axis=-1)
+
+
+class _DenseBlock(nn.Module):
+    num_layers: int
+    growth_rate: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.num_layers):
+            x = _DenseLayer(self.growth_rate, dtype=self.dtype,
+                            name=f"denselayer{i + 1}")(x, train)
+        return x
+
+
+class _DenseTransition(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="norm")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class _DenseFeatures(nn.Module):
+    growth_rate: int
+    block_config: tuple
+    num_init_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.num_init_features, (7, 7), strides=2,
+                    padding=[(3, 3)] * 2, use_bias=False,
+                    dtype=self.dtype, name="conv0")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="norm0")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        n = self.num_init_features
+        for i, layers in enumerate(self.block_config):
+            x = _DenseBlock(layers, self.growth_rate, dtype=self.dtype,
+                            name=f"denseblock{i + 1}")(x, train)
+            n += layers * self.growth_rate
+            if i != len(self.block_config) - 1:
+                n //= 2
+                x = _DenseTransition(n, dtype=self.dtype,
+                                     name=f"transition{i + 1}")(x, train)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=jnp.float32,
+                            name="norm5")(x)
+
+
+class ReidDenseNet(nn.Module):
+    """torchreid DenseNet (densenet.py:102-262); densenet121 by
+    default. Eval-mode forward returns the pooled feature."""
+    growth_rate: int = 32
+    block_config: tuple = (6, 12, 24, 16)
+    num_init_features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = _DenseFeatures(self.growth_rate, self.block_config,
+                           self.num_init_features, dtype=self.dtype,
+                           name="features")(x, train)
+        return jnp.mean(nn.relu(f), axis=(1, 2))

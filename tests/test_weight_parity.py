@@ -1376,3 +1376,56 @@ def test_densenet_activation_parity():
                                             (1, H, W, 3))
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_squeezenet_activation_parity():
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import ReidSqueezeNet
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    from strong_sort.deep.models import squeezenet as tsq
+
+    tm = tsq.SqueezeNet(num_classes=5, loss="softmax", version=1.0)
+    tm.eval()
+    _randomize_module(tm, seed=67)
+
+    H, W = 129, 65   # odd sizes exercise the ceil-mode pooling
+    rng = np.random.default_rng(15)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    fm = ReidSqueezeNet()
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_mlfn_activation_parity():
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import ReidMLFN
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    import importlib
+    tml = importlib.import_module("strong_sort.deep.models.mlfn")
+
+    tm = tml.MLFN(num_classes=5, groups=8,
+                  channels=[16, 32, 64, 128, 256], embed_dim=64)
+    tm.eval()
+    _randomize_module(tm, seed=71)
+
+    H, W = 128, 64
+    rng = np.random.default_rng(16)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    fm = ReidMLFN(groups=8, channels=(16, 32, 64, 128, 256),
+                  embed_dim=64)
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -70,6 +70,8 @@ def _torch_converter_for(model):
         "ReidMobileNetV2": convert_reid_backbone_torch,
         "ReidShuffleNetV2": convert_reid_backbone_torch,
         "ReidDenseNet": convert_reid_backbone_torch,
+        "ReidSqueezeNet": convert_reid_backbone_torch,
+        "ReidMLFN": convert_reid_backbone_torch,
     }
     fn = table.get(name)
     if fn is None:

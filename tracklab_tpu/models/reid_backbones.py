@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 __all__ = ["ReidResNet", "ReidMobileNetV2", "ReidShuffleNetV2",
@@ -486,3 +487,174 @@ class ReidDenseNet(nn.Module):
                            self.num_init_features, dtype=self.dtype,
                            name="features")(x, train)
         return jnp.mean(nn.relu(f), axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# SqueezeNet (torchreid squeezenet.py; torchvision layout with biased
+# convs, VALID first conv and ceil-mode max pools)
+# ---------------------------------------------------------------------------
+
+def _max_pool_ceil3(x):
+    """MaxPool2d(3, 2, ceil_mode=True): pad right/bottom with -inf so
+    partial windows count (window start must lie within the input)."""
+    b, h, w, c = x.shape
+    oh = -(-(h - 3) // 2) + 1
+    ow = -(-(w - 3) // 2) + 1
+    ph = max((oh - 1) * 2 + 3 - h, 0)
+    pw = max((ow - 1) * 2 + 3 - w, 0)
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                    constant_values=-jnp.inf)
+    return nn.max_pool(x, (3, 3), strides=(2, 2))
+
+
+class _Fire(nn.Module):
+    """squeeze 1x1 -> relu -> [expand1x1 | expand3x3] concat
+    (squeezenet.py:19-45; biased convs)."""
+    s: int
+    e1: int
+    e3: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Conv(self.s, (1, 1), use_bias=True,
+                            dtype=self.dtype, name="squeeze")(x))
+        a = nn.relu(nn.Conv(self.e1, (1, 1), use_bias=True,
+                            dtype=self.dtype, name="expand1x1")(x))
+        b = nn.relu(nn.Conv(self.e3, (3, 3), padding=[(1, 1)] * 2,
+                            use_bias=True, dtype=self.dtype,
+                            name="expand3x3")(x))
+        return jnp.concatenate([a, b], axis=-1)
+
+
+class ReidSqueezeNet(nn.Module):
+    """torchreid SqueezeNet 1.0 (squeezenet.py:47-185); eval-mode
+    forward returns the pooled 512-dim feature."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # features.0: 7x7/2 conv, NO padding (torch default)
+        x = nn.Conv(96, (7, 7), strides=2, padding="VALID",
+                    use_bias=True, dtype=self.dtype,
+                    name="features_0")(x)
+        x = _max_pool_ceil3(nn.relu(x))
+        x = _Fire(16, 64, 64, dtype=self.dtype, name="features_3")(x)
+        x = _Fire(16, 64, 64, dtype=self.dtype, name="features_4")(x)
+        x = _Fire(32, 128, 128, dtype=self.dtype, name="features_5")(x)
+        x = _max_pool_ceil3(x)
+        x = _Fire(32, 128, 128, dtype=self.dtype, name="features_7")(x)
+        x = _Fire(48, 192, 192, dtype=self.dtype, name="features_8")(x)
+        x = _Fire(48, 192, 192, dtype=self.dtype, name="features_9")(x)
+        x = _Fire(64, 256, 256, dtype=self.dtype,
+                  name="features_10")(x)
+        x = _max_pool_ceil3(x)
+        x = _Fire(64, 256, 256, dtype=self.dtype,
+                  name="features_12")(x)
+        return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# MLFN (torchreid mlfn.py: multi-level factorisation net)
+# ---------------------------------------------------------------------------
+
+class _MLFNBlock(nn.Module):
+    """Factor modules + factor-selection gate (mlfn.py:16-95): the
+    (g,)-dim sigmoid selector scales the grouped conv's channels
+    (channel c takes gate c // (mid/groups)); returns (features,
+    selector) — selectors concatenate into the network's s_hat path."""
+    features: int
+    stride: int = 1
+    fsm: tuple = (128, 64)
+    groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = self.features // 2
+
+        def bn(y, name):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5,
+                                dtype=jnp.float32, name=name)(y)
+
+        # factor selection: gap -> conv+bn+relu x2 -> conv+bn -> sigmoid
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.relu(bn(nn.Conv(self.fsm[0], (1, 1), use_bias=True,
+                               dtype=self.dtype, name="fsm_1")(s),
+                       "fsm_2"))
+        s = nn.relu(bn(nn.Conv(self.fsm[1], (1, 1), use_bias=True,
+                               dtype=self.dtype, name="fsm_4")(s),
+                       "fsm_5"))
+        s = jax.nn.sigmoid(bn(nn.Conv(self.groups, (1, 1),
+                                      use_bias=True, dtype=self.dtype,
+                                      name="fsm_7")(s), "fsm_8"))
+
+        y = nn.relu(bn(nn.Conv(mid, (1, 1), use_bias=False,
+                               dtype=self.dtype, name="fm_conv1")(x),
+                       "fm_bn1"))
+        y = nn.relu(bn(nn.Conv(mid, (3, 3), strides=self.stride,
+                               padding=[(1, 1)] * 2,
+                               feature_group_count=self.groups,
+                               use_bias=False, dtype=self.dtype,
+                               name="fm_conv2")(y), "fm_bn2"))
+        n = mid // self.groups
+        y = y * jnp.repeat(s, n, axis=-1)
+        y = nn.relu(bn(nn.Conv(self.features, (1, 1), use_bias=False,
+                               dtype=self.dtype, name="fm_conv3")(y),
+                       "fm_bn3"))
+        res = x
+        if x.shape[-1] != self.features or self.stride > 1:
+            res = bn(nn.Conv(self.features, (1, 1),
+                             strides=self.stride, use_bias=False,
+                             dtype=self.dtype, name="downsample_0")(x),
+                     "downsample_1")
+        return nn.relu(res + y), s
+
+
+class ReidMLFN(nn.Module):
+    """torchreid MLFN (mlfn.py:98-241): 16 factorisation blocks; the
+    eval feature is the mean of the projected conv feature and the
+    projected concatenated selectors."""
+    groups: int = 32
+    channels: tuple = (64, 256, 512, 1024, 2048)
+    embed_dim: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ch = self.channels
+        x = nn.Conv(ch[0], (7, 7), strides=2, padding=[(3, 3)] * 2,
+                    use_bias=True, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        spec = ([(ch[1], 1, (128, 64))] * 3
+                + [(ch[2], 2, (256, 128))]
+                + [(ch[2], 1, (256, 128))] * 3
+                + [(ch[3], 2, (512, 128))]
+                + [(ch[3], 1, (512, 128))] * 5
+                + [(ch[4], 2, (512, 128))]
+                + [(ch[4], 1, (512, 128))] * 2)
+        sels = []
+        for i, (c, stride, fsm) in enumerate(spec):
+            x, s = _MLFNBlock(c, stride, fsm, self.groups,
+                              dtype=self.dtype,
+                              name=f"feature_{i}")(x, train)
+            sels.append(s)
+        s_hat = jnp.concatenate(sels, axis=-1)      # (B, 1, 1, 16g)
+        gap = jnp.mean(x, axis=(1, 2), keepdims=True)
+
+        def proj(v, pfx, feats):
+            v = nn.Conv(feats, (1, 1), use_bias=False,
+                        dtype=self.dtype, name=f"{pfx}_0")(v)
+            v = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-5,
+                             dtype=jnp.float32, name=f"{pfx}_1")(v)
+            return nn.relu(v)
+
+        vx = proj(gap, "fc_x", self.embed_dim)
+        vs = proj(s_hat, "fc_s", self.embed_dim)
+        return ((vx + vs) * 0.5).reshape(x.shape[0], -1)

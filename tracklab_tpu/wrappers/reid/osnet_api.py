@@ -54,7 +54,7 @@ class OSNetReId(DetectionLevelModule):
         # (part-capable) or a torchreid global-feature backbone:
         # resnet18/34/50/101, resnet50_fc512, mobilenetv2_x1_0/x1_4,
         # osnet_ain_x1_0/x0_75/x0_5/x0_25, shufflenet_v2_x0_5..x2_0,
-        # resnet50_ibn_a, densenet121
+        # resnet50_ibn_a, densenet121, squeezenet1_0, mlfn
         self.backbone = backbone
         if backbone != "osnet":
             use_parts = False
@@ -117,6 +117,14 @@ class OSNetReId(DetectionLevelModule):
                     ReidDenseNet,
                 )
                 model = ReidDenseNet()
+            elif self.backbone == "squeezenet1_0":
+                from tracklab_tpu.models.reid_backbones import (
+                    ReidSqueezeNet,
+                )
+                model = ReidSqueezeNet()
+            elif self.backbone == "mlfn":
+                from tracklab_tpu.models.reid_backbones import ReidMLFN
+                model = ReidMLFN()
             else:
                 raise ValueError(f"Unknown reid backbone "
                                  f"{self.backbone!r}")

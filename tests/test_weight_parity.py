@@ -1429,3 +1429,34 @@ def test_mlfn_activation_parity():
                                             (1, H, W, 3))
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_se_resnet_activation_parity():
+    import importlib
+
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import ReidSEResNet
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    tsn = importlib.import_module("strong_sort.deep.models.senet")
+
+    tm = tsn.SENet(num_classes=5, loss="softmax",
+                   block=tsn.SEResNetBottleneck, layers=[1, 1, 1, 1],
+                   groups=1, reduction=16, dropout_p=None, inplanes=64,
+                   input_3x3=False, downsample_kernel_size=1,
+                   downsample_padding=0, last_stride=2, fc_dims=None)
+    tm.eval()
+    _randomize_module(tm, seed=73)
+
+    H, W = 129, 65   # odd sizes exercise the ceil-mode stem pool
+    rng = np.random.default_rng(17)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    fm = ReidSEResNet(layers=(1, 1, 1, 1))
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

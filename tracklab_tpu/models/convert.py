@@ -72,6 +72,7 @@ def _torch_converter_for(model):
         "ReidDenseNet": convert_reid_backbone_torch,
         "ReidSqueezeNet": convert_reid_backbone_torch,
         "ReidMLFN": convert_reid_backbone_torch,
+        "ReidSEResNet": convert_reid_backbone_torch,
     }
     fn = table.get(name)
     if fn is None:
@@ -367,20 +368,22 @@ def convert_rtmdet_torch(sd_or_path, model, input_shape,
 
 
 def _generic_torch_key(path):
-    """Flax path -> torch key when module names mirror the torch ones
-    with '_<index>' spelling '.<index>' (``layer1_0`` -> ``layer1.0``,
-    recursively: ``fc_0`` -> ``fc.0``)."""
+    """Flax path -> torch key when module names mirror the torch ones:
+    '__' spells '.' within one name (``layer0__conv1`` ->
+    ``layer0.conv1``) and trailing '_<index>' segments expand to
+    '.<index>' recursively (``layer1_0`` -> ``layer1.0``)."""
     import re
     _, *mods, leaf = path
     comps = []
     for m in mods:
-        parts = [m]
-        while True:
-            idx = re.match(r"^(.*)_(\d+)$", parts[0])
-            if not idx:
-                break
-            parts = [idx.group(1), idx.group(2)] + parts[1:]
-        comps.extend(parts)
+        for part0 in m.split("__"):
+            parts = [part0]
+            while True:
+                idx = re.match(r"^(.*)_(\d+)$", parts[0])
+                if not idx:
+                    break
+                parts = [idx.group(1), idx.group(2)] + parts[1:]
+            comps.extend(parts)
     return ".".join(comps + [_LEAF_MAP[leaf]])
 
 

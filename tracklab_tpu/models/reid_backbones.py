@@ -658,3 +658,79 @@ class ReidMLFN(nn.Module):
         vx = proj(gap, "fc_x", self.embed_dim)
         vs = proj(s_hat, "fc_s", self.embed_dim)
         return ((vx + vs) * 0.5).reshape(x.shape[0], -1)
+
+
+# ---------------------------------------------------------------------------
+# SE-ResNet50 (torchreid senet.py; Caffe-style stride-on-conv1
+# bottlenecks, ceil-mode stem pool)
+# ---------------------------------------------------------------------------
+
+class _SEModule(nn.Module):
+    """gap -> fc1 -> relu -> fc2 -> sigmoid scale (senet.py:91-112;
+    biased 1x1 convs)."""
+    channels: int
+    reduction: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.relu(nn.Conv(self.channels // self.reduction, (1, 1),
+                            use_bias=True, dtype=self.dtype,
+                            name="fc1")(s))
+        s = jax.nn.sigmoid(nn.Conv(self.channels, (1, 1), use_bias=True,
+                                   dtype=self.dtype, name="fc2")(s))
+        return x * s
+
+
+class _SEResNetBottleneck(nn.Module):
+    """senet.py:175-205: stride on conv1 (Caffe layout), SE module on
+    the 4x output, residual add then relu."""
+    planes: int
+    stride: int = 1
+    reduction: int = 16
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = nn.relu(_conv_bn(x, self.planes, 1, self.stride,
+                               "conv1", "bn1", train, self.dtype))
+        out = nn.relu(_conv_bn(out, self.planes, 3, 1, "conv2", "bn2",
+                               train, self.dtype))
+        out = _conv_bn(out, 4 * self.planes, 1, 1, "conv3", "bn3",
+                       train, self.dtype)
+        res = x
+        if self.downsample:
+            res = _conv_bn(x, 4 * self.planes, 1, self.stride,
+                           "downsample_0", "downsample_1", train,
+                           self.dtype)
+        out = _SEModule(4 * self.planes, self.reduction,
+                        dtype=self.dtype, name="se_module")(out)
+        return nn.relu(out + res)
+
+
+class ReidSEResNet(nn.Module):
+    """torchreid se_resnet50 (senet.py:246-575, input_3x3=False,
+    last_stride=2); eval-mode forward returns the pooled feature."""
+    layers: tuple = (3, 4, 6, 3)
+    reduction: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = _conv_bn(x, 64, 7, 2, "layer0__conv1", "layer0__bn1",
+                     train, self.dtype)
+        x = _max_pool_ceil3(nn.relu(x))
+        in_ch = 64
+        for li, (w, n) in enumerate(zip((64, 128, 256, 512),
+                                        self.layers)):
+            stride = 1 if li == 0 else 2
+            for b in range(n):
+                s = stride if b == 0 else 1
+                down = b == 0 and (s != 1 or in_ch != 4 * w)
+                x = _SEResNetBottleneck(
+                    w, s, self.reduction, down, dtype=self.dtype,
+                    name=f"layer{li + 1}_{b}")(x, train)
+                in_ch = 4 * w
+        return jnp.mean(x, axis=(1, 2))

@@ -54,7 +54,8 @@ class OSNetReId(DetectionLevelModule):
         # (part-capable) or a torchreid global-feature backbone:
         # resnet18/34/50/101, resnet50_fc512, mobilenetv2_x1_0/x1_4,
         # osnet_ain_x1_0/x0_75/x0_5/x0_25, shufflenet_v2_x0_5..x2_0,
-        # resnet50_ibn_a, densenet121, squeezenet1_0, mlfn
+        # resnet50_ibn_a, densenet121, squeezenet1_0, mlfn,
+        # se_resnet50
         self.backbone = backbone
         if backbone != "osnet":
             use_parts = False
@@ -125,6 +126,11 @@ class OSNetReId(DetectionLevelModule):
             elif self.backbone == "mlfn":
                 from tracklab_tpu.models.reid_backbones import ReidMLFN
                 model = ReidMLFN()
+            elif self.backbone == "se_resnet50":
+                from tracklab_tpu.models.reid_backbones import (
+                    ReidSEResNet,
+                )
+                model = ReidSEResNet()
             else:
                 raise ValueError(f"Unknown reid backbone "
                                  f"{self.backbone!r}")

@@ -1460,3 +1460,32 @@ def test_se_resnet_activation_parity():
                                             (1, H, W, 3))
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_resnetmid_activation_parity():
+    import importlib
+
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import ReidResNetMid
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    trm = importlib.import_module("strong_sort.deep.models.resnetmid")
+
+    tm = trm.ResNetMid(num_classes=5, loss="softmax",
+                       block=trm.Bottleneck, layers=[1, 1, 1, 3],
+                       last_stride=2, fc_dims=[64])
+    tm.eval()
+    _randomize_module(tm, seed=79)
+
+    H, W = 128, 64
+    rng = np.random.default_rng(18)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    fm = ReidResNetMid(layers=(1, 1, 1, 3), fc_dim=64)
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

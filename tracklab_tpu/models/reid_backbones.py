@@ -734,3 +734,48 @@ class ReidSEResNet(nn.Module):
                     name=f"layer{li + 1}_{b}")(x, train)
                 in_ch = 4 * w
         return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# ResNet50-mid (torchreid resnetmid.py: mid-level feature fusion over
+# the three layer4 blocks)
+# ---------------------------------------------------------------------------
+
+class ReidResNetMid(nn.Module):
+    """resnet50mid (resnetmid.py:108-292): standard ResNet50 trunk;
+    the eval feature concatenates fc_fusion(gap(layer4[0]) ++
+    gap(layer4[1])) with gap(layer4[2]) -> 1024 + 2048 dims."""
+    layers: tuple = (3, 4, 6, 3)
+    fc_dim: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        in_ch = 64
+        mids = []
+        for li, (w, n) in enumerate(zip((64, 128, 256, 512),
+                                        self.layers)):
+            stride = 1 if li == 0 else 2
+            for b in range(n):
+                s = stride if b == 0 else 1
+                down = b == 0 and (s != 1 or in_ch != 4 * w)
+                x = Bottleneck(w, s, down, dtype=self.dtype,
+                               name=f"layer{li + 1}_{b}")(x, train)
+                in_ch = 4 * w
+                if li == 3:
+                    mids.append(x)
+        v4a, v4b, v4c = [jnp.mean(m, axis=(1, 2)) for m in mids]
+        v = jnp.concatenate([v4a, v4b], axis=-1)
+        v = nn.Dense(self.fc_dim, dtype=self.dtype,
+                     name="fc_fusion_0")(v)
+        v = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="fc_fusion_1")(v)
+        v = nn.relu(v)
+        return jnp.concatenate([v, v4c], axis=-1)

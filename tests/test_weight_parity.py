@@ -1489,3 +1489,30 @@ def test_resnetmid_activation_parity():
                                             (1, H, W, 3))
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_xception_activation_parity():
+    import importlib
+
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import ReidXception
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    txc = importlib.import_module("strong_sort.deep.models.xception")
+
+    tm = txc.Xception(num_classes=5, loss="softmax", fc_dims=None)
+    tm.eval()
+    _randomize_module(tm, seed=83)
+
+    H, W = 128, 64
+    rng = np.random.default_rng(19)
+    x = rng.normal(size=(1, H, W, 3)).astype(np.float32) * 0.2
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    fm = ReidXception()
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -74,6 +74,7 @@ def _torch_converter_for(model):
         "ReidMLFN": convert_reid_backbone_torch,
         "ReidSEResNet": convert_reid_backbone_torch,
         "ReidResNetMid": convert_reid_backbone_torch,
+        "ReidXception": convert_reid_backbone_torch,
     }
     fn = table.get(name)
     if fn is None:

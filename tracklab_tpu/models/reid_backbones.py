@@ -779,3 +779,108 @@ class ReidResNetMid(nn.Module):
                          name="fc_fusion_1")(v)
         v = nn.relu(v)
         return jnp.concatenate([v, v4c], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Xception (torchreid xception.py; separable-conv blocks with the
+# torch Sequential indices — interleaved parameterless relus included)
+# ---------------------------------------------------------------------------
+
+class _XSepConv(nn.Module):
+    """SeparableConv2d (xception.py:26-58): depthwise 'conv1' +
+    'pointwise', both unbiased."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    pad: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        x = nn.Conv(c, (self.kernel, self.kernel), strides=self.stride,
+                    padding=[(self.pad, self.pad)] * 2,
+                    feature_group_count=c, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        return nn.Conv(self.features, (1, 1), use_bias=False,
+                       dtype=self.dtype, name="pointwise")(x)
+
+
+class _XBlock(nn.Module):
+    """xception.py Block: relu/sepconv/bn chain + optional strided
+    maxpool, with a 1x1-projected skip when shape changes. ``plan``
+    lists (sequential_index_of_sepconv, out_features) pairs so the
+    flax names match the torch Sequential indices exactly."""
+    out: int
+    plan: tuple              # ((idx, feats), ...) sepconv positions
+    first_relu: bool = True
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inp = x
+        first = True
+        for idx, feats in self.plan:
+            if not (first and not self.first_relu):
+                x = nn.relu(x)
+            first = False
+            x = _XSepConv(feats, dtype=self.dtype,
+                          name=f"rep_{idx}")(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-5,
+                             dtype=jnp.float32,
+                             name=f"rep_{idx + 1}")(x)
+        if self.stride != 1:
+            x = nn.max_pool(x, (3, 3), strides=(self.stride,) * 2,
+                            padding=[(1, 1)] * 2)
+        if inp.shape[-1] != self.out or self.stride != 1:
+            skip = nn.Conv(self.out, (1, 1), strides=self.stride,
+                           use_bias=False, dtype=self.dtype,
+                           name="skip")(inp)
+            skip = nn.BatchNorm(use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5,
+                                dtype=jnp.float32, name="skipbn")(skip)
+        else:
+            skip = inp
+        return x + skip
+
+
+class ReidXception(nn.Module):
+    """torchreid Xception (xception.py:145-330); eval-mode forward
+    returns the pooled 2048-dim feature. Stem convs are unpadded
+    (torch padding=0)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(y, name):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5,
+                                dtype=jnp.float32, name=name)(y)
+
+        x = nn.relu(bn(nn.Conv(32, (3, 3), strides=2, padding="VALID",
+                               use_bias=False, dtype=self.dtype,
+                               name="conv1")(x), "bn1"))
+        x = nn.relu(bn(nn.Conv(64, (3, 3), padding="VALID",
+                               use_bias=False, dtype=self.dtype,
+                               name="conv2")(x), "bn2"))
+        # entry flow
+        x = _XBlock(128, ((0, 128), (3, 128)), first_relu=False,
+                    stride=2, dtype=self.dtype, name="block1")(x, train)
+        x = _XBlock(256, ((1, 256), (4, 256)), stride=2,
+                    dtype=self.dtype, name="block2")(x, train)
+        x = _XBlock(728, ((1, 728), (4, 728)), stride=2,
+                    dtype=self.dtype, name="block3")(x, train)
+        # middle flow
+        for i in range(4, 12):
+            x = _XBlock(728, ((1, 728), (4, 728), (7, 728)),
+                        dtype=self.dtype, name=f"block{i}")(x, train)
+        # exit flow
+        x = _XBlock(1024, ((1, 728), (4, 1024)), stride=2,
+                    dtype=self.dtype, name="block12")(x, train)
+        x = nn.relu(bn(_XSepConv(1536, dtype=self.dtype,
+                                 name="conv3")(x), "bn3"))
+        x = nn.relu(bn(_XSepConv(2048, dtype=self.dtype,
+                                 name="conv4")(x), "bn4"))
+        return jnp.mean(x, axis=(1, 2))

@@ -55,7 +55,7 @@ class OSNetReId(DetectionLevelModule):
         # resnet18/34/50/101, resnet50_fc512, mobilenetv2_x1_0/x1_4,
         # osnet_ain_x1_0/x0_75/x0_5/x0_25, shufflenet_v2_x0_5..x2_0,
         # resnet50_ibn_a, densenet121, squeezenet1_0, mlfn,
-        # se_resnet50, resnet50mid
+        # se_resnet50, resnet50mid, xception
         self.backbone = backbone
         if backbone != "osnet":
             use_parts = False
@@ -136,6 +136,11 @@ class OSNetReId(DetectionLevelModule):
                     ReidResNetMid,
                 )
                 model = ReidResNetMid()
+            elif self.backbone == "xception":
+                from tracklab_tpu.models.reid_backbones import (
+                    ReidXception,
+                )
+                model = ReidXception()
             else:
                 raise ValueError(f"Unknown reid backbone "
                                  f"{self.backbone!r}")

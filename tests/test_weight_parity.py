@@ -1516,3 +1516,37 @@ def test_xception_activation_parity():
                                             (1, H, W, 3))
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_hacnn_activation_parity():
+    import importlib
+
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import ReidHACNN
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    thc = importlib.import_module("strong_sort.deep.models.hacnn")
+
+    tm = thc.HACNN(num_classes=5, loss="softmax", use_gpu=False)
+    tm.eval()
+    _randomize_module(tm, seed=89)
+    # keep the STN translations in a sane range after randomization:
+    # re-zero the hard-attn fc weights like the reference init
+    with torch.no_grad():
+        for ha in (tm.ha1, tm.ha2, tm.ha3):
+            ha.hard_attn.fc.weight.normal_(0, 0.001)
+            ha.hard_attn.fc.bias.copy_(torch.tensor(
+                [0, -0.75, 0, -0.25, 0, 0.25, 0, 0.75]))
+
+    H, W = 160, 64
+    rng = np.random.default_rng(20)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    fm = ReidHACNN()
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)

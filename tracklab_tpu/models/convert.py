@@ -75,6 +75,7 @@ def _torch_converter_for(model):
         "ReidSEResNet": convert_reid_backbone_torch,
         "ReidResNetMid": convert_reid_backbone_torch,
         "ReidXception": convert_reid_backbone_torch,
+        "ReidHACNN": convert_reid_backbone_torch,
     }
     fn = table.get(name)
     if fn is None:
@@ -400,7 +401,9 @@ def convert_reid_backbone_torch(sd_or_path, model, input_shape,
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
     return convert_by_name(sd, model, input_shape, _generic_torch_key,
-                           expected_unused=("classifier.",))
+                           expected_unused=("classifier.",
+                                            "classifier_global.",
+                                            "classifier_local."))
 
 
 def _rtdetr_hf_torch_key(path):

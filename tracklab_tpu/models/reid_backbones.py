@@ -884,3 +884,210 @@ class ReidXception(nn.Module):
         x = nn.relu(bn(_XSepConv(2048, dtype=self.dtype,
                                  name="conv4")(x), "bn4"))
         return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# HACNN (torchreid hacnn.py: harmonious attention — soft spatial x
+# channel attention on the global branch, hard-attention STN crops on
+# the local branch). Input is fixed at 160x64 as upstream.
+# ---------------------------------------------------------------------------
+
+class _HConv(nn.Module):
+    """ConvBlock (hacnn.py:9-29): biased conv + bn + relu."""
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    pad: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=self.stride,
+                    padding=[(self.pad, self.pad)] * 2, use_bias=True,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+        return nn.relu(x)
+
+
+class _HInceptionA(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        m = self.features // 4
+        outs = []
+        for s in (1, 2, 3):
+            y = _HConv(m, 1, dtype=self.dtype,
+                       name=f"stream{s}_0")(x, train)
+            y = _HConv(m, 3, pad=1, dtype=self.dtype,
+                       name=f"stream{s}_1")(y, train)
+            outs.append(y)
+        y = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1)] * 2)
+        outs.append(_HConv(m, 1, dtype=self.dtype,
+                           name="stream4_1")(y, train))
+        return jnp.concatenate(outs, axis=-1)
+
+
+class _HInceptionB(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        m = self.features // 4
+        y1 = _HConv(m, 1, dtype=self.dtype, name="stream1_0")(x, train)
+        y1 = _HConv(m, 3, 2, 1, dtype=self.dtype,
+                    name="stream1_1")(y1, train)
+        y2 = _HConv(m, 1, dtype=self.dtype, name="stream2_0")(x, train)
+        y2 = _HConv(m, 3, 1, 1, dtype=self.dtype,
+                    name="stream2_1")(y2, train)
+        y2 = _HConv(m, 3, 2, 1, dtype=self.dtype,
+                    name="stream2_2")(y2, train)
+        y3 = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        y3 = _HConv(2 * m, 1, dtype=self.dtype,
+                    name="stream3_1")(y3, train)
+        return jnp.concatenate([y1, y2, y3], axis=-1)
+
+
+def _resize_bilinear_ac(x, oh, ow):
+    """F.upsample(mode='bilinear', align_corners=True)."""
+    b, h, w, c = x.shape
+    ys = jnp.linspace(0.0, h - 1.0, oh)
+    xs = jnp.linspace(0.0, w - 1.0, ow)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+
+    def g(yi, xi):
+        return x[:, yi][:, :, xi]
+
+    return (g(y0, x0) * (1 - wy) * (1 - wx) + g(y0, x1) * (1 - wy) * wx
+            + g(y1, x0) * wy * (1 - wx) + g(y1, x1) * wy * wx)
+
+
+def _stn_scale_y(x, theta):
+    """HACNN's STN (hacnn.py:289-306): theta rows [[1,0,tx],[0,.25,ty]]
+    applied through affine_grid + grid_sample with the torch DEFAULT
+    align_corners=False; samples the same-size output."""
+    from tracklab_tpu.models.rtdetr_hf import _grid_sample_bilinear
+
+    b, h, w, c = x.shape
+    xn = (2.0 * jnp.arange(w) + 1.0) / w - 1.0
+    yn = (2.0 * jnp.arange(h) + 1.0) / h - 1.0
+    gx = jnp.broadcast_to(xn[None, :], (h, w))
+    gy = jnp.broadcast_to(yn[:, None], (h, w))
+    tx = theta[:, 0][:, None, None]
+    ty = theta[:, 1][:, None, None]
+    grid = jnp.stack([gx[None] * 1.0 + tx, gy[None] * 0.25 + ty],
+                     axis=-1)                       # (B, H, W, 2)
+    return jax.vmap(_grid_sample_bilinear)(x.astype(jnp.float32), grid)
+
+
+class _HSoftAttn(nn.Module):
+    """spatial x channel attention -> sigmoid(conv) (hacnn.py:91-153)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = jnp.mean(x, axis=-1, keepdims=True)
+        s = _HConv(1, 3, 2, 1, dtype=self.dtype,
+                   name="spatial_attn__conv1")(s, train)
+        s = _resize_bilinear_ac(s, s.shape[1] * 2, s.shape[2] * 2)
+        s = _HConv(1, 1, dtype=self.dtype,
+                   name="spatial_attn__conv2")(s, train)
+        ch = jnp.mean(x, axis=(1, 2), keepdims=True)
+        ch = _HConv(self.features // 16, 1, dtype=self.dtype,
+                    name="channel_attn__conv1")(ch, train)
+        ch = _HConv(self.features, 1, dtype=self.dtype,
+                    name="channel_attn__conv2")(ch, train)
+        y = s * ch
+        y = _HConv(self.features, 1, dtype=self.dtype,
+                   name="conv")(y, train)
+        # _HConv applies relu; the reference sigmoids the conv+bn+relu
+        return jax.nn.sigmoid(y)
+
+
+class ReidHACNN(nn.Module):
+    """torchreid HACNN (hacnn.py:193-414); eval-mode forward returns
+    the concatenated l2-normalized global + local features (2 *
+    feat_dim). Input must be (B, 160, 64, 3)."""
+    nchannels: tuple = (128, 256, 384)
+    feat_dim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nc = self.nchannels
+
+        def harm(xg, idx, feats):
+            attn = _HSoftAttn(feats, dtype=self.dtype,
+                              name=f"ha{idx}__soft_attn")(xg, train)
+            pooled = jnp.mean(xg, axis=(1, 2))
+            theta = jnp.tanh(nn.Dense(8, dtype=self.dtype,
+                                      name=f"ha{idx}__hard_attn__fc")(
+                pooled)).reshape(-1, 4, 2)
+            return attn, theta
+
+        def fc_head(v, name):
+            v = nn.Dense(self.feat_dim, dtype=self.dtype,
+                         name=f"{name}_0")(v)
+            v = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-5,
+                             dtype=jnp.float32, name=f"{name}_1")(v)
+            return nn.relu(v)
+
+        x = _HConv(32, 3, 2, 1, dtype=self.dtype, name="conv")(x, train)
+
+        x1 = _HInceptionA(nc[0], dtype=self.dtype,
+                          name="inception1_0")(x, train)
+        x1 = _HInceptionB(nc[0], dtype=self.dtype,
+                          name="inception1_1")(x1, train)
+        a1, t1 = harm(x1, 1, nc[0])
+        x1_out = x1 * a1
+        lc1 = _HInceptionB(nc[0], dtype=self.dtype, name="local_conv1")
+        locals1 = []
+        for r in range(4):
+            xt = _stn_scale_y(x, t1[:, r])
+            xt = _resize_bilinear_ac(xt, 24, 28)
+            locals1.append(lc1(xt, train))
+
+        x2 = _HInceptionA(nc[1], dtype=self.dtype,
+                          name="inception2_0")(x1_out, train)
+        x2 = _HInceptionB(nc[1], dtype=self.dtype,
+                          name="inception2_1")(x2, train)
+        a2, t2 = harm(x2, 2, nc[1])
+        x2_out = x2 * a2
+        lc2 = _HInceptionB(nc[1], dtype=self.dtype, name="local_conv2")
+        locals2 = []
+        for r in range(4):
+            xt = _stn_scale_y(x1_out, t2[:, r])
+            xt = _resize_bilinear_ac(xt, 12, 14)
+            locals2.append(lc2(xt + locals1[r], train))
+
+        x3 = _HInceptionA(nc[2], dtype=self.dtype,
+                          name="inception3_0")(x2_out, train)
+        x3 = _HInceptionB(nc[2], dtype=self.dtype,
+                          name="inception3_1")(x3, train)
+        a3, t3 = harm(x3, 3, nc[2])
+        x3_out = x3 * a3
+        lc3 = _HInceptionB(nc[2], dtype=self.dtype, name="local_conv3")
+        locals3 = []
+        for r in range(4):
+            xt = _stn_scale_y(x2_out, t3[:, r])
+            xt = _resize_bilinear_ac(xt, 6, 7)
+            locals3.append(lc3(xt + locals2[r], train))
+
+        vg = fc_head(jnp.mean(x3_out, axis=(1, 2)), "fc_global")
+        vl = fc_head(jnp.concatenate(
+            [jnp.mean(l, axis=(1, 2)) for l in locals3], axis=-1),
+            "fc_local")
+        vg = vg / jnp.linalg.norm(vg, axis=1, keepdims=True)
+        vl = vl / jnp.linalg.norm(vl, axis=1, keepdims=True)
+        return jnp.concatenate([vg, vl], axis=-1)

@@ -55,7 +55,7 @@ class OSNetReId(DetectionLevelModule):
         # resnet18/34/50/101, resnet50_fc512, mobilenetv2_x1_0/x1_4,
         # osnet_ain_x1_0/x0_75/x0_5/x0_25, shufflenet_v2_x0_5..x2_0,
         # resnet50_ibn_a, densenet121, squeezenet1_0, mlfn,
-        # se_resnet50, resnet50mid, xception
+        # se_resnet50, resnet50mid, xception, hacnn (crop 160x64)
         self.backbone = backbone
         if backbone != "osnet":
             use_parts = False
@@ -141,6 +141,15 @@ class OSNetReId(DetectionLevelModule):
                     ReidXception,
                 )
                 model = ReidXception()
+            elif self.backbone == "hacnn":
+                from tracklab_tpu.models.reid_backbones import (
+                    ReidHACNN,
+                )
+                if (self.crop_h, self.crop_w) != (160, 64):
+                    raise ValueError(
+                        "HACNN requires crop_size=(160, 64) "
+                        "(fixed upstream input)")
+                model = ReidHACNN()
             else:
                 raise ValueError(f"Unknown reid backbone "
                                  f"{self.backbone!r}")

@@ -1550,3 +1550,36 @@ def test_hacnn_activation_parity():
                                             (1, H, W, 3))
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_pcb_activation_parity():
+    import importlib
+
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import ReidPCB
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    tpc = importlib.import_module("strong_sort.deep.models.pcb")
+
+    tm = tpc.PCB(num_classes=5, loss="softmax", block=tpc.Bottleneck,
+                 layers=[1, 1, 1, 1], parts=6, reduced_dim=32)
+    tm.eval()
+    _randomize_module(tm, seed=97)
+
+    H, W = 140, 64   # H/16 = 8.75 bins: exercises adaptive pooling
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        # the vendored eval forward crashes on .view of the normalized
+        # non-contiguous tensor (pcb.py:246) — drive its own sub-calls
+        f = tm.featuremaps(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        v = tm.parts_avgpool(f)
+        v = torch.nn.functional.normalize(v, p=2, dim=1)
+        want = v.reshape(v.size(0), -1).numpy()
+
+    fm = ReidPCB(layers=(1, 1, 1, 1), parts=6)
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -76,6 +76,7 @@ def _torch_converter_for(model):
         "ReidResNetMid": convert_reid_backbone_torch,
         "ReidXception": convert_reid_backbone_torch,
         "ReidHACNN": convert_reid_backbone_torch,
+        "ReidPCB": convert_reid_backbone_torch,
     }
     fn = table.get(name)
     if fn is None:
@@ -403,7 +404,11 @@ def convert_reid_backbone_torch(sd_or_path, model, input_shape,
     return convert_by_name(sd, model, input_shape, _generic_torch_key,
                            expected_unused=("classifier.",
                                             "classifier_global.",
-                                            "classifier_local."))
+                                            "classifier_local.",
+                                            # PCB training-only head
+                                            # (eval returns pre-conv5
+                                            # part features, pcb.py:243)
+                                            "conv5."))
 
 
 def _rtdetr_hf_torch_key(path):

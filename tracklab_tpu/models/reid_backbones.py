@@ -1091,3 +1091,53 @@ class ReidHACNN(nn.Module):
         vg = vg / jnp.linalg.norm(vg, axis=1, keepdims=True)
         vl = vl / jnp.linalg.norm(vl, axis=1, keepdims=True)
         return jnp.concatenate([vg, vl], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# PCB (torchreid pcb.py: part-based convolutional baseline — ResNet50
+# trunk at last_stride=1, horizontal part pooling)
+# ---------------------------------------------------------------------------
+
+def _adaptive_avg_pool_rows(x, parts):
+    """AdaptiveAvgPool2d((parts, 1)) over NHWC: torch bins row i over
+    [floor(i*H/p), ceil((i+1)*H/p)); width pools fully."""
+    b, h, w, c = x.shape
+    cols = jnp.mean(x, axis=2)          # (B, H, C)
+    outs = []
+    for i in range(parts):
+        lo = (i * h) // parts
+        hi = -(-((i + 1) * h) // parts)
+        outs.append(jnp.mean(cols[:, lo:hi], axis=1))
+    return jnp.stack(outs, axis=1)      # (B, parts, C)
+
+
+class ReidPCB(nn.Module):
+    """torchreid pcb_p6/pcb_p4 (pcb.py:131-282). Eval-mode forward:
+    per-part l2-normalized 2048-dim features flattened channel-major
+    (torch (B, C, parts) order) -> (B, 2048 * parts)."""
+    layers: tuple = (3, 4, 6, 3)
+    parts: int = 6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        in_ch = 64
+        strides = (1, 2, 2, 1)          # last_stride=1 (pcb.py:166)
+        for li, (w, n) in enumerate(zip((64, 128, 256, 512),
+                                        self.layers)):
+            for b in range(n):
+                s = strides[li] if b == 0 else 1
+                down = b == 0 and (s != 1 or in_ch != 4 * w)
+                x = Bottleneck(w, s, down, dtype=self.dtype,
+                               name=f"layer{li + 1}_{b}")(x, train)
+                in_ch = 4 * w
+        v = _adaptive_avg_pool_rows(x, self.parts)   # (B, parts, C)
+        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        # torch flattens (B, C, parts, 1) channel-major
+        return jnp.swapaxes(v, 1, 2).reshape(x.shape[0], -1)

@@ -55,7 +55,8 @@ class OSNetReId(DetectionLevelModule):
         # resnet18/34/50/101, resnet50_fc512, mobilenetv2_x1_0/x1_4,
         # osnet_ain_x1_0/x0_75/x0_5/x0_25, shufflenet_v2_x0_5..x2_0,
         # resnet50_ibn_a, densenet121, squeezenet1_0, mlfn,
-        # se_resnet50, resnet50mid, xception, hacnn (crop 160x64)
+        # se_resnet50, resnet50mid, xception, hacnn (crop 160x64),
+        # pcb_p6/pcb_p4
         self.backbone = backbone
         if backbone != "osnet":
             use_parts = False
@@ -141,6 +142,10 @@ class OSNetReId(DetectionLevelModule):
                     ReidXception,
                 )
                 model = ReidXception()
+            elif self.backbone in ("pcb_p6", "pcb_p4"):
+                from tracklab_tpu.models.reid_backbones import ReidPCB
+                model = ReidPCB(parts=6 if self.backbone == "pcb_p6"
+                                else 4)
             elif self.backbone == "hacnn":
                 from tracklab_tpu.models.reid_backbones import (
                     ReidHACNN,

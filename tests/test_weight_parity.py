@@ -1583,3 +1583,33 @@ def test_pcb_activation_parity():
                                             (1, H, W, 3))
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_mudeep_activation_parity():
+    import importlib
+
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import ReidMuDeep
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    tmd = importlib.import_module("strong_sort.deep.models.mudeep")
+
+    tm = tmd.MuDeep(num_classes=5, loss="softmax")
+    tm.eval()
+    _randomize_module(tm, seed=101)
+
+    H, W = 256, 128
+    rng = np.random.default_rng(22)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32) * 0.2
+    with torch.no_grad():
+        # the vendored forward crashes on .view of the (non-contiguous)
+        # expand_as product (mudeep.py:194) — drive its sub-calls
+        f = tm.featuremaps(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        want = tm.fc(f.reshape(f.size(0), -1)).numpy()
+
+    fm = ReidMuDeep()
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)

@@ -77,6 +77,7 @@ def _torch_converter_for(model):
         "ReidXception": convert_reid_backbone_torch,
         "ReidHACNN": convert_reid_backbone_torch,
         "ReidPCB": convert_reid_backbone_torch,
+        "ReidMuDeep": convert_reid_backbone_torch,
     }
     fn = table.get(name)
     if fn is None:
@@ -159,6 +160,10 @@ def _relayout(torch_arr, flax_leaf, torch_key):
     elif flax_leaf.ndim == 2 and t.ndim == 2:
         t = t.T  # Dense (out,in) -> (in,out)
     elif flax_leaf.ndim == 4 and t.ndim == 1:
+        t = t.reshape(flax_leaf.shape)
+    elif flax_leaf.ndim == 1 and t.size == flax_leaf.size:
+        # raw broadcast-shaped torch parameters (e.g. (1, C, 1, 1)
+        # saliency weights) flatten into 1-D flax params
         t = t.reshape(flax_leaf.shape)
     if t.shape != flax_leaf.shape:
         raise ValueError(
@@ -388,7 +393,13 @@ def _generic_torch_key(path):
                     break
                 parts = [idx.group(1), idx.group(2)] + parts[1:]
             comps.extend(parts)
-    return ".".join(comps + [_LEAF_MAP[leaf]])
+    if leaf in _LEAF_MAP:
+        comps.append(_LEAF_MAP[leaf])
+    else:
+        # raw flax params (self.param leaves) carry their own torch
+        # path inside the leaf name ('block5__a1' -> 'block5.a1')
+        comps.extend(leaf.split("__"))
+    return ".".join(comps)
 
 
 def convert_reid_backbone_torch(sd_or_path, model, input_shape,

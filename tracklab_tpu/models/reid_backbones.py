@@ -1141,3 +1141,82 @@ class ReidPCB(nn.Module):
         v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
         # torch flattens (B, C, parts, 1) channel-major
         return jnp.swapaxes(v, 1, 2).reshape(x.shape[0], -1)
+
+
+# ---------------------------------------------------------------------------
+# MuDeep (torchreid mudeep.py: multi-scale streams + saliency fusion;
+# fixed 256x128 input)
+# ---------------------------------------------------------------------------
+
+class ReidMuDeep(nn.Module):
+    """torchreid MuDeep (mudeep.py): conv stem, multi-scale block A,
+    reduction, multi-scale block B, saliency-weighted fusion, 4096-dim
+    fc feature. Input must be (B, 256, 128, 3)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+
+        def cb(y, feats, k, s, p, name):
+            kh, kw = (k, k) if isinstance(k, int) else k
+            ph, pw = (p, p) if isinstance(p, int) else p
+            y = nn.Conv(feats, (kh, kw), strides=s,
+                        padding=[(ph, ph), (pw, pw)], use_bias=True,
+                        dtype=dt, name=f"{name}__conv")(y)
+            y = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-5,
+                             dtype=jnp.float32, name=f"{name}__bn")(y)
+            return nn.relu(y)
+
+        # block1: stem
+        x = cb(x, 48, 3, 1, 1, "block1__conv1")
+        x = cb(x, 96, 3, 1, 1, "block1__conv2")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        # block2: MultiScaleA
+        s1 = cb(cb(x, 96, 1, 1, 0, "block2__stream1_0"), 24, 3, 1, 1,
+                "block2__stream1_1")
+        s2 = cb(nn.avg_pool(x, (3, 3), strides=(1, 1),
+                            padding=[(1, 1)] * 2),
+                24, 1, 1, 0, "block2__stream2_1")
+        s3 = cb(x, 24, 1, 1, 0, "block2__stream3")
+        s4 = cb(cb(cb(x, 16, 1, 1, 0, "block2__stream4_0"),
+                   24, 3, 1, 1, "block2__stream4_1"),
+                24, 3, 1, 1, "block2__stream4_2")
+        x = jnp.concatenate([s1, s2, s3, s4], axis=-1)
+        # block3: Reduction
+        r1 = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        r2 = cb(x, 96, 3, 2, 1, "block3__stream2")
+        r3 = cb(cb(cb(x, 48, 1, 1, 0, "block3__stream3_0"),
+                   56, 3, 1, 1, "block3__stream3_1"),
+                64, 3, 2, 1, "block3__stream3_2")
+        x = jnp.concatenate([r1, r2, r3], axis=-1)
+        # block4: MultiScaleB
+        b1 = cb(nn.avg_pool(x, (3, 3), strides=(1, 1),
+                            padding=[(1, 1)] * 2),
+                256, 1, 1, 0, "block4__stream1_1")
+        b2 = cb(cb(cb(x, 64, 1, 1, 0, "block4__stream2_0"),
+                   128, (1, 3), 1, (0, 1), "block4__stream2_1"),
+                256, (3, 1), 1, (1, 0), "block4__stream2_2")
+        b3 = cb(x, 256, 1, 1, 0, "block4__stream3")
+        b4 = cb(cb(cb(cb(cb(x, 64, 1, 1, 0, "block4__stream4_0"),
+                         64, (1, 3), 1, (0, 1), "block4__stream4_1"),
+                      128, (3, 1), 1, (1, 0), "block4__stream4_2"),
+                   128, (1, 3), 1, (0, 1), "block4__stream4_3"),
+                256, (3, 1), 1, (1, 0), "block4__stream4_4")
+        # block5: saliency fusion (raw (1,C,1,1) torch params -> 1-D)
+        a = [self.param(f"block5__a{i}", nn.initializers.uniform(1.0),
+                        (256,)) for i in (1, 2, 3, 4)]
+        y = (a[0][None, None, None, :] * b1
+             + a[1][None, None, None, :] * b2
+             + a[2][None, None, None, :] * b3
+             + a[3][None, None, None, :] * b4)
+        y = nn.avg_pool(y, (4, 4), strides=(4, 4))
+        # torch flattens NCHW channel-major
+        B = y.shape[0]
+        v = y.transpose(0, 3, 1, 2).reshape(B, -1)
+        v = nn.Dense(4096, dtype=dt, name="fc_0")(v)
+        v = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="fc_1")(v)
+        return nn.relu(v)

@@ -56,7 +56,7 @@ class OSNetReId(DetectionLevelModule):
         # osnet_ain_x1_0/x0_75/x0_5/x0_25, shufflenet_v2_x0_5..x2_0,
         # resnet50_ibn_a, densenet121, squeezenet1_0, mlfn,
         # se_resnet50, resnet50mid, xception, hacnn (crop 160x64),
-        # pcb_p6/pcb_p4
+        # pcb_p6/pcb_p4, mudeep (crop 256x128)
         self.backbone = backbone
         if backbone != "osnet":
             use_parts = False
@@ -142,6 +142,14 @@ class OSNetReId(DetectionLevelModule):
                     ReidXception,
                 )
                 model = ReidXception()
+            elif self.backbone == "mudeep":
+                from tracklab_tpu.models.reid_backbones import (
+                    ReidMuDeep,
+                )
+                if (self.crop_h, self.crop_w) != (256, 128):
+                    raise ValueError(
+                        "MuDeep requires crop_size=(256, 128)")
+                model = ReidMuDeep()
             elif self.backbone in ("pcb_p6", "pcb_p4"):
                 from tracklab_tpu.models.reid_backbones import ReidPCB
                 model = ReidPCB(parts=6 if self.backbone == "pcb_p6"

@@ -1613,3 +1613,32 @@ def test_mudeep_activation_parity():
                                             (1, H, W, 3))
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_resnet_ibn_b_activation_parity():
+    import importlib
+
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import ReidResNetIBNb
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    tib = importlib.import_module(
+        "strong_sort.deep.models.resnet_ibn_b")
+
+    tm = tib.ResNet(block=tib.Bottleneck, layers=[2, 2, 2, 2],
+                    num_classes=5, loss="softmax")
+    tm.eval()
+    _randomize_module(tm, seed=103)
+
+    H, W = 128, 64
+    rng = np.random.default_rng(23)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    fm = ReidResNetIBNb(layers=(2, 2, 2, 2))
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

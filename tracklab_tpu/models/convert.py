@@ -78,6 +78,7 @@ def _torch_converter_for(model):
         "ReidHACNN": convert_reid_backbone_torch,
         "ReidPCB": convert_reid_backbone_torch,
         "ReidMuDeep": convert_reid_backbone_torch,
+        "ReidResNetIBNb": convert_reid_backbone_torch,
     }
     fn = table.get(name)
     if fn is None:

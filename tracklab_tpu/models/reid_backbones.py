@@ -1220,3 +1220,67 @@ class ReidMuDeep(nn.Module):
                          epsilon=1e-5, dtype=jnp.float32,
                          name="fc_1")(v)
         return nn.relu(v)
+
+
+# ---------------------------------------------------------------------------
+# ResNet50-IBN-b (torchreid resnet_ibn_b.py: InstanceNorm stem norm,
+# post-residual IN in the LAST block of layers 1 and 2)
+# ---------------------------------------------------------------------------
+
+class _BottleneckIBNb(nn.Module):
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    post_in: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        idt = x
+        y = nn.relu(_conv_bn(x, self.features, 1, 1, "conv1", "bn1",
+                             train, self.dtype))
+        y = nn.relu(_conv_bn(y, self.features, 3, self.stride,
+                             "conv2", "bn2", train, self.dtype))
+        y = _conv_bn(y, 4 * self.features, 1, 1, "conv3", "bn3", train,
+                     self.dtype)
+        if self.downsample:
+            idt = _conv_bn(x, 4 * self.features, 1, self.stride,
+                           "downsample_0", "downsample_1", train,
+                           self.dtype)
+        y = y + idt
+        if self.post_in:
+            y = nn.GroupNorm(num_groups=4 * self.features,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             name="IN")(y)
+        return nn.relu(y)
+
+
+class ReidResNetIBNb(nn.Module):
+    """resnet50_ibn_b (resnet_ibn_b.py:114-290); eval-mode forward
+    returns the pooled feature."""
+    layers: tuple = (3, 4, 6, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        # the stem norm is INSTANCE norm (resnet_ibn_b.py:143)
+        x = nn.GroupNorm(num_groups=64, epsilon=1e-5,
+                         dtype=jnp.float32, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        in_ch = 64
+        for li, (w, n) in enumerate(zip((64, 128, 256, 512),
+                                        self.layers)):
+            stride = 1 if li == 0 else 2
+            layer_in = li < 2
+            for b in range(n):
+                s = stride if b == 0 else 1
+                down = b == 0 and (s != 1 or in_ch != 4 * w)
+                x = _BottleneckIBNb(
+                    w, s, down, post_in=layer_in and b == n - 1,
+                    dtype=self.dtype,
+                    name=f"layer{li + 1}_{b}")(x, train)
+                in_ch = 4 * w
+        return jnp.mean(x, axis=(1, 2))

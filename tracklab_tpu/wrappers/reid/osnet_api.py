@@ -114,6 +114,11 @@ class OSNetReId(DetectionLevelModule):
                     ReidResNetIBN,
                 )
                 model = ReidResNetIBN()
+            elif self.backbone == "resnet50_ibn_b":
+                from tracklab_tpu.models.reid_backbones import (
+                    ReidResNetIBNb,
+                )
+                model = ReidResNetIBNb()
             elif self.backbone == "densenet121":
                 from tracklab_tpu.models.reid_backbones import (
                     ReidDenseNet,

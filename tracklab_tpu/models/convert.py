@@ -79,6 +79,7 @@ def _torch_converter_for(model):
         "ReidPCB": convert_reid_backbone_torch,
         "ReidMuDeep": convert_reid_backbone_torch,
         "ReidResNetIBNb": convert_reid_backbone_torch,
+        "ReidInceptionV4": convert_reid_backbone_torch,
     }
     fn = table.get(name)
     if fn is None:
@@ -403,6 +404,13 @@ def _generic_torch_key(path):
     return ".".join(comps)
 
 
+def _inception_torch_key(path):
+    """InceptionV4: generic mapping, with 'q' restoring the literal
+    underscores in Inception_C's attribute names (branch1_0 etc. are
+    torch ATTRIBUTES, not Sequential indices)."""
+    return _generic_torch_key(path).replace("q", "_")
+
+
 def convert_reid_backbone_torch(sd_or_path, model, input_shape,
                                 allow_pickle=False):
     """Convert a torchreid ResNet / MobileNetV2 checkpoint into the
@@ -413,7 +421,10 @@ def convert_reid_backbone_torch(sd_or_path, model, input_shape,
           else _torch_state_dict(sd_or_path, allow_pickle=allow_pickle))
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
-    return convert_by_name(sd, model, input_shape, _generic_torch_key,
+    key_fn = (_inception_torch_key
+              if type(model).__name__ == "ReidInceptionV4"
+              else _generic_torch_key)
+    return convert_by_name(sd, model, input_shape, key_fn,
                            expected_unused=("classifier.",
                                             "classifier_global.",
                                             "classifier_local.",

@@ -1284,3 +1284,145 @@ class ReidResNetIBNb(nn.Module):
                     name=f"layer{li + 1}_{b}")(x, train)
                 in_ch = 4 * w
         return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Inception-v4 (torchreid inceptionv4.py; VALID stem/reduction convs,
+# count_include_pad=False avg pools, asymmetric 1x7/7x1 factorizations)
+# ---------------------------------------------------------------------------
+
+class _IConv(nn.Module):
+    """BasicConv2d: conv(no bias) + bn(eps 1e-3) + relu."""
+    features: int
+    kernel: tuple = (3, 3)
+    stride: int = 1
+    pad: tuple = (0, 0)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kh, kw = self.kernel
+        ph, pw = self.pad
+        x = nn.Conv(self.features, (kh, kw), strides=self.stride,
+                    padding=[(ph, ph), (pw, pw)], use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=jnp.float32, name="bn")(x)
+        return nn.relu(x)
+
+
+def _avgp3(x):
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1)] * 2,
+                       count_include_pad=False)
+
+
+def _maxp3v(x):
+    return nn.max_pool(x, (3, 3), strides=(2, 2))   # VALID
+
+
+class ReidInceptionV4(nn.Module):
+    """torchreid InceptionV4 (inceptionv4.py:37-360); eval-mode forward
+    returns the pooled 1536-dim feature. Flax names mirror the torch
+    keys; Inception_C's literal-underscore attributes (branch1_0 etc.)
+    are spelled with 'q' and restored by the dedicated key fn
+    (models/convert.py:_inception_torch_key)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+
+        def C(feats, k=(3, 3), s=1, p=(0, 0), name=""):
+            return _IConv(feats, k, s, p, dtype=dt, name=name)
+
+        f = "features"
+        x = C(32, s=2, name=f + "_0")(x, train)
+        x = C(32, name=f + "_1")(x, train)
+        x = C(64, p=(1, 1), name=f + "_2")(x, train)
+        # Mixed_3a
+        x = jnp.concatenate(
+            [_maxp3v(x), C(96, s=2, name=f + "_3__conv")(x, train)], -1)
+        # Mixed_4a
+        b0 = C(96, name=f + "_4__branch0_1")(
+            C(64, (1, 1), name=f + "_4__branch0_0")(x, train), train)
+        b1 = C(64, (1, 1), name=f + "_4__branch1_0")(x, train)
+        b1 = C(64, (1, 7), p=(0, 3), name=f + "_4__branch1_1")(b1, train)
+        b1 = C(64, (7, 1), p=(3, 0), name=f + "_4__branch1_2")(b1, train)
+        b1 = C(96, name=f + "_4__branch1_3")(b1, train)
+        x = jnp.concatenate([b0, b1], -1)
+        # Mixed_5a
+        x = jnp.concatenate(
+            [C(192, s=2, name=f + "_5__conv")(x, train), _maxp3v(x)], -1)
+
+        # 4x Inception_A (features 6-9)
+        for i in range(6, 10):
+            b0 = C(96, (1, 1), name=f + f"_{i}__branch0")(x, train)
+            b1 = C(96, p=(1, 1), name=f + f"_{i}__branch1_1")(
+                C(64, (1, 1), name=f + f"_{i}__branch1_0")(x, train),
+                train)
+            b2 = C(96, p=(1, 1), name=f + f"_{i}__branch2_1")(
+                C(64, (1, 1), name=f + f"_{i}__branch2_0")(x, train),
+                train)
+            b2 = C(96, p=(1, 1), name=f + f"_{i}__branch2_2")(b2, train)
+            b3 = C(96, (1, 1), name=f + f"_{i}__branch3_1")(_avgp3(x),
+                                                            train)
+            x = jnp.concatenate([b0, b1, b2, b3], -1)
+        # Reduction_A (10)
+        b0 = C(384, s=2, name=f + "_10__branch0")(x, train)
+        b1 = C(192, (1, 1), name=f + "_10__branch1_0")(x, train)
+        b1 = C(224, p=(1, 1), name=f + "_10__branch1_1")(b1, train)
+        b1 = C(256, s=2, name=f + "_10__branch1_2")(b1, train)
+        x = jnp.concatenate([b0, b1, _maxp3v(x)], -1)
+        # 7x Inception_B (11-17)
+        for i in range(11, 18):
+            b0 = C(384, (1, 1), name=f + f"_{i}__branch0")(x, train)
+            b1 = C(192, (1, 1), name=f + f"_{i}__branch1_0")(x, train)
+            b1 = C(224, (1, 7), p=(0, 3),
+                   name=f + f"_{i}__branch1_1")(b1, train)
+            b1 = C(256, (7, 1), p=(3, 0),
+                   name=f + f"_{i}__branch1_2")(b1, train)
+            b2 = C(192, (1, 1), name=f + f"_{i}__branch2_0")(x, train)
+            b2 = C(192, (7, 1), p=(3, 0),
+                   name=f + f"_{i}__branch2_1")(b2, train)
+            b2 = C(224, (1, 7), p=(0, 3),
+                   name=f + f"_{i}__branch2_2")(b2, train)
+            b2 = C(224, (7, 1), p=(3, 0),
+                   name=f + f"_{i}__branch2_3")(b2, train)
+            b2 = C(256, (1, 7), p=(0, 3),
+                   name=f + f"_{i}__branch2_4")(b2, train)
+            b3 = C(128, (1, 1), name=f + f"_{i}__branch3_1")(_avgp3(x),
+                                                             train)
+            x = jnp.concatenate([b0, b1, b2, b3], -1)
+        # Reduction_B (18)
+        b0 = C(192, (1, 1), name=f + "_18__branch0_0")(x, train)
+        b0 = C(192, s=2, name=f + "_18__branch0_1")(b0, train)
+        b1 = C(256, (1, 1), name=f + "_18__branch1_0")(x, train)
+        b1 = C(256, (1, 7), p=(0, 3),
+               name=f + "_18__branch1_1")(b1, train)
+        b1 = C(320, (7, 1), p=(3, 0),
+               name=f + "_18__branch1_2")(b1, train)
+        b1 = C(320, s=2, name=f + "_18__branch1_3")(b1, train)
+        x = jnp.concatenate([b0, b1, _maxp3v(x)], -1)
+        # 3x Inception_C (19-21; literal-underscore attrs via 'q')
+        for i in range(19, 22):
+            b0 = C(256, (1, 1), name=f + f"_{i}__branch0")(x, train)
+            h = C(384, (1, 1), name=f + f"_{i}__branch1q0")(x, train)
+            b1 = jnp.concatenate([
+                C(256, (1, 3), p=(0, 1),
+                  name=f + f"_{i}__branch1q1a")(h, train),
+                C(256, (3, 1), p=(1, 0),
+                  name=f + f"_{i}__branch1q1b")(h, train)], -1)
+            h = C(384, (1, 1), name=f + f"_{i}__branch2q0")(x, train)
+            h = C(448, (3, 1), p=(1, 0),
+                  name=f + f"_{i}__branch2q1")(h, train)
+            h = C(512, (1, 3), p=(0, 1),
+                  name=f + f"_{i}__branch2q2")(h, train)
+            b2 = jnp.concatenate([
+                C(256, (1, 3), p=(0, 1),
+                  name=f + f"_{i}__branch2q3a")(h, train),
+                C(256, (3, 1), p=(1, 0),
+                  name=f + f"_{i}__branch2q3b")(h, train)], -1)
+            b3 = C(256, (1, 1), name=f + f"_{i}__branch3_1")(_avgp3(x),
+                                                             train)
+            x = jnp.concatenate([b0, b1, b2, b3], -1)
+        return jnp.mean(x, axis=(1, 2))

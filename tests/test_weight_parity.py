@@ -1671,3 +1671,32 @@ def test_inceptionv4_activation_parity():
                                             (1, H, W, 3))
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_inceptionresnetv2_activation_parity():
+    import importlib
+
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import ReidInceptionResNetV2
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    tir = importlib.import_module(
+        "strong_sort.deep.models.inceptionresnetv2")
+
+    tm = tir.InceptionResNetV2(num_classes=5, loss="softmax")
+    tm.eval()
+    _randomize_module(tm, seed=109)
+
+    H, W = 160, 96
+    rng = np.random.default_rng(25)
+    x = rng.normal(size=(1, H, W, 3)).astype(np.float32) * 0.2
+    with torch.no_grad():
+        f = tm.featuremaps(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        want = f.mean(dim=(2, 3)).numpy()
+
+    fm = ReidInceptionResNetV2()
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)

@@ -80,6 +80,7 @@ def _torch_converter_for(model):
         "ReidMuDeep": convert_reid_backbone_torch,
         "ReidResNetIBNb": convert_reid_backbone_torch,
         "ReidInceptionV4": convert_reid_backbone_torch,
+        "ReidInceptionResNetV2": convert_reid_backbone_torch,
     }
     fn = table.get(name)
     if fn is None:
@@ -422,7 +423,8 @@ def convert_reid_backbone_torch(sd_or_path, model, input_shape,
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
     key_fn = (_inception_torch_key
-              if type(model).__name__ == "ReidInceptionV4"
+              if type(model).__name__ in ("ReidInceptionV4",
+                                          "ReidInceptionResNetV2")
               else _generic_torch_key)
     return convert_by_name(sd, model, input_shape, key_fn,
                            expected_unused=("classifier.",

@@ -1426,3 +1426,102 @@ class ReidInceptionV4(nn.Module):
                                                              train)
             x = jnp.concatenate([b0, b1, b2, b3], -1)
         return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Inception-ResNet-v2 (torchreid inceptionresnetv2.py)
+# ---------------------------------------------------------------------------
+
+class ReidInceptionResNetV2(nn.Module):
+    """torchreid InceptionResNetV2 (inceptionresnetv2.py:255-360);
+    eval-mode forward returns the pooled 1536-dim feature. Flax names
+    mirror torch keys; the literal-underscore attributes repeat_1 /
+    repeat_2 are spelled with 'q' (restored by _inception_torch_key)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+
+        def C(feats, k=(3, 3), s=1, p=(0, 0), name=""):
+            return _IConv(feats, k, s, p, dtype=dt, name=name)
+
+        def block35(x, name):
+            b0 = C(32, (1, 1), name=f"{name}__branch0")(x, train)
+            b1 = C(32, p=(1, 1), name=f"{name}__branch1_1")(
+                C(32, (1, 1), name=f"{name}__branch1_0")(x, train),
+                train)
+            b2 = C(48, p=(1, 1), name=f"{name}__branch2_1")(
+                C(32, (1, 1), name=f"{name}__branch2_0")(x, train),
+                train)
+            b2 = C(64, p=(1, 1), name=f"{name}__branch2_2")(b2, train)
+            y = nn.Conv(320, (1, 1), use_bias=True, dtype=dt,
+                        name=f"{name}__conv2d")(
+                jnp.concatenate([b0, b1, b2], -1))
+            return nn.relu(y * 0.17 + x)
+
+        def block17(x, name):
+            b0 = C(192, (1, 1), name=f"{name}__branch0")(x, train)
+            b1 = C(128, (1, 1), name=f"{name}__branch1_0")(x, train)
+            b1 = C(160, (1, 7), p=(0, 3),
+                   name=f"{name}__branch1_1")(b1, train)
+            b1 = C(192, (7, 1), p=(3, 0),
+                   name=f"{name}__branch1_2")(b1, train)
+            y = nn.Conv(1088, (1, 1), use_bias=True, dtype=dt,
+                        name=f"{name}__conv2d")(
+                jnp.concatenate([b0, b1], -1))
+            return nn.relu(y * 0.10 + x)
+
+        def block8(x, name, scale=0.20, final_relu=True):
+            b0 = C(192, (1, 1), name=f"{name}__branch0")(x, train)
+            b1 = C(192, (1, 1), name=f"{name}__branch1_0")(x, train)
+            b1 = C(224, (1, 3), p=(0, 1),
+                   name=f"{name}__branch1_1")(b1, train)
+            b1 = C(256, (3, 1), p=(1, 0),
+                   name=f"{name}__branch1_2")(b1, train)
+            y = nn.Conv(2080, (1, 1), use_bias=True, dtype=dt,
+                        name=f"{name}__conv2d")(
+                jnp.concatenate([b0, b1], -1))
+            y = y * scale + x
+            return nn.relu(y) if final_relu else y
+
+        x = C(32, s=2, name="conv2d_1a")(x, train)
+        x = C(32, name="conv2d_2a")(x, train)
+        x = C(64, p=(1, 1), name="conv2d_2b")(x, train)
+        x = _maxp3v(x)
+        x = C(80, (1, 1), name="conv2d_3b")(x, train)
+        x = C(192, name="conv2d_4a")(x, train)
+        x = _maxp3v(x)
+        # Mixed_5b
+        b0 = C(96, (1, 1), name="mixed_5b__branch0")(x, train)
+        b1 = C(64, (5, 5), p=(2, 2), name="mixed_5b__branch1_1")(
+            C(48, (1, 1), name="mixed_5b__branch1_0")(x, train), train)
+        b2 = C(96, p=(1, 1), name="mixed_5b__branch2_1")(
+            C(64, (1, 1), name="mixed_5b__branch2_0")(x, train), train)
+        b2 = C(96, p=(1, 1), name="mixed_5b__branch2_2")(b2, train)
+        b3 = C(64, (1, 1), name="mixed_5b__branch3_1")(_avgp3(x), train)
+        x = jnp.concatenate([b0, b1, b2, b3], -1)
+        for i in range(10):
+            x = block35(x, f"repeat_{i}")
+        # Mixed_6a
+        b0 = C(384, s=2, name="mixed_6a__branch0")(x, train)
+        b1 = C(256, (1, 1), name="mixed_6a__branch1_0")(x, train)
+        b1 = C(256, p=(1, 1), name="mixed_6a__branch1_1")(b1, train)
+        b1 = C(384, s=2, name="mixed_6a__branch1_2")(b1, train)
+        x = jnp.concatenate([b0, b1, _maxp3v(x)], -1)
+        for i in range(20):
+            x = block17(x, f"repeatq1_{i}")
+        # Mixed_7a
+        b0 = C(384, s=2, name="mixed_7a__branch0_1")(
+            C(256, (1, 1), name="mixed_7a__branch0_0")(x, train), train)
+        b1 = C(288, s=2, name="mixed_7a__branch1_1")(
+            C(256, (1, 1), name="mixed_7a__branch1_0")(x, train), train)
+        b2 = C(288, p=(1, 1), name="mixed_7a__branch2_1")(
+            C(256, (1, 1), name="mixed_7a__branch2_0")(x, train), train)
+        b2 = C(320, s=2, name="mixed_7a__branch2_2")(b2, train)
+        x = jnp.concatenate([b0, b1, b2, _maxp3v(x)], -1)
+        for i in range(9):
+            x = block8(x, f"repeatq2_{i}")
+        x = block8(x, "block8", scale=1.0, final_relu=False)
+        x = C(1536, (1, 1), name="conv2d_7b")(x, train)
+        return jnp.mean(x, axis=(1, 2))

@@ -56,7 +56,8 @@ class OSNetReId(DetectionLevelModule):
         # osnet_ain_x1_0/x0_75/x0_5/x0_25, shufflenet_v2_x0_5..x2_0,
         # resnet50_ibn_a, densenet121, squeezenet1_0, mlfn,
         # se_resnet50, resnet50mid, xception, hacnn (crop 160x64),
-        # pcb_p6/pcb_p4, mudeep (crop 256x128), inceptionv4
+        # pcb_p6/pcb_p4, mudeep (crop 256x128), inceptionv4,
+        # inceptionresnetv2
         self.backbone = backbone
         if backbone != "osnet":
             use_parts = False
@@ -147,6 +148,11 @@ class OSNetReId(DetectionLevelModule):
                     ReidXception,
                 )
                 model = ReidXception()
+            elif self.backbone == "inceptionresnetv2":
+                from tracklab_tpu.models.reid_backbones import (
+                    ReidInceptionResNetV2,
+                )
+                model = ReidInceptionResNetV2()
             elif self.backbone == "inceptionv4":
                 from tracklab_tpu.models.reid_backbones import (
                     ReidInceptionV4,

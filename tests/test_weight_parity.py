@@ -1700,3 +1700,38 @@ def test_inceptionresnetv2_activation_parity():
                                             (1, H, W, 3))
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_resnext_activation_parity():
+    import jax.numpy as jnp
+    from tracklab_tpu.models.reid_backbones import ReidResNet
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    from strong_sort.deep.models import resnet as tresnet
+
+    tm = tresnet.ResNet(num_classes=5, loss="softmax",
+                        block=tresnet.Bottleneck, layers=[1, 1, 1, 1],
+                        groups=32, width_per_group=4, last_stride=2,
+                        fc_dims=None)
+    tm.eval()
+    _randomize_module(tm, seed=113)
+
+    H, W = 128, 64
+    rng = np.random.default_rng(26)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    from tracklab_tpu.models import reid_backbones as rb
+    rb.RESNET_VARIANTS["_test_next"] = ("bottleneck", (1, 1, 1, 1), 2,
+                                        None, 32, 4)
+    try:
+        fm = ReidResNet(variant="_test_next")
+        variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                                (1, H, W, 3))
+        got = np.asarray(fm.apply(variables, jnp.asarray(x),
+                                  train=False))
+    finally:
+        del rb.RESNET_VARIANTS["_test_next"]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

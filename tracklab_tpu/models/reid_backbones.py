@@ -30,12 +30,16 @@ __all__ = ["ReidResNet", "ReidMobileNetV2", "ReidShuffleNetV2",
            "SHUFFLENETV2_VARIANTS"]
 
 RESNET_VARIANTS = {
-    # (block, layers, last_stride, fc_dims) — resnet.py:398-500
+    # (block, layers, last_stride, fc_dims[, groups, width]) —
+    # resnet.py:398-520 (resnext: grouped conv2 with scaled width)
     "resnet18": ("basic", (2, 2, 2, 2), 2, None),
     "resnet34": ("basic", (3, 4, 6, 3), 2, None),
     "resnet50": ("bottleneck", (3, 4, 6, 3), 2, None),
     "resnet101": ("bottleneck", (3, 4, 23, 3), 2, None),
+    "resnet152": ("bottleneck", (3, 8, 36, 3), 2, None),
     "resnet50_fc512": ("bottleneck", (3, 4, 6, 3), 1, (512,)),
+    "resnext50_32x4d": ("bottleneck", (3, 4, 6, 3), 2, None, 32, 4),
+    "resnext101_32x8d": ("bottleneck", (3, 4, 23, 3), 2, None, 32, 8),
 }
 
 MOBILENETV2_VARIANTS = {
@@ -79,18 +83,22 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    features: int  # bottleneck width; block output is 4x
+    features: int  # bottleneck planes; block output is 4x
     stride: int = 1
     downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         idt = x
-        y = nn.relu(_conv_bn(x, self.features, 1, 1, "conv1", "bn1",
+        width = int(self.features * self.base_width / 64.0) * self.groups
+        y = nn.relu(_conv_bn(x, width, 1, 1, "conv1", "bn1",
                              train, self.dtype))
-        y = nn.relu(_conv_bn(y, self.features, 3, self.stride,
-                             "conv2", "bn2", train, self.dtype))
+        y = nn.relu(_conv_bn(y, width, 3, self.stride,
+                             "conv2", "bn2", train, self.dtype,
+                             groups=self.groups))
         y = _conv_bn(y, 4 * self.features, 1, 1, "conv3", "bn3", train,
                      self.dtype)
         if self.downsample:
@@ -108,7 +116,10 @@ class ReidResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kind, layers, last_stride, fc_dims = RESNET_VARIANTS[self.variant]
+        spec = RESNET_VARIANTS[self.variant]
+        kind, layers, last_stride, fc_dims = spec[:4]
+        groups, base_width = (spec[4], spec[5]) if len(spec) > 4 \
+            else (1, 64)
         block = BasicBlock if kind == "basic" else Bottleneck
         exp = 1 if kind == "basic" else 4
         x = nn.Conv(64, (7, 7), strides=2, padding=[(3, 3)] * 2,
@@ -124,8 +135,13 @@ class ReidResNet(nn.Module):
             for b in range(n):
                 stride = s if b == 0 else 1
                 down = b == 0 and (stride != 1 or in_ch != w * exp)
-                x = block(w, stride, down, dtype=self.dtype,
-                          name=f"layer{li + 1}_{b}")(x, train)
+                if kind == "basic":
+                    x = block(w, stride, down, dtype=self.dtype,
+                              name=f"layer{li + 1}_{b}")(x, train)
+                else:
+                    x = block(w, stride, down, groups, base_width,
+                              dtype=self.dtype,
+                              name=f"layer{li + 1}_{b}")(x, train)
                 in_ch = w * exp
         v = jnp.mean(x, axis=(1, 2))
         if fc_dims:

@@ -1735,3 +1735,32 @@ def test_resnext_activation_parity():
     finally:
         del rb.RESNET_VARIANTS["_test_next"]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_nasnet_activation_parity():
+    import importlib
+
+    import jax.numpy as jnp
+    from tracklab_tpu.models.nasnet_reid import ReidNASNetAMobile
+    from tracklab_tpu.models.convert import convert_reid_backbone_torch
+
+    refbridge.install_stubs()
+    tnn_ = importlib.import_module("strong_sort.deep.models.nasnet")
+
+    tm = tnn_.NASNetAMobile(num_classes=5, loss="softmax",
+                            penultimate_filters=192)
+    tm.eval()
+    _randomize_module(tm, seed=127)
+
+    H, W = 128, 64
+    rng = np.random.default_rng(27)
+    x = rng.normal(size=(1, H, W, 3)).astype(np.float32) * 0.2
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        want = tm.features(xt).numpy()
+
+    fm = ReidNASNetAMobile(penultimate_filters=192)
+    variables = convert_reid_backbone_torch(_state_dict_np(tm), fm,
+                                            (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)

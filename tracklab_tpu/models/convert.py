@@ -81,6 +81,7 @@ def _torch_converter_for(model):
         "ReidResNetIBNb": convert_reid_backbone_torch,
         "ReidInceptionV4": convert_reid_backbone_torch,
         "ReidInceptionResNetV2": convert_reid_backbone_torch,
+        "ReidNASNetAMobile": convert_reid_backbone_torch,
     }
     fn = table.get(name)
     if fn is None:
@@ -424,7 +425,8 @@ def convert_reid_backbone_torch(sd_or_path, model, input_shape,
           for k, v in sd.items()}
     key_fn = (_inception_torch_key
               if type(model).__name__ in ("ReidInceptionV4",
-                                          "ReidInceptionResNetV2")
+                                          "ReidInceptionResNetV2",
+                                          "ReidNASNetAMobile")
               else _generic_torch_key)
     return convert_by_name(sd, model, input_shape, key_fn,
                            expected_unused=("classifier.",

@@ -57,7 +57,7 @@ class OSNetReId(DetectionLevelModule):
         # resnet50_ibn_a, densenet121, squeezenet1_0, mlfn,
         # se_resnet50, resnet50mid, xception, hacnn (crop 160x64),
         # pcb_p6/pcb_p4, mudeep (crop 256x128), inceptionv4,
-        # inceptionresnetv2
+        # inceptionresnetv2, nasnetamobile
         self.backbone = backbone
         if backbone != "osnet":
             use_parts = False
@@ -148,6 +148,11 @@ class OSNetReId(DetectionLevelModule):
                     ReidXception,
                 )
                 model = ReidXception()
+            elif self.backbone == "nasnetamobile":
+                from tracklab_tpu.models.nasnet_reid import (
+                    ReidNASNetAMobile,
+                )
+                model = ReidNASNetAMobile()
             elif self.backbone == "inceptionresnetv2":
                 from tracklab_tpu.models.reid_backbones import (
                     ReidInceptionResNetV2,

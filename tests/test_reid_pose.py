@@ -311,3 +311,50 @@ def test_yolo11_pose_decode_geometry_and_wrapper():
     assert isinstance(rows, list)
     if rows:
         assert rows[0].keypoints_xyc.shape == (5, 3)
+
+
+def test_all_zoo_backbone_names_resolve():
+    """Every documented backbone= string resolves to the right model
+    class (or raises the documented crop/unknown-name errors) — guards
+    the wrapper's selection against drift from the model zoo."""
+    import pytest
+    from tracklab_tpu.wrappers.reid.osnet_api import (
+        select_backbone_model,
+    )
+
+    expected = {
+        "osnet": "OSNet", "osnet_ain_x1_0": "OSNetAIN",
+        "osnet_ain_x0_25": "OSNetAIN",
+        "resnet18": "ReidResNet", "resnet34": "ReidResNet",
+        "resnet50": "ReidResNet", "resnet101": "ReidResNet",
+        "resnet152": "ReidResNet", "resnet50_fc512": "ReidResNet",
+        "resnext50_32x4d": "ReidResNet",
+        "resnext101_32x8d": "ReidResNet",
+        "resnet50_ibn_a": "ReidResNetIBN",
+        "resnet50_ibn_b": "ReidResNetIBNb",
+        "resnet50mid": "ReidResNetMid",
+        "se_resnet50": "ReidSEResNet",
+        "mobilenetv2_x1_0": "ReidMobileNetV2",
+        "mobilenetv2_x1_4": "ReidMobileNetV2",
+        "shufflenet_v2_x0_5": "ReidShuffleNetV2",
+        "shufflenet_v2_x2_0": "ReidShuffleNetV2",
+        "densenet121": "ReidDenseNet",
+        "squeezenet1_0": "ReidSqueezeNet",
+        "mlfn": "ReidMLFN", "pcb_p6": "ReidPCB", "pcb_p4": "ReidPCB",
+        "xception": "ReidXception",
+        "inceptionv4": "ReidInceptionV4",
+        "inceptionresnetv2": "ReidInceptionResNetV2",
+        "nasnetamobile": "ReidNASNetAMobile",
+        "mudeep": "ReidMuDeep", "hacnn": "ReidHACNN",
+    }
+    crops = {"hacnn": (160, 64), "mudeep": (256, 128)}
+    for name, cls in expected.items():
+        model = select_backbone_model(
+            name, crop_size=crops.get(name, (256, 128)))
+        assert type(model).__name__ == cls, name
+    with pytest.raises(ValueError, match="Unknown reid backbone"):
+        select_backbone_model("definitely_not_a_backbone")
+    with pytest.raises(ValueError, match="160, 64"):
+        select_backbone_model("hacnn", crop_size=(64, 32))
+    with pytest.raises(ValueError, match="256, 128"):
+        select_backbone_model("mudeep", crop_size=(64, 32))

@@ -21,10 +21,70 @@ from tracklab_tpu.utils.collate import default_collate
 
 log = logging.getLogger(__name__)
 
-__all__ = ["OSNetReId"]
+__all__ = ["OSNetReId", "select_backbone_model"]
 
 IMAGENET_MEAN = (0.485 * 255, 0.456 * 255, 0.406 * 255)
 IMAGENET_STD = (0.229 * 255, 0.224 * 255, 0.225 * 255)
+
+
+def select_backbone_model(backbone, variant="x1_0", feat_dim=512,
+                          n_parts=6, ibn=False, crop_size=(256, 128)):
+    """Resolve a ``backbone=`` string to its Flax model (the reference
+    zoo's public keys). Raises ValueError for unknown names and for the
+    fixed-input models given a mismatched crop."""
+    crop_h, crop_w = crop_size
+    if backbone == "osnet":
+        from tracklab_tpu.models.osnet import OSNet
+
+        return OSNet(variant=variant, feat_dim=feat_dim,
+                     n_parts=n_parts, ibn=ibn)
+    from tracklab_tpu.models.osnet import OSNET_AIN_VARIANTS, OSNetAIN
+    from tracklab_tpu.models.reid_backbones import (
+        MOBILENETV2_VARIANTS, RESNET_VARIANTS, SHUFFLENETV2_VARIANTS,
+        ReidDenseNet, ReidHACNN, ReidInceptionResNetV2,
+        ReidInceptionV4, ReidMLFN, ReidMobileNetV2, ReidMuDeep,
+        ReidPCB, ReidResNet, ReidResNetIBN, ReidResNetIBNb,
+        ReidResNetMid, ReidSEResNet, ReidShuffleNetV2, ReidSqueezeNet,
+        ReidXception,
+    )
+    from tracklab_tpu.models.nasnet_reid import ReidNASNetAMobile
+
+    ain = backbone.replace("osnet_", "")
+    if backbone in RESNET_VARIANTS:
+        return ReidResNet(variant=backbone)
+    if backbone in MOBILENETV2_VARIANTS:
+        return ReidMobileNetV2(variant=backbone)
+    if ain in OSNET_AIN_VARIANTS:
+        return OSNetAIN(variant=ain, feat_dim=feat_dim)
+    if backbone in SHUFFLENETV2_VARIANTS:
+        return ReidShuffleNetV2(variant=backbone)
+    simple = {
+        "resnet50_ibn_a": ReidResNetIBN,
+        "resnet50_ibn_b": ReidResNetIBNb,
+        "resnet50mid": ReidResNetMid,
+        "se_resnet50": ReidSEResNet,
+        "densenet121": ReidDenseNet,
+        "squeezenet1_0": ReidSqueezeNet,
+        "mlfn": ReidMLFN,
+        "xception": ReidXception,
+        "inceptionv4": ReidInceptionV4,
+        "inceptionresnetv2": ReidInceptionResNetV2,
+        "nasnetamobile": ReidNASNetAMobile,
+    }
+    if backbone in simple:
+        return simple[backbone]()
+    if backbone in ("pcb_p6", "pcb_p4"):
+        return ReidPCB(parts=6 if backbone == "pcb_p6" else 4)
+    if backbone == "hacnn":
+        if (crop_h, crop_w) != (160, 64):
+            raise ValueError("HACNN requires crop_size=(160, 64) "
+                             "(fixed upstream input)")
+        return ReidHACNN()
+    if backbone == "mudeep":
+        if (crop_h, crop_w) != (256, 128):
+            raise ValueError("MuDeep requires crop_size=(256, 128)")
+        return ReidMuDeep()
+    raise ValueError(f"Unknown reid backbone {backbone!r}")
 
 
 class OSNetReId(DetectionLevelModule):
@@ -86,107 +146,10 @@ class OSNetReId(DetectionLevelModule):
         import jax
         import jax.numpy as jnp
 
-        if self.backbone == "osnet":
-            from tracklab_tpu.models.osnet import OSNet
-
-            model = OSNet(variant=self.variant, feat_dim=self.feat_dim,
-                          n_parts=self.n_parts, ibn=self.ibn)
-        else:
-            from tracklab_tpu.models.osnet import (
-                OSNET_AIN_VARIANTS, OSNetAIN,
-            )
-            from tracklab_tpu.models.reid_backbones import (
-                MOBILENETV2_VARIANTS, RESNET_VARIANTS,
-                SHUFFLENETV2_VARIANTS, ReidMobileNetV2, ReidResNet,
-                ReidShuffleNetV2,
-            )
-
-            ain = self.backbone.replace("osnet_", "")
-            if self.backbone in RESNET_VARIANTS:
-                model = ReidResNet(variant=self.backbone)
-            elif self.backbone in MOBILENETV2_VARIANTS:
-                model = ReidMobileNetV2(variant=self.backbone)
-            elif ain in OSNET_AIN_VARIANTS:
-                model = OSNetAIN(variant=ain, feat_dim=self.feat_dim)
-            elif self.backbone in SHUFFLENETV2_VARIANTS:
-                model = ReidShuffleNetV2(variant=self.backbone)
-            elif self.backbone == "resnet50_ibn_a":
-                from tracklab_tpu.models.reid_backbones import (
-                    ReidResNetIBN,
-                )
-                model = ReidResNetIBN()
-            elif self.backbone == "resnet50_ibn_b":
-                from tracklab_tpu.models.reid_backbones import (
-                    ReidResNetIBNb,
-                )
-                model = ReidResNetIBNb()
-            elif self.backbone == "densenet121":
-                from tracklab_tpu.models.reid_backbones import (
-                    ReidDenseNet,
-                )
-                model = ReidDenseNet()
-            elif self.backbone == "squeezenet1_0":
-                from tracklab_tpu.models.reid_backbones import (
-                    ReidSqueezeNet,
-                )
-                model = ReidSqueezeNet()
-            elif self.backbone == "mlfn":
-                from tracklab_tpu.models.reid_backbones import ReidMLFN
-                model = ReidMLFN()
-            elif self.backbone == "se_resnet50":
-                from tracklab_tpu.models.reid_backbones import (
-                    ReidSEResNet,
-                )
-                model = ReidSEResNet()
-            elif self.backbone == "resnet50mid":
-                from tracklab_tpu.models.reid_backbones import (
-                    ReidResNetMid,
-                )
-                model = ReidResNetMid()
-            elif self.backbone == "xception":
-                from tracklab_tpu.models.reid_backbones import (
-                    ReidXception,
-                )
-                model = ReidXception()
-            elif self.backbone == "nasnetamobile":
-                from tracklab_tpu.models.nasnet_reid import (
-                    ReidNASNetAMobile,
-                )
-                model = ReidNASNetAMobile()
-            elif self.backbone == "inceptionresnetv2":
-                from tracklab_tpu.models.reid_backbones import (
-                    ReidInceptionResNetV2,
-                )
-                model = ReidInceptionResNetV2()
-            elif self.backbone == "inceptionv4":
-                from tracklab_tpu.models.reid_backbones import (
-                    ReidInceptionV4,
-                )
-                model = ReidInceptionV4()
-            elif self.backbone == "mudeep":
-                from tracklab_tpu.models.reid_backbones import (
-                    ReidMuDeep,
-                )
-                if (self.crop_h, self.crop_w) != (256, 128):
-                    raise ValueError(
-                        "MuDeep requires crop_size=(256, 128)")
-                model = ReidMuDeep()
-            elif self.backbone in ("pcb_p6", "pcb_p4"):
-                from tracklab_tpu.models.reid_backbones import ReidPCB
-                model = ReidPCB(parts=6 if self.backbone == "pcb_p6"
-                                else 4)
-            elif self.backbone == "hacnn":
-                from tracklab_tpu.models.reid_backbones import (
-                    ReidHACNN,
-                )
-                if (self.crop_h, self.crop_w) != (160, 64):
-                    raise ValueError(
-                        "HACNN requires crop_size=(160, 64) "
-                        "(fixed upstream input)")
-                model = ReidHACNN()
-            else:
-                raise ValueError(f"Unknown reid backbone "
-                                 f"{self.backbone!r}")
+        model = select_backbone_model(
+            self.backbone, variant=self.variant,
+            feat_dim=self.feat_dim, n_parts=self.n_parts, ibn=self.ibn,
+            crop_size=(self.crop_h, self.crop_w))
         shape = (1, self.crop_h, self.crop_w, self._in_channels)
         if self.checkpoint_path:
             from pathlib import Path

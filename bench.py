@@ -1,10 +1,11 @@
 """Benchmark harness — run on real TPU by the driver.
 
-End-to-end tracked FPS per chip for the on-device pipeline:
-YOLOX-s (bf16, batched) detection + NMS feeding the OC-SORT lax.scan
-tracker — the BASELINE.md primary metric ("end-to-end tracked FPS per
-chip", target >= 300 on v5e). Also reports the tracker-only scan rate as
-a secondary line in stderr.
+End-to-end tracked FPS per chip, MEASURED on the fused device program
+(engine/fused.py): uint8 frames -> YOLOX-s bf16 -> NMS -> padded
+Detections -> OC-SORT scan, one lax.scan over frame chunks carrying
+tracker state — a single XLA dispatch per video. This is the BASELINE.md
+primary metric ("end-to-end tracked FPS per chip", target >= 300 on
+v5e). Stage micro-rates (detector-only, tracker-only) go to stderr.
 
 Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -56,13 +57,18 @@ def tracker_stream(n_frames, n_obj, d_cap, seed=0):
 
 
 def main():
+    from functools import partial
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+    from tracklab_tpu.engine.fused import (fused_detect_track,
+                                           make_yolox_detect_fn)
     from tracklab_tpu.models.yolox import YOLOX
     from tracklab_tpu.ops.nms import postprocess_detections
-    from tracklab_tpu.trackers.ocsort import OCSortConfig, ocsort_scan
+    from tracklab_tpu.trackers.ocsort import (OCSortConfig, ocsort_init,
+                                              ocsort_scan, ocsort_step)
 
     # ---- detector stage: YOLOX-s bf16, batch of frames, pipelined
     # dispatch (the production streaming shape: the host queues the next
@@ -103,7 +109,7 @@ def main():
     det_dt = (time.perf_counter() - t0) / reps
     det_fps = BATCH / det_dt
 
-    # ---- tracker stage: OC-SORT scan over a full video, pipelined ----
+    # ---- tracker stage (micro): OC-SORT scan over a full video ----
     n_frames = 512
     cfg = OCSortConfig(max_tracks=64, max_dets=32, min_hits=1)
     dets = tracker_stream(n_frames, 20, cfg.max_dets)
@@ -117,11 +123,28 @@ def main():
     trk_dt = (time.perf_counter() - t0) / reps
     trk_fps = n_frames / trk_dt
 
-    # end-to-end rate: stages pipeline (detector batches overlap the
-    # tracker scan of the previous chunk), so throughput is bounded by
-    # the slower stage; report the serialized rate as the conservative
-    # headline
-    e2e_fps = 1.0 / (1.0 / det_fps + 1.0 / trk_fps)
+    # ---- THE e2e metric: the fused single-program pipeline ----
+    # frames -> detector -> NMS -> tracker state carried across chunks,
+    # one dispatch for the whole video (VERDICT r2 item 1: measured, not
+    # a derived harmonic of the two stage rates).
+    detect_fn = make_yolox_detect_fn(
+        model, variables, conf_threshold=0.3, iou_threshold=0.65,
+        max_dets=cfg.max_dets, compute_dtype=jnp.bfloat16)
+    n_chunks = 4
+    F = n_chunks * BATCH  # 1536 frames ~ one MOT17 video, 1.8 GB uint8
+    video = jnp.asarray(
+        np.random.default_rng(1).integers(0, 255, (F, H, W, 3)), jnp.uint8)
+    fused = jax.jit(lambda f: fused_detect_track(
+        detect_fn, partial(ocsort_step, cfg), ocsort_init(cfg), f,
+        chunk=BATCH, return_detections=False))
+    _, _, out = fused(video)
+    np.asarray(out.valid).sum()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _, _, out = fused(video)
+        np.asarray(out.valid).sum()
+    e2e_dt = (time.perf_counter() - t0) / reps
+    e2e_fps = F / e2e_dt
 
     print(json.dumps({
         "metric": "e2e_detect_track_fps_per_chip",
@@ -132,6 +155,9 @@ def main():
     print(json.dumps({
         "detector_fps": round(det_fps, 1),
         "tracker_scan_fps": round(trk_fps, 1),
+        "e2e_mode": "fused_single_program",
+        "e2e_frames": F,
+        "e2e_chunk": BATCH,
     }), file=sys.stderr)
 
 

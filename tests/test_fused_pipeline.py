@@ -1,0 +1,131 @@
+"""Fused detect->NMS->track device program == the staged module path.
+
+VERDICT r2 item 1: the e2e headline must be a *measured fused program*,
+not a derived composition — and its outputs must match the
+module-by-module path bit-for-bit. These tests pin that equivalence on
+CPU with a tiny random-weight YOLOX (nano, 128x128) so no TPU or
+checkpoint is needed.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tracklab_tpu.engine.fused import (fused_detect_track,
+                                       make_yolox_detect_fn)
+from tracklab_tpu.trackers.common import Detections
+from tracklab_tpu.trackers.ocsort import (OCSortConfig, ocsort_init,
+                                          ocsort_scan, ocsort_step)
+
+
+@pytest.fixture(scope="module")
+def tiny_yolox():
+    from tracklab_tpu.models.yolox import YOLOX
+    model = YOLOX(num_classes=1, variant="nano")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3), jnp.float32),
+                           train=False)
+    return model, variables
+
+
+def _frames(n, h=128, w=128, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.integers(0, 255, (n, h, w, 3)), jnp.uint8)
+
+
+def test_fused_equals_staged(tiny_yolox):
+    """One fused program == detect-all-frames then scan, frame for frame."""
+    model, variables = tiny_yolox
+    F, chunk, D = 8, 4, 16
+    frames = _frames(F)
+    detect = make_yolox_detect_fn(model, variables, conf_threshold=0.3,
+                                  max_dets=D)
+    cfg = OCSortConfig(max_tracks=32, max_dets=D, min_hits=1,
+                       det_thresh=0.1)
+
+    # staged: detector batched per chunk (same batch shape as the fused
+    # body so XLA numerics agree), detections concatenated, one scan
+    det_jit = jax.jit(lambda f: detect(f, None))
+    staged_dets = [det_jit(frames[i:i + chunk]) for i in range(0, F, chunk)]
+    staged_dets = Detections(*[
+        jnp.concatenate([getattr(d, f) for d in staged_dets])
+        for f in Detections._fields])
+    _, staged_out = jax.jit(lambda d: ocsort_scan(cfg, d))(staged_dets)
+
+    fused = jax.jit(lambda f: fused_detect_track(
+        detect, partial(ocsort_step, cfg), ocsort_init(cfg), f, chunk))
+    _, fused_dets, fused_out = fused(frames)
+
+    assert bool(jnp.any(staged_dets.valid)), "random net found no dets"
+    assert bool(jnp.any(staged_out.valid)), "tracker emitted nothing"
+    np.testing.assert_array_equal(np.asarray(fused_dets.valid),
+                                  np.asarray(staged_dets.valid))
+    np.testing.assert_allclose(np.asarray(fused_dets.ltrb),
+                               np.asarray(staged_dets.ltrb),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(fused_out.valid),
+                                  np.asarray(staged_out.valid))
+    np.testing.assert_array_equal(np.asarray(fused_out.track_id),
+                                  np.asarray(staged_out.track_id))
+    np.testing.assert_allclose(np.asarray(fused_out.ltrb),
+                               np.asarray(staged_out.ltrb),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_fused_frame_valid_masks_padded_tail(tiny_yolox):
+    """Padded tail frames contribute no detections, matching the staged
+    path's frame bucketing (scan_tracker._pad_video)."""
+    model, variables = tiny_yolox
+    F, chunk, D = 8, 4, 16
+    real = 6
+    frames = _frames(F)
+    detect = make_yolox_detect_fn(model, variables, conf_threshold=0.3,
+                                  max_dets=D)
+    cfg = OCSortConfig(max_tracks=32, max_dets=D, min_hits=1,
+                       det_thresh=0.1)
+    fv = jnp.arange(F) < real
+    _, dets, out = jax.jit(lambda f, v: fused_detect_track(
+        detect, partial(ocsort_step, cfg), ocsort_init(cfg), f, chunk,
+        frame_valid=v))(frames, fv)
+    assert not bool(jnp.any(dets.valid[real:]))
+    assert not bool(jnp.any(out.valid[real:]))
+
+
+def test_fused_meta_rescale_matches_host_wrapper(tiny_yolox):
+    """Device-side unletterbox+clip == the host wrapper math
+    (wrappers/bbox_detector/yolox_api.py:121-130)."""
+    model, variables = tiny_yolox
+    F, chunk, D = 4, 4, 16
+    frames = _frames(F, seed=3)
+    detect = make_yolox_detect_fn(model, variables, conf_threshold=0.3,
+                                  max_dets=D)
+    rng = np.random.default_rng(1)
+    scale = rng.uniform(0.4, 0.9, F).astype(np.float32)
+    pad = rng.uniform(0, 20, (F, 2)).astype(np.float32)
+    shape = np.stack([np.full(F, 150.0), np.full(F, 110.0)],
+                     axis=1).astype(np.float32)
+    meta = dict(scale=jnp.asarray(scale), pad=jnp.asarray(pad),
+                shape=jnp.asarray(shape))
+
+    raw = jax.jit(lambda f: detect(f, None))(frames)
+    scaled = jax.jit(lambda f, m: detect(f, m))(frames, meta)
+
+    ltrb = np.asarray(raw.ltrb)
+    valid = np.asarray(raw.valid)
+    exp_ltrb = np.zeros_like(ltrb)
+    exp_valid = np.zeros_like(valid)
+    for i in range(F):
+        for d in range(D):
+            box = ltrb[i, d].copy()
+            box[0::2] = (box[0::2] - pad[i, 0]) / scale[i]
+            box[1::2] = (box[1::2] - pad[i, 1]) / scale[i]
+            box[0::2] = np.clip(box[0::2], 0, shape[i, 0])
+            box[1::2] = np.clip(box[1::2], 0, shape[i, 1])
+            exp_ltrb[i, d] = box
+            wh = box[2:] - box[:2]
+            exp_valid[i, d] = valid[i, d] and wh[0] > 0 and wh[1] > 0
+    np.testing.assert_array_equal(np.asarray(scaled.valid), exp_valid)
+    np.testing.assert_allclose(np.asarray(scaled.ltrb), exp_ltrb,
+                               rtol=1e-5, atol=1e-4)

@@ -64,6 +64,7 @@ def _torch_converter_for(model):
         "RTMDet": convert_rtmdet_torch,
         "RTDetrHF": convert_rtdetr_hf_torch,
         "OSNet": convert_osnet_torch,
+        "KPR": convert_kpr_torch,
         "OSNetAIN": convert_reid_backbone_torch,
         "ReidResNet": convert_reid_backbone_torch,
         "ReidResNetIBN": convert_reid_backbone_torch,
@@ -177,22 +178,27 @@ def _relayout(torch_arr, flax_leaf, torch_key):
 
 
 def convert_by_name(sd, model, input_shape, torch_key_fn,
-                    expected_unused=()):
+                    expected_unused=(), init_fn=None):
     """Convert a torch state dict into flax variables by NAME mapping.
 
     ``torch_key_fn(path_tuple)`` maps a flax flat path (e.g.
     ``('params', 'conv1', 'conv', 'kernel')``) to its torch key, or None
     for first-party parameters with no torch counterpart (kept at init).
     Raises on any missing torch key or shape mismatch; unused torch keys
-    must match one of the ``expected_unused`` prefixes.
+    must match one of the ``expected_unused`` prefixes. ``init_fn``
+    overrides the default ``model.init`` call for models whose extra
+    inputs (e.g. prompt masks) gate parameter creation.
     """
     import jax
     import jax.numpy as jnp
     from flax.traverse_util import flatten_dict, unflatten_dict
 
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros(input_shape, jnp.float32),
-                           train=False)
+    if init_fn is not None:
+        variables = init_fn(model, input_shape)
+    else:
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros(input_shape, jnp.float32),
+                               train=False)
     flat = flatten_dict(variables)
     new_flat = {}
     used = set()
@@ -521,3 +527,84 @@ def convert_yolov8_torch(sd_or_path, model, input_shape,
                            # in v8 checkpoints, 23 in yolo11
                            expected_unused=("model.22.dfl.",
                                             "model.23.dfl."))
+
+
+def _kpr_torch_key(path):
+    """Flax path -> KPR torch state-dict key.
+
+    Flax module names spell the torch attribute path with '.' as '__'
+    (backbone/blocks__0/attn/qkv -> backbone.blocks.0.attn.qkv); bare
+    parameters (cls_token, pos_embed, sie_embed) map to themselves.
+    The authors' fork is not importable in-container, so this mapping is
+    pinned by the independent torch oracle in tests/test_kpr_parity.py
+    and recorded in the checkpoint manifest
+    (tests/test_checkpoint_manifests.py); `_KPR_ALIASES` in
+    convert_kpr_torch absorbs known fork spellings.
+    """
+    _, *mods, leaf = path
+    comps = []
+    for m in mods:
+        comps.extend(m.split("__"))
+    if leaf in ("cls_token", "pos_embed", "sie_embed"):
+        return ".".join(comps + [leaf])
+    return ".".join(comps + [_LEAF_MAP[leaf]])
+
+
+# Known alternative prefixes for the same modules (BPBReID's attribute
+# names survive in the fork lineage); rewritten before name matching.
+_KPR_ALIASES = (
+    ("backbone_appearance_feature_extractor.", "backbone."),
+    ("base.", "backbone."),
+    ("global_identity_classifier.bn.", "bn_global."),
+    ("foreground_identity_classifier.bn.", "bn_foreground."),
+    ("concat_parts_identity_classifier.bn.", "bn_concat_parts."),
+    ("parts_identity_classifier.bn.", "bn_parts."),
+    ("global_after_pooling_dim_reduce.", "dim_reduce_global."),
+    ("foreground_after_pooling_dim_reduce.", "dim_reduce_foreground."),
+    ("parts_after_pooling_dim_reduce.", "dim_reduce_parts."),
+    ("concat_parts_after_pooling_dim_reduce.",
+     "dim_reduce_concat_parts."),
+)
+
+
+def convert_kpr_torch(sd_or_path, model, input_shape,
+                      allow_pickle=False):
+    """Convert a KPR checkpoint into Flax KPR variables (models/kpr.py).
+
+    Reference wrapper loads the fork checkpoint via build_model
+    (tracklab/wrappers/reid/kpreid_api.py:87,105-112). Training-only
+    heads (identity classifier Linear layers) are expected-unused.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    sd = (sd_or_path if isinstance(sd_or_path, dict)
+          else _torch_state_dict(sd_or_path, allow_pickle=allow_pickle))
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    out = {}
+    for k, v in sd.items():
+        for old, new in _KPR_ALIASES:
+            if k.startswith(old):
+                k = new + k[len(old):]
+                break
+        out[k] = v
+
+    def init_fn(model, input_shape):
+        h, w = model.img_size
+        return model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, h, w, 3), jnp.float32),
+            jnp.zeros((1, h, w, model.n_prompt_ch), jnp.float32),
+            train=False)
+
+    return convert_by_name(
+        out, model, input_shape, _kpr_torch_key,
+        expected_unused=("bn_global.classifier", "bn_foreground.classifier",
+                         "bn_concat_parts.classifier",
+                         "bn_parts.classifier", "classifier.",
+                         "global_identity_classifier.",
+                         "foreground_identity_classifier.",
+                         "concat_parts_identity_classifier.",
+                         "parts_identity_classifier."),
+        init_fn=init_fn)

@@ -1,0 +1,306 @@
+"""KPR — Keypoint Promptable Re-Identification (part-based ReID).
+
+The reference's flagship ReID module builds the KPR model from the
+authors' torchreid fork (tracklab/wrappers/reid/kpreid_api.py:21-186:
+``build_model(self.cfg, ...)``, prompt masks from ``KeypointsToMasks``
+at :76-80, test-time selection via ``extract_test_embeddings`` at
+:154-161). The fork itself is not vendored in the reference repo, so
+this is a from-scratch TPU-native implementation of the published
+architecture (Somers et al., "Keypoint Promptable Re-Identification",
+ECCV 2024 — a promptable TransReID-style ViT feeding the BPBReID
+part-attention head):
+
+* **Promptable ViT backbone** (`PromptableViT`): patch-embedding conv,
+  plus a *dedicated zero-initialized prompt-embedding conv* over the
+  keypoint prompt-mask channels whose output is added token-wise to the
+  patch embeddings (SAM-style dense prompting — with no prompt the
+  backbone is exactly a standard ViT). Class token + learned positional
+  embeddings, pre-norm transformer blocks, final LayerNorm. Optional
+  TransReID SIE camera embedding (cfg ``transreid.sie_camera``, off in
+  the reference config kpr.yaml).
+* **Part-attention head** (BPBReID semantics, reference config
+  bpbreid.yaml: pooling=gwap, dim_reduce=after_pooling,
+  dim_reduce_output, test_embeddings=['bn_foreg','parts']): a pixel
+  (=patch-token) classifier produces K+1 attention maps (background +
+  K parts, K=5 for the 'five_v' vertical-part grouping); features are
+  pooled by global-weighted-average-pooling per part, dim-reduced, and
+  batch-normed; per-part visibility scores are the attention maxima.
+
+``extract_test_embeddings`` stacks the configured embedding branches
+into the (N, 1+K, D) ``embeddings`` + (N, 1+K) ``visibility_scores``
+arrays that the BPBReID-StrongSORT tracker consumes (part-based
+distance, trackers/bpbreid_sort semantics).
+
+Weight conversion: models/convert.convert_kpr_torch maps a torch state
+dict onto these modules by name (tests/test_kpr_parity.py drives an
+independently-written torch oracle through it and checks activation
+parity). The fork's exact checkpoint naming could not be verified
+in-container (package absent); the converter's alias table +
+tests/test_checkpoint_manifests.py record the expected key set so a
+real ``kpr_*.pth.tar`` dropped under cache/ is validated end-to-end.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["KPR", "PromptableViT", "extract_test_embeddings",
+           "PROMPT_GROUPS_CCK6", "PART_GROUPS_FIVE_V"]
+
+# COCO-17 keypoints -> 6 coarse prompt channels (the fork's
+# ``prompt_preprocess: cck6`` grouping — head / torso / left arm /
+# right arm / left leg / right leg); a 7th channel carries negative
+# (other-person) keypoints when provided.
+PROMPT_GROUPS_CCK6: Sequence[Sequence[int]] = (
+    (0, 1, 2, 3, 4),        # nose, eyes, ears
+    (5, 6, 11, 12),         # shoulders + hips (torso)
+    (5, 7, 9),              # left arm
+    (6, 8, 10),             # right arm
+    (11, 13, 15),           # left leg
+    (12, 14, 16),           # right leg
+)
+
+# COCO-17 keypoints -> 5 vertical body parts (the fork's
+# ``masks.preprocess: five_v`` part structure: head, torso, arms,
+# legs, feet) — K=5 target parts for the pixel classifier.
+PART_GROUPS_FIVE_V: Sequence[Sequence[int]] = (
+    (0, 1, 2, 3, 4),
+    (5, 6, 11, 12),
+    (7, 8, 9, 10),
+    (13, 14),
+    (15, 16),
+)
+
+
+class _Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class _Attention(nn.Module):
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, D = x.shape
+        H = self.num_heads
+        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, D // H)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        attn = (q @ k.transpose(0, 1, 3, 2)) * ((D // H) ** -0.5)
+        attn = nn.softmax(attn, axis=-1)
+        y = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, D)
+        return nn.Dense(D, dtype=self.dtype, name="proj")(y)
+
+
+class _Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + _Attention(self.dim, self.num_heads, self.dtype,
+                           name="attn")(
+            nn.LayerNorm(epsilon=1e-6, name="norm1")(x))
+        x = x + _Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                     self.dtype, name="mlp")(
+            nn.LayerNorm(epsilon=1e-6, name="norm2")(x))
+        return x
+
+
+class PromptableViT(nn.Module):
+    """TransReID-style ViT with SAM-style dense keypoint prompting.
+
+    Input NHWC images (already normalized) + optional prompt masks
+    (B, H, W, P). Returns ``(cls_feat (B, D), spatial (B, Hp, Wp, D))``.
+    The prompt conv is zero-initialized: an absent / all-zero prompt
+    reproduces the unprompted backbone exactly (the fork's
+    ``promptable_trans.masks_prompting`` off switch is then a no-op on
+    weights, kpr.yaml).
+    """
+    img_size: tuple = (384, 128)
+    patch_size: int = 16
+    stride: int = 16          # TransReID overlapping embeds use 12
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    n_prompt_ch: int = 7      # cck6 groups + negative-keypoint channel
+    n_cameras: int = 0        # >0 enables the SIE camera embedding
+    dtype: Any = jnp.float32
+
+    @property
+    def grid(self):
+        h, w = self.img_size
+        p, s = self.patch_size, self.stride
+        return ((h - p) // s + 1, (w - p) // s + 1)
+
+    @nn.compact
+    def __call__(self, x, prompts=None, cam_id=None):
+        B = x.shape[0]
+        gh, gw = self.grid
+        p, s = self.patch_size, self.stride
+        tokens = nn.Conv(self.embed_dim, (p, p), strides=(s, s),
+                         padding="VALID", dtype=self.dtype,
+                         name="patch_embed__proj")(x)
+        tokens = tokens.reshape(B, gh * gw, self.embed_dim)
+        if prompts is not None:
+            pe = nn.Conv(self.embed_dim, (p, p), strides=(s, s),
+                         padding="VALID", dtype=self.dtype,
+                         kernel_init=nn.initializers.zeros,
+                         name="prompt_embed__proj")(
+                prompts.astype(x.dtype))
+            tokens = tokens + pe.reshape(B, gh * gw, self.embed_dim)
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, self.embed_dim))
+        pos = self.param("pos_embed",
+                         nn.initializers.normal(0.02),
+                         (1, 1 + gh * gw, self.embed_dim))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, self.embed_dim)).astype(
+                tokens.dtype), tokens], axis=1)
+        x = x + pos.astype(x.dtype)
+        if self.n_cameras:
+            sie = self.param("sie_embed", nn.initializers.zeros,
+                             (self.n_cameras, 1, self.embed_dim))
+            cid = (jnp.zeros(B, jnp.int32) if cam_id is None
+                   else cam_id.astype(jnp.int32))
+            x = x + sie[cid].astype(x.dtype)
+        for i in range(self.depth):
+            x = _Block(self.embed_dim, self.num_heads, self.mlp_ratio,
+                       self.dtype, name=f"blocks__{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        cls_feat = x[:, 0]
+        spatial = x[:, 1:].reshape(B, gh, gw, self.embed_dim)
+        return cls_feat, spatial
+
+
+def _gwap(feat, attn):
+    """Global weighted average pooling: (B,H,W,D) x (B,H,W) -> (B,D)."""
+    w = attn[..., None]
+    return (feat * w).sum((1, 2)) / (w.sum((1, 2)) + 1e-6)
+
+
+class KPR(nn.Module):
+    """Full KPR model: promptable backbone + BPBReID part head.
+
+    ``__call__(images, prompt_masks=None, cam_id=None, train=False)``
+    returns the embedding-branch dict (see module docstring); feed it to
+    :func:`extract_test_embeddings` for the tracker-facing arrays.
+    Images are NHWC, already normalized; prompt masks (B, H, W, P).
+    """
+    num_parts: int = 5                  # 'five_v' part structure
+    dim_reduce_output: int = 512        # kpr.yaml dim_reduce_output
+    img_size: tuple = (384, 128)        # bpbreid.yaml data.height/width
+    patch_size: int = 16
+    stride: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    n_prompt_ch: int = 7
+    n_cameras: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, prompt_masks=None, cam_id=None,
+                 train: bool = False):
+        K = self.num_parts
+        backbone = PromptableViT(
+            img_size=self.img_size, patch_size=self.patch_size,
+            stride=self.stride, embed_dim=self.embed_dim,
+            depth=self.depth, num_heads=self.num_heads,
+            n_prompt_ch=self.n_prompt_ch, n_cameras=self.n_cameras,
+            dtype=self.dtype, name="backbone")
+        cls_feat, spat = backbone(images, prompt_masks, cam_id)
+        B, gh, gw, D = spat.shape
+
+        # pixel-to-part classifier over patch tokens: K+1 maps
+        # (channel 0 = background), softmax across channels
+        logits = nn.Dense(K + 1, dtype=self.dtype,
+                          name="pixel_classifier")(spat)
+        attn = nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        globl = spat.mean((1, 2))                       # GAP
+        foreg = _gwap(spat, 1.0 - attn[..., 0])          # foreground
+        parts = jnp.stack([_gwap(spat, attn[..., 1 + k])
+                           for k in range(K)], axis=1)   # (B, K, D)
+        conct = parts.reshape(B, K * D)
+
+        # after-pooling dim reduction (one Dense per branch; the parts
+        # branch shares its projection across parts)
+        red = self.dim_reduce_output
+        globl = nn.Dense(red, dtype=self.dtype,
+                         name="dim_reduce_global")(globl)
+        foreg = nn.Dense(red, dtype=self.dtype,
+                         name="dim_reduce_foreground")(foreg)
+        conct = nn.Dense(red, dtype=self.dtype,
+                         name="dim_reduce_concat_parts")(conct)
+        parts = nn.Dense(red, dtype=self.dtype,
+                         name="dim_reduce_parts")(parts)
+
+        def bn(x, name):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5,
+                                dtype=self.dtype, name=name)(x)
+
+        out = {
+            "globl": globl, "foreg": foreg, "conct": conct,
+            "parts": parts,
+            "bn_globl": bn(globl, "bn_global"),
+            "bn_foreg": bn(foreg, "bn_foreground"),
+            "bn_conct": bn(conct, "bn_concat_parts"),
+            "bn_parts": bn(parts, "bn_parts"),
+            "pixels_cls_scores": logits,
+            "attn": attn,
+            "cls_feat": cls_feat,
+            "visibility": {
+                "globl": jnp.ones((B,), jnp.float32),
+                "foreg": jnp.max(1.0 - attn[..., 0], axis=(1, 2)),
+                "conct": jnp.ones((B,), jnp.float32),
+                "parts": jnp.max(attn[..., 1:], axis=(1, 2)),  # (B, K)
+            },
+        }
+        return out
+
+
+def extract_test_embeddings(out, test_embeddings=("bn_foreg", "parts"),
+                            binary_visibility: bool = True):
+    """Stack the configured branches into tracker-facing arrays.
+
+    Mirrors the fork call in the reference wrapper
+    (kpreid_api.py:154-161): returns ``embeddings (B, P, D)`` and
+    ``visibility_scores (B, P)`` where P is the total part count of the
+    selected branches (1 for scalar branches, K for 'parts'/'bn_parts').
+    ``binary_visibility`` reproduces
+    ``testing_binary_visibility_score: True`` (bpbreid.yaml): scores
+    threshold at 0.5 into {0,1}.
+    """
+    embs, viss = [], []
+    for name in test_embeddings:
+        e = out[name]
+        base = name[3:] if name.startswith("bn_") else name
+        v = out["visibility"][base]
+        if e.ndim == 2:
+            e = e[:, None, :]
+            v = v[:, None]
+        embs.append(e)
+        viss.append(v)
+    emb = jnp.concatenate(embs, axis=1)
+    vis = jnp.concatenate(viss, axis=1)
+    if binary_visibility:
+        vis = (vis > 0.5).astype(jnp.float32)
+    return emb, vis

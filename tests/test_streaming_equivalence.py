@@ -1,0 +1,156 @@
+"""Streaming == offline == batched equivalence for ALL six trackers.
+
+VERDICT r2 item 5: `process_online` (the video-engine streaming path)
+must produce the same outputs frame-for-frame as the whole-video
+`process` scan and as `process_video_batch`. Randomized streams include
+dropouts, per-identity noisy embeddings, and camera warps for the
+GMC-aware trackers.
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from tracklab_tpu.wrappers.track.scan_tracker import (
+    BPBReIDStrongSORT, BotSORT, ByteTrack, DeepOCSORT, OCSORT,
+    StrongSORT,
+)
+
+E = 32          # embedding dim
+N_FRAMES = 24
+N_OBJ = 5
+
+
+def _stream(seed=0, with_warps=False, parts=None):
+    """Randomized detections + metadatas DataFrames for one video."""
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform([50, 50], [800, 500], (N_OBJ, 2))
+    vel = rng.uniform(-5, 5, (N_OBJ, 2))
+    size = rng.uniform(30, 90, (N_OBJ, 2))
+    ident = rng.normal(0, 1, (N_OBJ, E)).astype(np.float32)
+    ident /= np.linalg.norm(ident, axis=1, keepdims=True)
+    rows = []
+    idx = 0
+    for f in range(N_FRAMES):
+        pos = pos + vel
+        for o in range(N_OBJ):
+            if rng.uniform() < 0.15:        # dropouts
+                continue
+            c = pos[o] + rng.normal(0, 1.5, 2)
+            emb = ident[o] + rng.normal(0, 0.05, E).astype(np.float32)
+            emb /= np.linalg.norm(emb)
+            if parts:
+                emb = np.tile(emb, (parts, 1)).astype(np.float32)
+            row = dict(image_id=f, video_id=0,
+                       bbox_ltwh=np.array(
+                           [c[0], c[1], size[o, 0], size[o, 1]],
+                           np.float32),
+                       bbox_conf=float(rng.uniform(0.55, 0.99)),
+                       category_id=1, embeddings=emb, name=idx)
+            if parts:
+                row["visibility_scores"] = np.ones(parts, np.float32)
+            rows.append(row)
+            idx += 1
+    dets = pd.DataFrame(rows).set_index("name")
+    meta_rows = []
+    for f in range(N_FRAMES):
+        m = dict(file_path=f"{f}.jpg", video_id=0, frame=f)
+        if with_warps:
+            w = np.eye(2, 3, dtype=np.float32)
+            w[:, 2] = rng.normal(0, 2.0, 2)
+            m["gmc_warp"] = w
+        meta_rows.append(m)
+    metas = pd.DataFrame(meta_rows, index=range(N_FRAMES))
+    return dets, metas
+
+
+def _run_streaming(tracker, dets, metas):
+    tracker.reset()
+    outs = []
+    for f in metas.index:
+        sub = dets[dets["image_id"] == f]
+        out = tracker.process_online(sub, metas.loc[f])
+        if len(out):
+            outs.append(out)
+    tracker.reset()
+    if not outs:
+        return pd.DataFrame()
+    cat = pd.concat(outs)
+    # a coasting track can re-emit a stale detection row in a later
+    # frame; the engine's merge overrides with the later value, exactly
+    # like the offline join's keep='last' dedup (scan_tracker.process)
+    return cat[~cat.index.duplicated(keep="last")]
+
+
+def _assert_equal(a, b, cols=("track_id", "track_bbox_ltwh",
+                              "track_bbox_conf"), tag=""):
+    a = a.sort_index()
+    b = b.sort_index()
+    assert list(a.index) == list(b.index), \
+        f"{tag}: emitted row sets differ"
+    for col in cols:
+        va, vb = a[col], b[col]
+        if len(a) and isinstance(va.iloc[0], np.ndarray):
+            np.testing.assert_allclose(
+                np.stack(va.to_numpy()), np.stack(vb.to_numpy()),
+                rtol=1e-5, atol=1e-4, err_msg=f"{tag}:{col}")
+        else:
+            np.testing.assert_allclose(
+                va.to_numpy(float), vb.to_numpy(float),
+                rtol=1e-6, atol=1e-6, err_msg=f"{tag}:{col}")
+
+
+TRACKERS = [
+    ("ocsort", lambda: OCSORT(max_tracks=16, max_dets=8), False, None),
+    ("bytetrack", lambda: ByteTrack(max_tracks=16, max_dets=8), False,
+     None),
+    ("strongsort", lambda: StrongSORT(max_tracks=16, max_dets=8,
+                                      embed_dim=E), False, None),
+    ("botsort", lambda: BotSORT(max_tracks=16, max_dets=8,
+                                embed_dim=E), True, None),
+    ("deepocsort", lambda: DeepOCSORT(max_tracks=16, max_dets=8,
+                                      embed_dim=E), True, None),
+    ("bpbreid", lambda: BPBReIDStrongSORT(max_tracks=16, max_dets=8,
+                                          n_parts=3, embed_dim=E),
+     True, 3),
+]
+
+
+@pytest.mark.parametrize("name,make,warps,parts",
+                         TRACKERS, ids=[t[0] for t in TRACKERS])
+def test_streaming_equals_offline(name, make, warps, parts):
+    dets, metas = _stream(seed=hash(name) % 1000, with_warps=warps,
+                          parts=parts)
+    tracker = make()
+    offline = tracker.process(dets.copy(), metas)
+    streaming = _run_streaming(make(), dets.copy(), metas)
+    cols = ["track_id", "track_bbox_ltwh", "track_bbox_conf"]
+    if name == "bpbreid":
+        cols += ["track_bbox_kf_ltwh", "hits", "age",
+                 "time_since_update"]
+    _assert_equal(offline, streaming, cols, tag=f"{name}:stream")
+
+
+@pytest.mark.parametrize("name,make,warps,parts",
+                         TRACKERS, ids=[t[0] for t in TRACKERS])
+def test_batched_equals_offline(name, make, warps, parts):
+    dets, metas = _stream(seed=hash(name) % 1000, with_warps=warps,
+                          parts=parts)
+    tracker = make()
+    offline = tracker.process(dets.copy(), metas)
+    batched = make().process_video_batch([(dets.copy(), metas)])[0]
+    _assert_equal(offline, batched, tag=f"{name}:batch")
+
+
+def test_streaming_state_persists_and_resets():
+    """Two runs with reset() in between are identical; state carries
+    between frames within a run (ids persist)."""
+    dets, metas = _stream(seed=7)
+    tracker = OCSORT(max_tracks=16, max_dets=8)
+    a = _run_streaming(tracker, dets, metas)
+    b = _run_streaming(tracker, dets, metas)
+    _assert_equal(a, b, tag="reset")
+    ids0 = set(a[a.index.isin(dets[dets.image_id == 0].index)]
+               ["track_id"])
+    idsN = set(a[a.index.isin(
+        dets[dets.image_id == N_FRAMES - 1].index)]["track_id"])
+    assert ids0 & idsN, "no identity persisted across the stream"

@@ -133,6 +133,12 @@ class _ScanTrackerBase(VideoLevelModule):
     def reset(self):
         # online state (streaming mode via process_online)
         self._online_state = None
+        # streaming refs must be unique across the WHOLE stream (a
+        # coasting track re-emits the ref of its last matched
+        # detection, possibly frames later), mirroring the offline
+        # path's global row lut (_pad_video)
+        self._online_lut = {}
+        self._online_next_ref = 0
 
     def _make_config(self):
         raise NotImplementedError
@@ -158,20 +164,25 @@ class _ScanTrackerBase(VideoLevelModule):
                 lambda s, d: step(cfg, s, d))
         return self._jit_step_cache
 
-    def process_online(self, detections: pd.DataFrame,
-                       metadata: pd.Series) -> pd.DataFrame:
-        """Track one frame; carries tracker state across calls until
-        reset()."""
+    def _pad_frame(self, detections: pd.DataFrame):
+        """One frame's rows -> (Detections, stream-wide lut).
+
+        Refs are globally unique across the stream (persistent counter)
+        so a coasting track's stale ref still resolves to the original
+        detection row — the offline path's lut semantics."""
         from tracklab_tpu.trackers.common import pad_detections
-        cfg = self._make_config()
-        if getattr(self, "_online_state", None) is None:
-            self._online_state = self._init_state(cfg)
+        if not hasattr(self, "_online_lut"):
             self._online_lut = {}
+            self._online_next_ref = 0
+        lut = self._online_lut
+        base = self._online_next_ref
         if len(detections):
             boxes = np.stack(detections["bbox_ltwh"].to_numpy())
-            refs = np.arange(len(detections))
+            n = len(detections)
+            refs = base + np.arange(n)
             for i, idx in enumerate(detections.index):
-                self._online_lut[i] = idx
+                lut[base + i] = idx
+            self._online_next_ref = base + n
             det = pad_detections(
                 C.ltwh_to_ltrb(boxes),
                 detections["bbox_conf"].to_numpy(np.float32),
@@ -182,25 +193,39 @@ class _ScanTrackerBase(VideoLevelModule):
         else:
             det = pad_detections(np.zeros((0, 4)), np.zeros(0),
                                  capacity=self.max_dets)
-        self._online_state, out = self._jitted_step(
-            self._online_state, det)
+        return det, lut
+
+    @staticmethod
+    def _emit_online(out, lut) -> pd.DataFrame:
+        """One frame's scan emissions -> output DataFrame rows."""
         valid = np.asarray(out.valid)
         rows, data = [], []
         ltrb = np.asarray(out.ltrb)
         for t in np.nonzero(valid)[0]:
             r = int(out.ref[t])
-            if r < 0 or r not in self._online_lut:
+            if r < 0 or r not in lut:
                 continue
-            rows.append(self._online_lut[r])
+            rows.append(lut[r])
             data.append((float(out.track_id[t]),
                          C.ltrb_to_ltwh(ltrb[t]).astype(np.float32),
                          float(out.conf[t])))
-        self._online_lut = {}
         result = pd.DataFrame(index=rows)
         result["track_id"] = [d[0] for d in data]
         result["track_bbox_ltwh"] = [d[1] for d in data]
         result["track_bbox_conf"] = [d[2] for d in data]
         return result[~result.index.duplicated(keep="last")]
+
+    def process_online(self, detections: pd.DataFrame,
+                       metadata: pd.Series) -> pd.DataFrame:
+        """Track one frame; carries tracker state across calls until
+        reset()."""
+        cfg = self._make_config()
+        if getattr(self, "_online_state", None) is None:
+            self._online_state = self._init_state(cfg)
+        det, lut = self._pad_frame(detections)
+        self._online_state, out = self._jitted_step(
+            self._online_state, det)
+        return self._emit_online(out, lut)
 
     def _scan_fn(self):
         raise NotImplementedError
@@ -374,6 +399,64 @@ class _EmbScanTrackerBase(_ScanTrackerBase):
     def _scan3(self):
         raise NotImplementedError
 
+    def _step3(self):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # Streaming mode (VideoOnlineTrackingEngine): same scan step as the
+    # offline whole-video path, fed one frame at a time with the
+    # detection embeddings and the frame's gmc_warp, so streaming ==
+    # offline frame for frame (tests/test_streaming_equivalence.py).
+    # ------------------------------------------------------------------
+    @property
+    def _jitted_step(self):
+        import jax
+        if not hasattr(self, "_jit_step_cache"):
+            cfg = self._make_config()
+            step = self._step3()
+            self._jit_step_cache = jax.jit(
+                lambda s, d, e, w: step(cfg, s, (d, e, w)))
+        return self._jit_step_cache
+
+    def _online_emb(self, detections: pd.DataFrame, det):
+        """(D, E) embedding matrix aligned with the padded frame."""
+        emb = np.zeros((self.max_dets, self.embed_dim), np.float32)
+        if len(detections) and "embeddings" in detections.columns:
+            for i, (_, e) in enumerate(
+                    detections["embeddings"].items()):
+                if i >= self.max_dets or e is None:
+                    break
+                e = np.asarray(e, np.float32)
+                if e.ndim == 2:
+                    e = e[0]    # part layout: row 0 = global feature
+                emb[i, :min(len(e), self.embed_dim)] = \
+                    e[:self.embed_dim]
+        return emb
+
+    @staticmethod
+    def _online_warp(metadata):
+        w = metadata.get("gmc_warp") if metadata is not None else None
+        if isinstance(w, np.ndarray) and w.shape == (2, 3):
+            return w.astype(np.float32)
+        return np.eye(2, 3, dtype=np.float32)
+
+    def process_online(self, detections: pd.DataFrame,
+                       metadata: pd.Series) -> pd.DataFrame:
+        import jax.numpy as jnp
+        cfg = self._make_config()
+        if getattr(self, "_online_state", None) is None:
+            self._online_state = self._init_state(cfg)
+        dets_in = detections[
+            detections["bbox_conf"] > self.min_confidence] \
+            if len(detections) else detections
+        det, lut = self._pad_frame(dets_in)
+        emb = self._online_emb(dets_in, det)
+        warp = self._online_warp(metadata)
+        self._online_state, out = self._jitted_step(
+            self._online_state, det, jnp.asarray(emb),
+            jnp.asarray(warp))
+        return self._emit_online(out, lut)
+
     def process_video_batch(self, items, mesh=None):
         """Single-chip multi-video batching for embedding trackers:
         time-concatenated scan with per-video state resets (same
@@ -494,6 +577,14 @@ class StrongSORT(_EmbScanTrackerBase):
         from tracklab_tpu.trackers.strongsort import strongsort_scan
         return strongsort_scan
 
+    def _step3(self):
+        from tracklab_tpu.trackers.strongsort import strongsort_step
+        return strongsort_step
+
+    def _init_state(self, cfg):
+        from tracklab_tpu.trackers.strongsort import strongsort_init
+        return strongsort_init(cfg)
+
 
 class BotSORT(_EmbScanTrackerBase):
     """BoT-SORT wrapper; defaults mirror
@@ -527,6 +618,14 @@ class BotSORT(_EmbScanTrackerBase):
     def _scan3(self):
         from tracklab_tpu.trackers.botsort import botsort_scan
         return botsort_scan
+
+    def _step3(self):
+        from tracklab_tpu.trackers.botsort import botsort_step
+        return botsort_step
+
+    def _init_state(self, cfg):
+        from tracklab_tpu.trackers.botsort import botsort_init
+        return botsort_init(cfg)
 
 
 class DeepOCSORT(_EmbScanTrackerBase):
@@ -568,6 +667,14 @@ class DeepOCSORT(_EmbScanTrackerBase):
     def _scan3(self):
         from tracklab_tpu.trackers.deepocsort import deepocsort_scan
         return deepocsort_scan
+
+    def _step3(self):
+        from tracklab_tpu.trackers.deepocsort import deepocsort_step
+        return deepocsort_step
+
+    def _init_state(self, cfg):
+        from tracklab_tpu.trackers.deepocsort import deepocsort_init
+        return deepocsort_init(cfg)
 
 
 class BPBReIDStrongSORT(_EmbScanTrackerBase):
@@ -628,6 +735,76 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
             BPBReIDStrongSortConfig,
         )
         return BPBReIDStrongSortConfig(**self.params)
+
+    def _init_state(self, cfg):
+        from tracklab_tpu.trackers.bpbreid_strongsort import bpbreid_init
+        return bpbreid_init(cfg)
+
+    @property
+    def _jitted_step(self):
+        import jax
+        if not hasattr(self, "_jit_step_cache"):
+            from tracklab_tpu.trackers.bpbreid_strongsort import (
+                bpbreid_step,
+            )
+            cfg = self._make_config()
+            self._jit_step_cache = jax.jit(
+                lambda s, d, fe, vi, kp, w: bpbreid_step(
+                    cfg, s, (d, fe, vi, kp, w)))
+        return self._jit_step_cache
+
+    def process_online(self, detections: pd.DataFrame,
+                       metadata: pd.Series) -> pd.DataFrame:
+        """Streaming step with part features — same scan step as the
+        offline path, one frame at a time."""
+        import jax.numpy as jnp
+        cfg = self._make_config()
+        if getattr(self, "_online_state", None) is None:
+            self._online_state = self._init_state(cfg)
+        dets_in = detections[
+            detections["bbox_conf"] > self.min_confidence] \
+            if len(detections) and self.min_confidence > 0 else detections
+        det, lut = self._pad_frame(dets_in)
+        D, P, E, K = self.max_dets, self.n_parts, self.embed_dim, \
+            self.n_keypoints
+        feat = np.zeros((D, P, E), np.float32)
+        vis = np.zeros((D, P), np.float32)
+        kps = np.zeros((D, K, 3), np.float32)
+        for i, (row, s) in enumerate(dets_in.iterrows()):
+            if i >= D:
+                break
+            e = s.get("embeddings")
+            if e is not None:
+                e2 = np.asarray(e, np.float32)
+                e2 = e2.reshape(-1, e2.shape[-1]) if e2.ndim > 1 \
+                    else e2.reshape(-1, E)
+                r, c = min(e2.shape[0], P), min(e2.shape[1], E)
+                feat[i, :r, :c] = e2[:r, :c]
+            v = s.get("visibility_scores")
+            if v is not None:
+                v = np.asarray(v, np.float32)
+                vis[i, :min(len(v), P)] = v[:P]
+            kk = s.get("keypoints_xyc")
+            if isinstance(kk, np.ndarray):
+                kps[i, :min(len(kk), K)] = kk[:K]
+        warp = self._online_warp(metadata)
+        self._online_state, out = self._jitted_step(
+            self._online_state, det, jnp.asarray(feat),
+            jnp.asarray(vis), jnp.asarray(kps), jnp.asarray(warp))
+        result = self._emit_online(out, lut)
+        # lifecycle columns (reference bpbreid_strong_sort_api.py:14-118)
+        valid = np.asarray(out.valid)
+        keep = [t for t in np.nonzero(valid)[0]
+                if int(out.ref[t]) >= 0 and int(out.ref[t]) in lut]
+        order = {lut[int(out.ref[t])]: t for t in keep}
+        ts = [order[i] for i in result.index]
+        kf_ltwh = result["track_bbox_ltwh"].tolist()
+        result["track_bbox_kf_ltwh"] = kf_ltwh
+        result["hits"] = [int(out.hits[t]) for t in ts]
+        result["age"] = [int(out.age[t]) for t in ts]
+        result["time_since_update"] = [
+            int(out.time_since_update[t]) for t in ts]
+        return result
 
     @property
     def _jitted(self):

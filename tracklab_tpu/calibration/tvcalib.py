@@ -1,13 +1,27 @@
 """TVCalib-style camera calibration by batched gradient descent (JAX).
 
 Rebuild of plugins/calibration/tvcalib (module.py:13-230, optimize.py):
-per-frame camera parameters (pan/tilt/roll/focal/position) are optimized
-with AdamW + cosine schedule against the reprojection distance between
-observed pitch-line points (from a segmentation front-end) and the
-projected pitch template segments. The reference runs this in torch on
-GPU per batch; here the *whole batch of frames* optimizes as one jitted
-XLA program (vmapped loss, single optimizer over a stacked parameter
-pytree) — a natural MXU/VPU fit since everything is small dense algebra.
+per-frame camera parameters are optimized against the reprojection
+distance between observed pitch-line points (from a segmentation
+front-end) and the projected pitch template. TPU-native design:
+
+* the **whole batch** of frames optimizes as one jitted XLA program
+  (vmapped loss, lax.scan over optimizer steps);
+* the reference's per-camera-type runs + offline argmin fusion
+  (cam_distr/tv_main_*.py + fuse_argmin.py selects the min
+  loss_ndc_total hypothesis per image) become one extra vmap axis:
+  every requested camera type optimizes simultaneously and the
+  per-sample argmin picks the winner on device;
+* camera parameters are z-scored latents against the per-type priors
+  (CameraParameterWLensDistDictZScore, cam_modules.py) — including the
+  **lens distortion** (k1, k2) latents, which get the reference's
+  separate slower OneCycle optimizer (module.py:35-58: AdamW lr=0.1 /
+  OneCycle 0.05 for cam vs lr/OneCycle 1e-3 for distortion).
+
+Deviation (documented): the reference undistorts the *observed* points
+once per step with a 1-iteration Newton inverse (module.py:114-118);
+here the *template* projection applies distortion directly — same
+optimum, fully differentiable, no inner iteration.
 """
 from __future__ import annotations
 
@@ -19,28 +33,28 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from tracklab_tpu.calibration.cam_distr import (CAMERA_TYPES,
+                                                priors_array)
 from tracklab_tpu.calibration.camera import CameraParams, project_points
 from tracklab_tpu.calibration.pitch import pitch_segments
 
-__all__ = ["TVCalibConfig", "optimize_cameras"]
+__all__ = ["TVCalibConfig", "optimize_cameras", "unpack_camera"]
 
 
 @dataclass(frozen=True)
 class TVCalibConfig:
     steps: int = 300
-    lr: float = 0.05
+    lr: float = 0.05           # camera-latent OneCycle peak (module.py:41)
+    lr_dist: float = 1e-3      # distortion-latent peak (module.py:52)
+    weight_decay: float = 0.01
     image_width: int = 1920
     image_height: int = 1080
     max_points_per_segment: int = 32
-    # z-scored parameter priors (mean, std) roughly matching tvcalib's
-    # main-camera distribution (cam_distr/tv_main_*.py)
-    pan_prior: tuple = (0.0, 0.6)
-    tilt_prior: tuple = (1.25, 0.2)
-    roll_prior: tuple = (0.0, 0.05)
-    focal_prior: tuple = (2500.0, 1500.0)
-    pos_x_prior: tuple = (0.0, 10.0)
-    pos_y_prior: tuple = (45.0, 10.0)
-    pos_z_prior: tuple = (15.0, 5.0)
+    # camera-type hypotheses optimized in parallel + argmin-fused;
+    # single-entry tuple = the reference's one-subset run
+    camera_types: tuple = ("main_center",)
+    sigma_scale: float = 1.96
+    lens_distortion: bool = False
 
 
 def _build_template(cfg):
@@ -50,28 +64,28 @@ def _build_template(cfg):
     return names, jnp.asarray(pts)
 
 
-def _unpack(z, cfg):
-    """z-scored latent (7,) -> CameraParams."""
-    def un(v, prior):
-        return prior[0] + v * prior[1]
+def unpack_camera(z, priors, cfg) -> CameraParams:
+    """z-scored latent (9,) + per-type priors (9, 2) -> CameraParams.
 
+    Latent order cam_distr.PARAM_ORDER; reference coordinates map to the
+    repo camera model as height = -c_z (z-up here, z-down there) and
+    focal = (W/2) / tan(aov/2)."""
+    p = priors[:, 0] + z * priors[:, 1]
+    pan, tilt, roll, aov, c_x, c_y, c_z, k1, k2 = p
+    aov = jnp.clip(aov, 0.02, jnp.pi * 0.95)
+    focal = (cfg.image_width / 2.0) / jnp.tan(aov / 2.0)
     return CameraParams(
-        pan=un(z[0], cfg.pan_prior),
-        tilt=un(z[1], cfg.tilt_prior),
-        roll=un(z[2], cfg.roll_prior),
-        focal=un(z[3], cfg.focal_prior),
-        position=jnp.stack([
-            un(z[4], cfg.pos_x_prior),
-            un(z[5], cfg.pos_y_prior),
-            un(z[6], cfg.pos_z_prior)]),
-        principal=jnp.array([cfg.image_width / 2, cfg.image_height / 2]),
-    )
+        pan=pan, tilt=tilt, roll=roll, focal=focal,
+        position=jnp.stack([c_x, c_y, -c_z]),
+        principal=jnp.array([cfg.image_width / 2,
+                             cfg.image_height / 2]),
+        distortion=jnp.stack([k1, k2]))
 
 
-def _frame_loss(z, obs_pts, obs_seg, obs_valid, template, cfg):
+def _frame_loss(z, obs_pts, obs_seg, obs_valid, priors, template, cfg):
     """NDC reprojection distance of observed points to their segment's
     projected template points (tvcalib module.py loss)."""
-    cam = _unpack(z, cfg)
+    cam = unpack_camera(z, priors, cfg)
     S, P, _ = template.shape
     proj, in_front = project_points(cam, template.reshape(S * P, 3))
     ndc = proj / jnp.array([cfg.image_width, cfg.image_height])
@@ -91,14 +105,7 @@ def _frame_loss(z, obs_pts, obs_seg, obs_valid, template, cfg):
     return loss + 1e-4 * jnp.sum(z ** 2)
 
 
-def optimize_cameras(observations, cfg: TVCalibConfig = TVCalibConfig()):
-    """Calibrate a batch of frames.
-
-    observations: list (len B) of dicts segment_name -> (N_i, 2) pixel
-    points of detected pitch lines. Returns (list of CameraParams as
-    numpy dicts, per-frame mean reprojection NDC error).
-    """
-    names, template = _build_template(cfg)
+def _pack_observations(observations, names, cfg):
     name_to_idx = {n: i for i, n in enumerate(names)}
     B = len(observations)
     N = cfg.max_points_per_segment * len(names)
@@ -118,37 +125,92 @@ def optimize_cameras(observations, cfg: TVCalibConfig = TVCalibConfig()):
             seg[b, k:k + m] = name_to_idx[nme]
             valid[b, k:k + m] = True
             k += m
+    return pts, seg, valid
 
-    z0 = jnp.zeros((B, 7))
-    tx = optax.adamw(optax.cosine_decay_schedule(cfg.lr, cfg.steps))
+
+def optimize_cameras(observations, cfg: TVCalibConfig = TVCalibConfig(),
+                     init_latents=None):
+    """Calibrate a batch of frames with per-type hypothesis fusion.
+
+    observations: list (len B) of dicts segment_name -> (N_i, 2) pixel
+    points of detected pitch lines. ``init_latents`` optionally
+    warm-starts the GD — (B, 9) (broadcast over hypotheses) or
+    (H, B, 9) z-scored latents, e.g. from the SoccerNet baseline's
+    homography init (sn_baseline.camera_to_latent). Returns (list of
+    per-frame camera dicts — reference to_json_parameters naming +
+    'camera' (CameraParams), 'camera_type', 'latent',
+    'hypothesis_losses' — and the (B,) selected NDC error array).
+    """
+    names, template = _build_template(cfg)
+    pts, seg, valid = _pack_observations(observations, names, cfg)
+    B = len(observations)
+    H = len(cfg.camera_types)
+    priors = jnp.asarray(priors_array(
+        cfg.camera_types, cfg.sigma_scale,
+        lens_distortion=cfg.lens_distortion))          # (H, 9, 2)
+
+    if init_latents is not None:
+        zi = np.asarray(init_latents, np.float32)
+        if zi.ndim == 2:
+            zi = np.broadcast_to(zi, (H,) + zi.shape)
+        z0 = {"cam": jnp.asarray(zi[..., :7]),
+              "dist": jnp.asarray(zi[..., 7:])}
+    else:
+        z0 = {"cam": jnp.zeros((H, B, 7)),
+              "dist": jnp.zeros((H, B, 2))}
+    sched_cam = optax.cosine_onecycle_schedule(
+        cfg.steps, cfg.lr, pct_start=0.5)
+    sched_dist = optax.cosine_onecycle_schedule(
+        cfg.steps, cfg.lr_dist, pct_start=0.33)
+    tx = optax.multi_transform(
+        {"cam": optax.adamw(sched_cam, weight_decay=cfg.weight_decay),
+         "dist": optax.adamw(sched_dist,
+                             weight_decay=cfg.weight_decay)},
+        {"cam": "cam", "dist": "dist"})
     opt_state = tx.init(z0)
 
     loss_fn = partial(_frame_loss, template=template, cfg=cfg)
 
+    def losses_of(z):
+        zfull = jnp.concatenate([z["cam"], z["dist"]], axis=-1)
+        per_type = jax.vmap(
+            lambda zh, ph: jax.vmap(
+                lambda zb, p, s, v: loss_fn(zb, p, s, v, ph))(
+                zh, pts_j, seg_j, valid_j),
+            in_axes=(0, 0))(zfull, priors)
+        return per_type                                 # (H, B)
+
+    pts_j, seg_j, valid_j = (jnp.asarray(pts), jnp.asarray(seg),
+                             jnp.asarray(valid))
+
     @jax.jit
-    def run(z, opt_state, pts, seg, valid):
+    def run(z, opt_state):
         def step(carry, _):
             z, opt_state = carry
-
-            def total(z_):
-                losses = jax.vmap(loss_fn)(z_, pts, seg, valid)
-                return jnp.sum(losses)
-
-            grads = jax.grad(total)(z)
+            grads = jax.grad(lambda z_: jnp.sum(losses_of(z_)))(z)
             updates, opt_state = tx.update(grads, opt_state, z)
             z = optax.apply_updates(z, updates)
             return (z, opt_state), None
 
         (z, opt_state), _ = jax.lax.scan(step, (z, opt_state), None,
                                          length=cfg.steps)
-        final = jax.vmap(loss_fn)(z, pts, seg, valid)
-        return z, final
+        final = losses_of(z)                            # (H, B)
+        best = jnp.argmin(final, axis=0)                # (B,) argmin fuse
+        return z, final, best
 
-    z, err = run(z0, opt_state, jnp.asarray(pts), jnp.asarray(seg),
-                 jnp.asarray(valid))
+    z, final, best = run(z0, opt_state)
+    zfull = np.asarray(jnp.concatenate([z["cam"], z["dist"]], axis=-1))
+    final = np.asarray(final)
+    best = np.asarray(best)
+    priors_np = np.asarray(priors)
+
     cams = []
+    err = np.zeros(B, np.float32)
     for b in range(B):
-        cam = _unpack(z[b], cfg)
+        h = int(best[b])
+        zb = jnp.asarray(zfull[h, b])
+        cam = unpack_camera(zb, jnp.asarray(priors_np[h]), cfg)
+        err[b] = final[h, b]
         cams.append({
             "pan_degrees": float(jnp.rad2deg(cam.pan)),
             "tilt_degrees": float(jnp.rad2deg(cam.tilt)),
@@ -158,6 +220,13 @@ def optimize_cameras(observations, cfg: TVCalibConfig = TVCalibConfig()):
             "principal_point": [cfg.image_width / 2,
                                 cfg.image_height / 2],
             "position_meters": [float(v) for v in cam.position],
-            "latent": np.asarray(z[b]),
+            "radial_distortion": [float(cam.distortion[0]),
+                                  float(cam.distortion[1])],
+            "camera_type": cfg.camera_types[h],
+            "camera": cam,
+            "latent": zfull[h, b],
+            "hypothesis_losses": {
+                ct: float(final[i, b])
+                for i, ct in enumerate(cfg.camera_types)},
         })
-    return cams, np.asarray(err)
+    return cams, err

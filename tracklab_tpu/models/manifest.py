@@ -1,0 +1,210 @@
+"""Checkpoint-readiness manifests: expected torch state-dict key sets.
+
+VERDICT r2 item 7: every converter is activation-parity tested against
+in-test torch oracles, but no official checkpoint file exists
+in-container (no network). This module makes checkpoint-readiness
+checkable anyway:
+
+* :func:`expected_torch_keys` enumerates, for a family's canonical
+  build, exactly the torch keys the name-mapped converter will consume
+  (flax param paths -> converter key fn, via ``jax.eval_shape`` — no
+  weights are materialized). tests/manifests/<family>.json freezes
+  these sets; tests/test_checkpoint_manifests.py asserts the live
+  mapping still matches, so key-map drift is caught at test time.
+* :func:`family_for_checkpoint` classifies a real checkpoint filename
+  the way the reference resolves its downloads (utils/download.py,
+  strong_sort/reid_multibackend.py:57-66), and
+  :func:`validate_checkpoint` runs conversion + a forward smoke — the
+  gated test auto-discovers any real file under cache/ and validates
+  it with zero code changes.
+"""
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+__all__ = ["FAMILIES", "expected_torch_keys", "family_for_checkpoint",
+           "validate_checkpoint", "discover_checkpoints"]
+
+
+def _yolox(variant):
+    def build():
+        from tracklab_tpu.models.yolox import YOLOX
+        return YOLOX(num_classes=80, variant=variant), (1, 640, 640, 3)
+    return build
+
+
+def _yolov8(variant):
+    def build():
+        from tracklab_tpu.models.yolov8 import YOLOv8
+        return YOLOv8(num_classes=80, variant=variant), (1, 640, 640, 3)
+    return build
+
+
+def _yolo11(variant):
+    def build():
+        from tracklab_tpu.models.yolo11 import YOLO11
+        return YOLO11(num_classes=80, variant=variant), (1, 640, 640, 3)
+    return build
+
+
+def _yolo11_pose():
+    from tracklab_tpu.models.yolo11 import YOLO11Pose
+    return YOLO11Pose(num_classes=1, num_keypoints=17,
+                      variant="n"), (1, 640, 640, 3)
+
+
+def _vitpose():
+    from tracklab_tpu.models.vitpose import ViTPose
+    return ViTPose(num_keypoints=17, variant="base"), (1, 256, 192, 3)
+
+
+def _rtmdet(variant):
+    def build():
+        from tracklab_tpu.models.rtmdet import RTMDet
+        return RTMDet(num_classes=80, variant=variant), (1, 640, 640, 3)
+    return build
+
+
+def _osnet():
+    from tracklab_tpu.models.osnet import OSNet
+    return OSNet(variant="x1_0"), (1, 256, 128, 3)
+
+
+def _kpr():
+    from tracklab_tpu.models.kpr import KPR
+    return KPR(), (1, 384, 128, 3)
+
+
+def _reid(name):
+    def build():
+        from tracklab_tpu.wrappers.reid.osnet_api import (
+            select_backbone_model,
+        )
+        crop = (160, 64) if name == "hacnn" else (256, 128)
+        return (select_backbone_model(name, crop_size=crop),
+                (1,) + crop + (3,))
+    return build
+
+
+# family -> (builder, filename regex). Builders return (model, shape).
+FAMILIES = {
+    "yolox_s": (_yolox("s"), r"yolox_s"),
+    "yolox_m": (_yolox("m"), r"yolox_m"),
+    "yolox_nano": (_yolox("nano"), r"yolox_nano"),
+    "yolox_tiny": (_yolox("tiny"), r"yolox_tiny"),
+    "yolov8_n": (_yolov8("n"), r"yolov8n"),
+    "yolov8_s": (_yolov8("s"), r"yolov8s"),
+    "yolo11_n": (_yolo11("n"), r"yolo11n(?!-pose)"),
+    "yolo11_s": (_yolo11("s"), r"yolo11s(?!-pose)"),
+    "yolo11_pose_n": (_yolo11_pose, r"yolo11n-pose"),
+    "vitpose_b": (_vitpose, r"vitpose"),
+    "rtmdet_nano": (_rtmdet("nano"), r"rtmdet_?nano"),
+    "rtmdet_tiny": (_rtmdet("tiny"), r"rtmdet_?tiny"),
+    "osnet_x1_0": (_osnet, r"osnet_x1_0"),
+    "kpr": (_kpr, r"kpr_"),
+    "resnet50_reid": (_reid("resnet50"), r"resnet50(?!mid|_ibn|_fc)"),
+    "mobilenetv2_reid": (_reid("mobilenetv2_x1_0"), r"mobilenetv2"),
+    "densenet121_reid": (_reid("densenet121"), r"densenet121"),
+    "mlfn_reid": (_reid("mlfn"), r"mlfn"),
+    "hacnn_reid": (_reid("hacnn"), r"hacnn"),
+    "pcb_p6_reid": (_reid("pcb_p6"), r"pcb_p6"),
+    "osnet_ain_x1_0": (_reid("osnet_ain_x1_0"), r"osnet_ain_x1_0"),
+}
+
+
+def _key_fn_for(model):
+    """The converter's flax-path -> torch-key mapping for this model
+    family (mirrors convert._torch_converter_for)."""
+    from tracklab_tpu.models import convert as C
+    name = type(model).__name__
+    table = {
+        "YOLOX": C._yolox_torch_key,
+        "YOLOv8": C._yolov8_torch_key,
+        "YOLO11": C._yolov8_torch_key,
+        "YOLO11Pose": C._yolov8_torch_key,
+        "ViTPose": C._vitpose_torch_key,
+        "RTMDet": C._rtmdet_torch_key,
+        "OSNet": C._osnet_torch_key,
+        "KPR": C._kpr_torch_key,
+        "ReidInceptionV4": C._inception_torch_key,
+        "ReidInceptionResNetV2": C._inception_torch_key,
+        "ReidNASNetAMobile": C._inception_torch_key,
+        "RTDetrHF": C._rtdetr_hf_torch_key,
+    }
+    return table.get(name, C._generic_torch_key)
+
+
+def expected_torch_keys(family: str) -> list:
+    """Sorted torch keys the converter consumes for this family's
+    canonical build (weight-free: jax.eval_shape)."""
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict
+
+    builder, _ = FAMILIES[family]
+    model, shape = builder()
+    key_fn = _key_fn_for(model)
+    if type(model).__name__ == "KPR":
+        h, w = model.img_size
+        init = lambda: model.init(  # noqa: E731
+            jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+            jnp.zeros((1, h, w, model.n_prompt_ch)), train=False)
+    else:
+        init = lambda: model.init(  # noqa: E731
+            jax.random.PRNGKey(0), jnp.zeros(shape), train=False)
+    variables = jax.eval_shape(init)
+    keys = set()
+    for path in flatten_dict(variables):
+        tk = key_fn(path)
+        if tk is not None:
+            keys.add(tk)
+    return sorted(keys)
+
+
+def family_for_checkpoint(path) -> str | None:
+    """Classify a checkpoint file by name; None when unrecognized."""
+    name = Path(path).name.lower()
+    for family, (_, pattern) in FAMILIES.items():
+        if re.search(pattern, name):
+            return family
+    return None
+
+
+def discover_checkpoints(root="cache"):
+    """(path, family) for every recognizable torch checkpoint under
+    ``root`` (the gated real-weight sweep)."""
+    root = Path(root)
+    if not root.exists():
+        return []
+    out = []
+    for p in sorted(root.rglob("*")):
+        if p.suffix.lower() in (".pth", ".pt", ".bin") or \
+                p.name.endswith(".pth.tar"):
+            fam = family_for_checkpoint(p)
+            if fam is not None:
+                out.append((p, fam))
+    return out
+
+
+def validate_checkpoint(path, family: str):
+    """Convert a real checkpoint and run one forward pass; returns the
+    output pytree. Raises on any key/shape mismatch (convert_by_name is
+    strict)."""
+    import jax
+    import jax.numpy as jnp
+    from tracklab_tpu.models.convert import load_checkpoint
+
+    builder, _ = FAMILIES[family]
+    model, shape = builder()
+    variables = load_checkpoint(path, model, shape)
+    if type(model).__name__ == "KPR":
+        h, w = model.img_size
+        return model.apply(variables, jnp.zeros((1, h, w, 3)),
+                           jnp.zeros((1, h, w, model.n_prompt_ch)),
+                           train=False)
+    x = jnp.zeros(shape, jnp.float32)
+    try:
+        return model.apply(variables, x, train=False)
+    except TypeError:
+        return model.apply(variables, x)

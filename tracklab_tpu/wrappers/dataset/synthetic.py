@@ -42,10 +42,66 @@ def _ensure_renderer():
     register_virtual_renderer("synthetic", _render_frame)
 
 
+def _gs_camera(img_w, img_h, pan=0.0):
+    """Per-video synthetic broadcast camera (wide main view) for the
+    game-state mode."""
+    import jax.numpy as jnp
+    from tracklab_tpu.calibration.camera import CameraParams
+    return CameraParams(
+        pan=jnp.asarray(pan), tilt=jnp.asarray(1.25),
+        roll=jnp.asarray(0.01),
+        focal=jnp.asarray(1100.0 * img_w / 1920.0),
+        position=jnp.asarray([0.0, 55.0, 18.0]),
+        principal=jnp.asarray([img_w / 2.0, img_h / 2.0]))
+
+
+def _gs_pitch_lines(cam, img_w, img_h, rng, noise=0.5):
+    """Observed pitch-marking points for the calibration front-end."""
+    import jax.numpy as jnp
+    from tracklab_tpu.calibration.camera import project_points
+    from tracklab_tpu.calibration.pitch import pitch_segments
+    obs = {}
+    for name, pts in pitch_segments().items():
+        px, front = project_points(cam, jnp.asarray(pts))
+        px = np.asarray(px)
+        front = np.asarray(front)
+        inside = (front & (px[:, 0] > 0) & (px[:, 0] < img_w)
+                  & (px[:, 1] > 0) & (px[:, 1] < img_h))
+        if inside.sum() >= 4:
+            obs[name] = (px[inside]
+                         + rng.normal(0, noise, (int(inside.sum()), 2))
+                         ).astype(np.float32)
+    return obs
+
+
+def _gs_bbox_pitch(cam, boxes):
+    """GT boxes -> bbox_pitch dicts via the TRUE camera (the GSR GT
+    layout, soccernet.py bbox_pitch)."""
+    import jax.numpy as jnp
+    from tracklab_tpu.calibration.camera import backproject_to_pitch
+    boxes = np.asarray(boxes, float)
+    bl = np.stack([boxes[:, 0], boxes[:, 1] + boxes[:, 3]], 1)
+    br = np.stack([boxes[:, 0] + boxes[:, 2],
+                   boxes[:, 1] + boxes[:, 3]], 1)
+    bm = (bl + br) / 2
+    world = np.asarray(backproject_to_pitch(
+        cam, jnp.asarray(np.concatenate([bl, br, bm], axis=0))))
+    n = len(boxes)
+    return [{
+        "x_bottom_left": float(world[i, 0]),
+        "y_bottom_left": float(world[i, 1]),
+        "x_bottom_right": float(world[n + i, 0]),
+        "y_bottom_right": float(world[n + i, 1]),
+        "x_bottom_middle": float(world[2 * n + i, 0]),
+        "y_bottom_middle": float(world[2 * n + i, 1]),
+    } for i in range(n)]
+
+
 def make_synthetic_set(n_videos=2, n_frames=100, n_objects=8, seed=0,
                        det_noise=0.0, det_dropout=0.0, fp_rate=0.0,
                        img_w=1920, img_h=1080, id_offset=0,
-                       with_keypoints=False, n_keypoints=17):
+                       with_keypoints=False, n_keypoints=17,
+                       game_state=False):
     rng = np.random.default_rng(seed)
     _ensure_renderer()
     video_rows, image_rows, det_rows = [], [], []
@@ -63,6 +119,8 @@ def make_synthetic_set(n_videos=2, n_frames=100, n_objects=8, seed=0,
         min_size = max_size / 3.0
         lo = [min(100.0, img_w / 10.0), min(100.0, img_h / 10.0)]
         hi = [img_w - 2 * max_size, img_h - 2 * max_size]
+        cam = _gs_camera(img_w, img_h, pan=0.05 * v) if game_state \
+            else None
         pos = rng.uniform(lo, hi, (n_objects, 2))
         vel = rng.uniform(-6, 6, (n_objects, 2))
         size = rng.uniform(min_size, max_size, (n_objects, 2))
@@ -72,11 +130,15 @@ def make_synthetic_set(n_videos=2, n_frames=100, n_objects=8, seed=0,
         for f in range(1, n_frames + 1):
             image_id = image_counter
             image_counter += 1
-            image_rows.append({
+            image_row = {
                 "id": image_id, "video_id": video_id, "frame": f,
                 "file_path": f"synthetic://{video_id}/{f}",
                 "is_labeled": True,
-            })
+            }
+            if game_state:
+                image_row["pitch_lines"] = _gs_pitch_lines(
+                    cam, img_w, img_h, rng)
+            image_rows.append(image_row)
             pos = pos + vel
             # bounce off borders
             lims = (img_w - 1.2 * max_size, img_h - 1.2 * max_size)
@@ -107,6 +169,24 @@ def make_synthetic_set(n_videos=2, n_frames=100, n_objects=8, seed=0,
                     kp[:, :2] = c[None, :] + kp_frac[k] * s[None, :]
                     row["keypoints_xyc"] = kp
                     row["keypoints_conf"] = 1.0
+                if game_state:
+                    # GSR attributes: GT labels + the per-detection
+                    # prediction columns the attribute heads would emit
+                    # (sn-gamestate scope; tracklab ships the voting
+                    # hooks — majority_vote_api.py:24-51)
+                    team = "left" if k % 2 == 0 else "right"
+                    role = "goalkeeper" if k == 0 else "player"
+                    row["team"] = team
+                    row["role"] = role
+                    row["jersey_number"] = k + 1
+                    row["team_detection"] = team
+                    row["team_confidence"] = 1.0
+                    row["role_detection"] = role
+                    row["role_confidence"] = 1.0
+                    row["jersey_number_detection"] = k + 1
+                    row["jersey_number_confidence"] = 1.0
+                    row["bbox_pitch"] = _gs_bbox_pitch(
+                        cam, row["bbox_ltwh"][None])[0]
                 det_rows.append(row)
                 det_counter += 1
             if fp_rate:
@@ -136,16 +216,18 @@ class SyntheticDataset(TrackingDataset):
                  det_noise: float = 0.0, det_dropout: float = 0.0,
                  fp_rate: float = 0.0, nvid: int = -1, nframes: int = -1,
                  img_w: int = 1920, img_h: int = 1080,
-                 with_keypoints: bool = False, **kwargs):
+                 with_keypoints: bool = False,
+                 game_state: bool = False, **kwargs):
         sets = {
             "train": make_synthetic_set(
                 n_videos, n_frames, n_objects, seed, det_noise,
                 det_dropout, fp_rate, img_w=img_w, img_h=img_h,
-                with_keypoints=with_keypoints),
+                with_keypoints=with_keypoints, game_state=game_state),
             "val": make_synthetic_set(
                 n_videos, n_frames, n_objects, seed + 1, det_noise,
                 det_dropout, fp_rate, img_w=img_w, img_h=img_h,
-                id_offset=n_videos, with_keypoints=with_keypoints),
+                id_offset=n_videos, with_keypoints=with_keypoints,
+                game_state=game_state),
         }
         super().__init__(dataset_path, sets, nvid=nvid, nframes=nframes,
                          **kwargs)

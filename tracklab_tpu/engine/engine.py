@@ -69,8 +69,12 @@ class TrackingEngine:
 
     def __init__(self, tracker_state: TrackerState, modules,
                  callbacks: Dict[str, Callback] | List[Callback] | None =
-                 None, num_workers: int = 4, **kwargs):
+                 None, num_workers: int = 4, fused: bool = False,
+                 **kwargs):
         self.tracker_state = tracker_state
+        # fused fast path: collapse a device detector + device tracker
+        # pipeline prefix into ONE XLA program per video (engine/fused.py)
+        self.fused = fused
         self.module_names = [m.name for m in modules]
         self.models = {m.name: m for m in modules}
         self.num_workers = num_workers

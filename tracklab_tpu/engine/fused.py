@@ -113,7 +113,12 @@ def fused_detect_track(detect_fn, step_fn, init_state, frames: jnp.ndarray,
     def to_chunks(x):
         return x.reshape((n_chunks, chunk) + x.shape[1:])
 
-    xs = {"frames": to_chunks(frames)}
+    xs = {"frames": to_chunks(frames),
+          # per-chunk first-frame index -> video-global detection refs
+          # (frame * D + slot), so a coasting track's stale ref resolves
+          # unambiguously across the whole video (the engine join
+          # semantics, scan_tracker._pad_video)
+          "frame_base": jnp.arange(n_chunks, dtype=jnp.int32) * chunk}
     if meta is not None:
         xs["meta"] = jax.tree_util.tree_map(to_chunks, meta)
     if frame_valid is not None:
@@ -121,6 +126,11 @@ def fused_detect_track(detect_fn, step_fn, init_state, frames: jnp.ndarray,
 
     def body(state, x):
         dets = detect_fn(x["frames"], x.get("meta"))
+        D = dets.ref.shape[1]
+        frame_idx = x["frame_base"] + jnp.arange(chunk, dtype=jnp.int32)
+        dets = dets._replace(
+            ref=frame_idx[:, None] * D
+            + jnp.arange(D, dtype=jnp.int32)[None, :])
         if "frame_valid" in x:
             dets = dets._replace(
                 valid=dets.valid & x["frame_valid"][:, None])
@@ -138,3 +148,96 @@ def fused_detect_track(detect_fn, step_fn, init_state, frames: jnp.ndarray,
         dets = jax.tree_util.tree_map(flat, dets)
         return final, dets, outs
     return final, None, outs
+
+
+def run_fused_video(detector, tracker, loader, metadatas):
+    """Host orchestration of the fused fast path for one video.
+
+    Collects the detector's host-preprocessed letterboxed frames (decode
+    stays on the loader's threads), runs ONE fused device program
+    (detector -> NMS -> device unletterbox -> tracker scan), and emits
+    both modules' output DataFrames with exactly the staged path's
+    public columns and row-id assignment (yolox_api.process /
+    scan_tracker._emissions_to_df). Used by OfflineTrackingEngine when
+    ``fused=true`` and the first two pipeline modules support it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from tracklab_tpu.utils import coordinates as C
+
+    frame_ids, imgs, scales, pads, shapes = [], [], [], [], []
+    for ids, samples in loader:
+        frame_ids.extend(np.asarray(ids).tolist())
+        imgs.append(np.asarray(samples["image"]))
+        scales.append(np.asarray(samples["scale"], np.float32))
+        pads.append(np.asarray(samples["pad"], np.float32))
+        shapes.append(np.asarray(samples["shape"], np.float32))
+    if not frame_ids:
+        return pd.DataFrame(), pd.DataFrame()
+    images = np.concatenate(imgs)
+    meta = {"scale": np.concatenate(scales),
+            "pad": np.concatenate(pads),
+            "shape": np.concatenate(shapes)}
+    F0 = len(frame_ids)
+    chunk = min(max(int(getattr(detector, "batch_size", 8)), 1), F0)
+    F_pad = ((F0 + chunk - 1) // chunk) * chunk
+    if F_pad > F0:
+        pad_n = F_pad - F0
+        images = np.concatenate(
+            [images, np.zeros((pad_n,) + images.shape[1:],
+                              images.dtype)])
+        meta = {k: np.concatenate(
+            [v, np.ones((pad_n,) + v.shape[1:], v.dtype)])
+            for k, v in meta.items()}
+    frame_valid = np.arange(F_pad) < F0
+
+    detect_fn = detector.device_detect_fn()
+    D = detector.max_dets
+    cfg = tracker._make_config()
+    trk_D = cfg.max_dets
+    base_step = tracker._step_fn()
+    init_state = tracker._init_state(cfg)
+
+    def step(state, det):
+        if trk_D < D:
+            det = Detections(*[x[:trk_D] for x in det])
+        return base_step(cfg, state, det)
+
+    runner = jax.jit(lambda f, m, v: fused_detect_track(
+        detect_fn, step, init_state, f, chunk, meta=m, frame_valid=v))
+    _, dets, outs = runner(
+        jnp.asarray(images),
+        {k: jnp.asarray(v) for k, v in meta.items()},
+        jnp.asarray(frame_valid))
+
+    # ---- detector DataFrame (yolox_api.process row semantics) ----
+    valid = np.asarray(dets.valid[:F0])
+    ltrb = np.asarray(dets.ltrb[:F0])
+    score = np.asarray(dets.conf[:F0])
+    cls = np.asarray(dets.cls[:F0])
+    lut = np.full(F_pad * D, -1, np.int64)
+    rows = []
+    for f in range(F0):
+        image_id = frame_ids[f]
+        md = metadatas.loc[image_id]
+        for d in np.nonzero(valid[f])[0]:
+            box = ltrb[f, d]
+            lt = box[:2]
+            wh = box[2:] - box[:2]
+            rows.append(pd.Series(dict(
+                image_id=image_id,
+                video_id=md.video_id,
+                category_id=int(cls[f, d]) + detector.class_offset,
+                bbox_ltwh=np.concatenate([lt, wh]).astype(np.float32),
+                bbox_conf=float(score[f, d]),
+            ), name=detector.id))
+            lut[f * D + d] = detector.id
+            detector.id += 1
+    det_df = pd.DataFrame(rows) if rows else pd.DataFrame()
+
+    # ---- tracker DataFrame (same join as the staged whole-video scan)
+    trk_df = tracker._emissions_to_df(outs, F0, lut)
+    if len(trk_df):
+        trk_df = trk_df[trk_df.index >= 0]
+    return det_df, trk_df

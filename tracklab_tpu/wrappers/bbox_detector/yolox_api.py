@@ -32,6 +32,9 @@ class YOLOXDetector(ImageLevelModule):
     output_columns = ["image_id", "video_id", "category_id", "bbox_ltwh",
                       "bbox_conf"]
     collate_fn = staticmethod(default_collate)
+    # the engine's fused fast path can inline this detector into one
+    # detector->NMS->tracker device program (engine/fused.py)
+    supports_fused_detect = True
 
     def __init__(self, variant: str = "s", num_classes: int = 1,
                  input_size=(640, 640), min_confidence: float = 0.4,
@@ -83,6 +86,21 @@ class YOLOXDetector(ImageLevelModule):
         self._model = model
         self._variables = variables
         self._infer = jax.jit(infer)
+
+    def device_detect_fn(self):
+        """Jit-ready ``(frames, meta) -> Detections`` closure for the
+        fused engine path — identical math to ``process`` (the device
+        unletterbox reproduces the host rescale/clip/drop exactly,
+        tests/test_fused_pipeline.py)."""
+        if self._infer is None:
+            self._build()
+        import jax.numpy as jnp
+        from tracklab_tpu.engine.fused import make_yolox_detect_fn
+        return make_yolox_detect_fn(
+            self._model, self._variables,
+            conf_threshold=self.min_confidence,
+            iou_threshold=self.nms_iou, max_dets=self.max_dets,
+            compute_dtype=jnp.float32)
 
     # ------------------------------------------------------------------
     def preprocess(self, image, detections, metadata) -> Any:

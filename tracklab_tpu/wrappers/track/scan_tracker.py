@@ -351,6 +351,10 @@ class OCSORT(_ScanTrackerBase):
     """OC-SORT wrapper; hyperparameter names/defaults mirror
     tracklab/configs/modules/track/oc_sort.yaml."""
 
+    # Detections-only scan step: fusable with a device detector into
+    # one program (engine/fused.py)
+    supports_fused_track = True
+
     def __init__(self, det_thresh: float = 0.4432, max_age: int = 50,
                  min_hits: int = 1, iou_threshold: float = 0.2214,
                  delta_t: int = 3, asso_func: str = "iou",
@@ -931,6 +935,8 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
 class ByteTrack(_ScanTrackerBase):
     """ByteTrack wrapper; defaults mirror
     plugins/track/byte_track/configs/bytetrack.yaml."""
+
+    supports_fused_track = True
 
     def __init__(self, track_thresh: float = 0.6,
                  match_thresh: float = 0.8, track_buffer: int = 25,

@@ -123,36 +123,103 @@ class CSPLayer(nn.Module):
 
 
 class SPPBottleneck(nn.Module):
+    """SPP block. ``cascade=True`` computes the 9x9 and 13x13 max pools
+    as compositions of 5x5 pools (max_5(max_5) == max_9,
+    max_5(max_9) == max_13 — EXACT for max with -inf padding, the SPPF
+    identity): 3 small windows instead of 5/9/13 slashes the pad-copy
+    HBM traffic the r2 HLO analysis flagged (~30 GB/batch of pad
+    copies, BASELINE.md)."""
     features: int
     dtype: Any = jnp.float32
+    cascade: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = x.shape[-1] // 2
         x = ConvBnAct(hidden, 1, dtype=self.dtype, name="conv1")(x, train)
-        pools = [x]
-        for k in (5, 9, 13):
-            pools.append(nn.max_pool(x, (k, k), strides=(1, 1),
-                                     padding=[(k // 2, k // 2)] * 2))
+        if self.cascade:
+            p5 = nn.max_pool(x, (5, 5), strides=(1, 1),
+                             padding=[(2, 2)] * 2)
+            p9 = nn.max_pool(p5, (5, 5), strides=(1, 1),
+                             padding=[(2, 2)] * 2)
+            p13 = nn.max_pool(p9, (5, 5), strides=(1, 1),
+                              padding=[(2, 2)] * 2)
+            pools = [x, p5, p9, p13]
+        else:
+            pools = [x]
+            for k in (5, 9, 13):
+                pools.append(nn.max_pool(x, (k, k), strides=(1, 1),
+                                         padding=[(k // 2, k // 2)] * 2))
         x = jnp.concatenate(pools, axis=-1)
         return ConvBnAct(self.features, 1, dtype=self.dtype,
                          name="conv2")(x, train)
 
 
+class _FocusKernel(nn.Module):
+    """Param holder matching nn.Conv's subtree (<name>/kernel) so the
+    fused stem keeps the exact ConvBnAct parameter layout."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
 class Focus(nn.Module):
-    """Space-to-depth stem: (B, H, W, C) -> (B, H/2, W/2, 4C) -> conv."""
+    """Space-to-depth stem: (B, H, W, C) -> (B, H/2, W/2, 4C) -> conv.
+
+    ``fused=True`` (default) skips materializing the space-to-depth
+    image: a 3x3 conv over the s2d image is EXACTLY a 6x6/stride-2 conv
+    over the raw image with the kernel entries relaid as
+    k6[2a+di, 2b+dj, c, o] = k3[a, b, (di + 2 dj) C + c, o]
+    (channel groups follow the concat([TL, BL, TR, BR]) order, so
+    di + 2 dj indexes the group) and padding (2, 2) (= the s2d SAME pad
+    of 1 mapped back to raw pixels). The parameter stays the checkpoint
+    layout (3, 3, 4C, F) under conv/conv/kernel; the relayout is a
+    per-forward gather on a tiny tensor. This removes the stem's
+    biggest pad-copy (the 4-slice + concat of the full-res input, r2
+    HLO analysis, BASELINE.md)."""
     features: int
     dtype: Any = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        tl = x[:, ::2, ::2]
-        bl = x[:, 1::2, ::2]
-        tr = x[:, ::2, 1::2]
-        br = x[:, 1::2, 1::2]
-        x = jnp.concatenate([tl, bl, tr, br], axis=-1)
-        return ConvBnAct(self.features, 3, 1, dtype=self.dtype,
-                         name="conv")(x, train)
+        if not self.fused:
+            tl = x[:, ::2, ::2]
+            bl = x[:, 1::2, ::2]
+            tr = x[:, ::2, 1::2]
+            br = x[:, 1::2, 1::2]
+            x = jnp.concatenate([tl, bl, tr, br], axis=-1)
+            return ConvBnAct(self.features, 3, 1, dtype=self.dtype,
+                             name="conv")(x, train)
+        C = x.shape[-1]
+        scope = self
+        # param tree identical to ConvBnAct(name="conv"):
+        # conv/conv/kernel + conv/bn/*
+        class _Stem(nn.Module):
+            features: int
+            dtype: Any
+
+            @nn.compact
+            def __call__(self, x, train):
+                k3 = _FocusKernel((3, 3, 4 * C, self.features),
+                                  name="conv")()
+                # (a, b, g, c, F) with g = di + 2*dj -> (a, di, b, dj)
+                k6 = k3.reshape(3, 3, 2, 2, C, self.features) \
+                    .transpose(0, 3, 1, 2, 4, 5) \
+                    .reshape(6, 6, C, self.features)
+                y = jax.lax.conv_general_dilated(
+                    x.astype(scope.dtype), k6.astype(scope.dtype),
+                    window_strides=(2, 2), padding=[(2, 2), (2, 2)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                y = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.97, epsilon=1e-3,
+                                 dtype=jnp.float32, name="bn")(y)
+                return nn.silu(y).astype(scope.dtype)
+
+        return _Stem(self.features, self.dtype, name="conv")(x, train)
 
 
 class CSPDarknet(nn.Module):

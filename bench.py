@@ -127,24 +127,59 @@ def main():
     # frames -> detector -> NMS -> tracker state carried across chunks,
     # one dispatch for the whole video (VERDICT r2 item 1: measured, not
     # a derived harmonic of the two stage rates).
-    detect_fn = make_yolox_detect_fn(
-        model, variables, conf_threshold=0.3, iou_threshold=0.65,
-        max_dets=cfg.max_dets, compute_dtype=jnp.bfloat16)
+    #
+    # Workload realism: the video is quasi-static (base frame + small
+    # temporal noise), so the random-weight detector's NMS output is
+    # frame-COHERENT — detections persist and match across frames like
+    # real MOT objects (a 30 fps pedestrian moves ~3% of its box per
+    # frame). An i.i.d.-random video instead yields 32 UNMATCHABLE new
+    # boxes every frame — max-birth/max-association saturation, the
+    # adversarial worst case, reported separately below. The NMS
+    # threshold is auto-calibrated so ~20 detections/frame survive:
+    # the same 20-object load as the tracker micro-bench and the r2
+    # derived headline (BASELINE.md), making the numbers comparable.
     n_chunks = 4
     F = n_chunks * BATCH  # 1536 frames ~ one MOT17 video, 1.8 GB uint8
-    video = jnp.asarray(
-        np.random.default_rng(1).integers(0, 255, (F, H, W, 3)), jnp.uint8)
-    fused = jax.jit(lambda f: fused_detect_track(
-        detect_fn, partial(ocsort_step, cfg), ocsort_init(cfg), f,
-        chunk=BATCH, return_detections=False))
-    _, _, out = fused(video)
-    np.asarray(out.valid).sum()
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    rng1 = np.random.default_rng(1)
+    base = rng1.integers(0, 235, (1, H, W, 3))
+    video = jnp.asarray(base + rng1.integers(0, 20, (F, H, W, 3)),
+                        jnp.uint8)
+    # calibrate: threshold between the 20th and 21st best score on the
+    # base frame (deterministic seed + weights -> stable across runs,
+    # so the jitted program hash stays cacheable)
+    probe = model.apply(variables, video[:1].astype(jnp.bfloat16),
+                        method=YOLOX.predict)
+    s = np.asarray(probe[0, :, 4] * probe[0, :, 5:].max(-1))
+    top = np.sort(s)[::-1]
+    conf_cal = float(round((top[19] + top[20]) / 2, 6))
+
+    def run_fused(video, conf, tag):
+        detect_fn = make_yolox_detect_fn(
+            model, variables, conf_threshold=conf, iou_threshold=0.65,
+            max_dets=cfg.max_dets, compute_dtype=jnp.bfloat16)
+        fused = jax.jit(lambda f: fused_detect_track(
+            detect_fn, partial(ocsort_step, cfg), ocsort_init(cfg), f,
+            chunk=BATCH, return_detections=False))
         _, _, out = fused(video)
-        np.asarray(out.valid).sum()
-    e2e_dt = (time.perf_counter() - t0) / reps
-    e2e_fps = F / e2e_dt
+        per_frame = float(np.asarray(out.valid).sum(1).mean())
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _, _, out = fused(video)
+            np.asarray(out.valid).sum()
+        dt = (time.perf_counter() - t0) / reps
+        print(json.dumps({"fused_variant": tag,
+                          "fps": round(F / dt, 1),
+                          "tracks_per_frame": round(per_frame, 1)}),
+              file=sys.stderr)
+        return F / dt
+
+    e2e_fps = run_fused(video, conf_cal, "coherent_20obj")
+    # adversarial saturation: i.i.d. frames -> 32 incoherent dets/frame,
+    # max births + full-capacity association every frame
+    video_iid = jnp.asarray(
+        np.random.default_rng(2).integers(0, 255, (F, H, W, 3)),
+        jnp.uint8)
+    sat_fps = run_fused(video_iid, 0.3, "saturated_worst_case")
 
     print(json.dumps({
         "metric": "e2e_detect_track_fps_per_chip",
@@ -158,6 +193,7 @@ def main():
         "e2e_mode": "fused_single_program",
         "e2e_frames": F,
         "e2e_chunk": BATCH,
+        "saturated_worst_case_fps": round(sat_fps, 1),
     }), file=sys.stderr)
 
 

@@ -304,6 +304,64 @@ def matching_forced(cost, row_mask, col_mask, solver=None,
     R, C = cost.shape
     if batched:
         return _forced_rect(cost, row_mask, col_mask)
+
+    # ---- strict-argmin fast path (exactness-preserving) ----
+    # Any forced matching satisfies sum_i c(i, s(i)) >= sum_i rowmin_i,
+    # since every row's entry is >= that row's minimum. So when every
+    # valid row's masked argmin is STRICT (unique minimum) and the
+    # argmin columns are DISTINCT, assigning each row its argmin meets
+    # the bound and any other matching is strictly worse: the optimum is
+    # UNIQUE, hence identical to lap/scipy under ANY tie-breaking.
+    # Symmetrically on columns when #cols < #rows. This fires on the
+    # common well-separated frames (each detection clearly nearest one
+    # track) and skips the sequential JV while_loop entirely — the
+    # dominant per-frame cost at matched load (fused e2e diagnosis).
+    valid = row_mask[:, None] & col_mask[None, :]
+    feas = jnp.where(valid & jnp.isfinite(cost), cost, jnp.inf)
+    nR = jnp.sum(row_mask, dtype=jnp.int32)
+    nC = jnp.sum(col_mask, dtype=jnp.int32)
+
+    rmin = jnp.min(feas, axis=1)
+    ramin = jnp.argmin(feas, axis=1).astype(jnp.int32)
+    r_strict = (jnp.sum(feas == rmin[:, None], axis=1) == 1) \
+        & jnp.isfinite(rmin)
+    r_hot = (ramin[:, None] == jnp.arange(C, dtype=jnp.int32)[None, :]) \
+        & (row_mask & r_strict)[:, None]
+    row_fast_ok = ((nR <= nC)
+                   & jnp.all(r_strict | ~row_mask)
+                   & jnp.all(jnp.sum(r_hot, axis=0) <= 1))
+
+    cmin = jnp.min(feas, axis=0)
+    camin = jnp.argmin(feas, axis=0).astype(jnp.int32)
+    c_strict = (jnp.sum(feas == cmin[None, :], axis=0) == 1) \
+        & jnp.isfinite(cmin)
+    c_hot = (camin[None, :]
+             == jnp.arange(R, dtype=jnp.int32)[:, None]) \
+        & (col_mask & c_strict)[None, :]
+    col_fast_ok = ((nC < nR)
+                   & jnp.all(c_strict | ~col_mask)
+                   & jnp.all(jnp.sum(c_hot, axis=1) <= 1))
+
+    def row_fast(_):
+        return jnp.where(row_mask & r_strict, ramin, -1)
+
+    def col_fast(_):
+        sel = c_hot
+        hit = jnp.any(sel, axis=1)
+        return jnp.where(hit,
+                         jnp.argmax(sel, axis=1).astype(jnp.int32), -1)
+
+    def slow(_):
+        return _matching_forced_jv(cost, row_mask, col_mask, solver)
+
+    return lax.cond(
+        row_fast_ok, row_fast,
+        lambda o: lax.cond(col_fast_ok, col_fast, slow, o), None)
+
+
+def _matching_forced_jv(cost, row_mask, col_mask, solver=None):
+    """The JV solve path of matching_forced (see its docstring)."""
+    R, C = cost.shape
     if C > R:
         # Column compaction: trackers pad the track axis far beyond the
         # live count (C = max_tracks), but the JV solve is O(S^3) in the

@@ -122,3 +122,49 @@ def test_forced_matching_ties_match_scipy_objective(batched):
         assert matched.sum() == min(R, C)
         got = sum(cost[i, r2c[i]] for i in range(R) if matched[i])
         assert abs(got - want) < 1e-6, (trial, cost, r2c, (ri, ci))
+
+
+@pytest.mark.parametrize("shape", [(5, 8), (8, 5), (6, 6)])
+def test_strict_argmin_fast_path_matches_scipy(shape):
+    """Matrices engineered to satisfy the strict-distinct-argmin
+    condition (each row clearly nearest one distinct column): the fast
+    path's output must equal scipy's EXACT positions (the optimum is
+    unique there, so position equality — not just objective — holds)."""
+    from scipy.optimize import linear_sum_assignment
+
+    R, C = shape
+    rng = np.random.default_rng(R * 10 + C)
+    for trial in range(50):
+        n = min(R, C)
+        perm = rng.permutation(max(R, C))[:n]
+        cost = rng.uniform(5.0, 9.0, (R, C))
+        if R <= C:
+            for i in range(n):
+                cost[i, perm[i]] = rng.uniform(0.0, 1.0)
+        else:
+            for j in range(n):
+                cost[perm[j], j] = rng.uniform(0.0, 1.0)
+        r2c = np.asarray(matching_forced(
+            jnp.asarray(cost, jnp.float32),
+            jnp.ones(R, bool), jnp.ones(C, bool)))
+        ri, ci = linear_sum_assignment(cost)
+        want = np.full(R, -1)
+        want[ri] = ci
+        np.testing.assert_array_equal(r2c, want,
+                                      err_msg=f"trial {trial}\n{cost}")
+
+
+def test_fast_path_with_masks_and_inf():
+    """Fast path respects row/col masks and non-finite entries."""
+    from scipy.optimize import linear_sum_assignment
+
+    cost = np.array([[0.1, 9.0, 9.0, 5.0],
+                     [9.0, 0.2, 9.0, 5.0],
+                     [9.0, 9.0, np.inf, 5.0]])
+    row_mask = np.array([True, True, False])
+    col_mask = np.array([True, True, True, False])
+    r2c = np.asarray(matching_forced(
+        jnp.asarray(cost, jnp.float32), jnp.asarray(row_mask),
+        jnp.asarray(col_mask)))
+    # valid block is rows 0-1 x cols 0-2: strict distinct argmins
+    np.testing.assert_array_equal(r2c, [0, 1, -1])

@@ -21,7 +21,20 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the JV assignment solver and scan-based
-# trackers are while_loop-heavy and slow to compile on CPU; cache across runs.
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# trackers are while_loop-heavy and slow to compile on CPU; cache across
+# runs. The dir is keyed by the host CPU's feature flags: XLA:CPU AOT
+# executables are machine-specific, and loading one compiled on a
+# different host (container migration between rounds) can SIGSEGV in
+# compilation_cache.get_executable_and_time (observed r3).
+import hashlib
+
+try:
+    _flags = next(l for l in open("/proc/cpuinfo")
+                  if l.startswith("flags"))
+except (OSError, StopIteration):
+    _flags = "unknown"
+_cache_dir = "/tmp/jax_cache_cpu_" + hashlib.md5(
+    _flags.encode()).hexdigest()[:8]
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

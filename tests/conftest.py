@@ -37,4 +37,8 @@ _cache_dir = "/tmp/jax_cache_cpu_" + hashlib.md5(
     _flags.encode()).hexdigest()[:8]
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
+# Only JAX-level artifacts in the entries: deserializing the embedded
+# XLA:CPU AOT caches segfaulted reproducibly on entry read
+# (get_executable_and_time) after host migrations.
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

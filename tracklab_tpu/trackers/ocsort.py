@@ -215,11 +215,20 @@ def _associate(cfg, det_ltrb, det_scale, det_valid, trk_ltrb, trk_valid,
     else:
         is_unique, greedy = greedy_unique_match(
             iou, det_valid, trk_valid, cfg.iou_threshold)
+        # exact skip: the post-filter below drops every match whose IoU
+        # is under iou_threshold, so when NO pair clears it the solver's
+        # output is irrelevant — return all-unmatched without solving
+        # (the max-birth regime: frames full of never-seen detections)
+        none_feasible = jnp.max(iou) < cfg.iou_threshold
 
         def solve(_):
             return matching_forced(-(iou + angle), det_valid, trk_valid)
 
-        det2trk = lax.cond(is_unique, lambda _: greedy, solve, None)
+        det2trk = lax.cond(
+            none_feasible,
+            lambda _: jnp.full(det_ltrb.shape[0], -1, jnp.int32),
+            lambda o: lax.cond(is_unique, lambda _: greedy, solve, o),
+            None)
     # post-filter: drop matches with IoU below threshold
     d_idx = jnp.arange(det_ltrb.shape[0])
     got = det2trk >= 0

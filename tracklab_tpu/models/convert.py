@@ -37,14 +37,27 @@ def load_checkpoint(path, model=None, input_shape=None):
     if kind == "torch":
         assert model is not None and input_shape is not None
         return _torch_converter_for(model)(path, model, input_shape)
+    if kind == "onnx":
+        assert model is not None and input_shape is not None
+        return convert_onnx(path, model, input_shape)
     import jax
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
     if model is not None and input_shape is not None:
         import jax.numpy as jnp
-        target = jax.eval_shape(
-            lambda: model.init(jax.random.PRNGKey(0),
-                               jnp.zeros(input_shape), train=False))
+
+        def init():
+            if type(model).__name__ == "KPR":
+                # prompt masks gate parameter creation (models/kpr.py)
+                h, w = model.img_size
+                return model.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
+                    jnp.zeros((1, h, w, model.n_prompt_ch)),
+                    train=False)
+            return model.init(jax.random.PRNGKey(0),
+                              jnp.zeros(input_shape), train=False)
+
+        target = jax.eval_shape(init)
         return ckptr.restore(path.absolute(), target)
     return ckptr.restore(path.absolute())
 
@@ -94,7 +107,7 @@ def _torch_converter_for(model):
 
 
 _RUNTIME_FORMATS = {
-    ".onnx": "ONNX", ".engine": "TensorRT", ".trt": "TensorRT",
+    ".engine": "TensorRT", ".trt": "TensorRT",
     ".tflite": "TFLite", ".torchscript": "TorchScript",
     ".mlmodel": "CoreML",
 }
@@ -109,6 +122,11 @@ def checkpoint_kind(path) -> str:
     suffix = Path(path).suffix.lower()
     if suffix in (".pth", ".pt", ".bin"):
         return "torch"
+    if suffix == ".onnx":
+        # weights extracted directly from the protobuf, incl. folded-BN
+        # deployment exports (models/onnx_weights.py) — the reference's
+        # rtmlib/multibackend .onnx checkpoints load without onnxruntime
+        return "onnx"
     if suffix in _RUNTIME_FORMATS:
         raise ValueError(
             f"{path}: {_RUNTIME_FORMATS[suffix]} checkpoints are "
@@ -608,3 +626,32 @@ def convert_kpr_torch(sd_or_path, model, input_shape,
                          "concat_parts_identity_classifier.",
                          "parts_identity_classifier."),
         init_fn=init_fn)
+
+
+def convert_onnx(path, model, input_shape):
+    """Load an .onnx checkpoint's weights into Flax variables.
+
+    Uses the family's name map; supports both unfolded graphs (BN
+    tensors present) and the common folded-BN deployment exports
+    (models/onnx_weights.convert_onnx_folded_bn reconstructs an exact
+    BN pass-through from the conv bias)."""
+    from tracklab_tpu.models.onnx_weights import (
+        convert_onnx_folded_bn, parse_onnx_initializers,
+    )
+    name = type(model).__name__
+    key_fns = {
+        "YOLOX": _yolox_torch_key,
+        "RTMDet": _rtmdet_torch_key,
+        "YOLOv8": _yolov8_torch_key,
+        "YOLO11": _yolov8_torch_key,
+    }
+    key_fn = key_fns.get(name)
+    if key_fn is None:
+        raise ValueError(
+            f"No onnx weight map for model family {name!r}; supply the "
+            f"original torch .pth weights instead ({sorted(key_fns)} "
+            "support onnx)")
+    sd = parse_onnx_initializers(path)
+    eps = 1e-3 if name in ("YOLOX", "YOLOv8", "YOLO11") else 1e-5
+    return convert_onnx_folded_bn(sd, model, input_shape, key_fn,
+                                  bn_eps=eps)

@@ -382,7 +382,10 @@ def test_checkpoint_kind_dispatch():
     assert checkpoint_kind("w.pt") == "torch"
     assert checkpoint_kind("w.bin") == "torch"
     assert checkpoint_kind("ckpt_dir") == "orbax"
-    for suffix in ("onnx", "engine", "tflite", "torchscript"):
+    # onnx now loads directly (weights parsed from the protobuf,
+    # models/onnx_weights.py — the rtmlib published checkpoints)
+    assert checkpoint_kind("w.onnx") == "onnx"
+    for suffix in ("engine", "tflite", "torchscript"):
         with pytest.raises(ValueError, match="torch .pth"):
             checkpoint_kind(f"w.{suffix}")
 

@@ -129,3 +129,86 @@ def test_fused_meta_rescale_matches_host_wrapper(tiny_yolox):
     np.testing.assert_array_equal(np.asarray(scaled.valid), exp_valid)
     np.testing.assert_allclose(np.asarray(scaled.ltrb), exp_ltrb,
                                rtol=1e-5, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def tiny_rtdetr():
+    from tracklab_tpu.models.rtdetr_hf import RTDetrHF, RTDetrHFConfig
+    cfg = RTDetrHFConfig(
+        num_labels=3, d_model=32, num_queries=20, embedding_size=8,
+        hidden_sizes=(8, 16, 32, 64), depths=(1, 1, 1, 1),
+        layer_type="basic", encoder_hidden_dim=32,
+        encoder_in_channels=(16, 32, 64), encoder_ffn_dim=64,
+        num_attention_heads=4, decoder_layers=2, decoder_ffn_dim=64,
+        decoder_attention_heads=4)
+    model = RTDetrHF(config=cfg, num_labels=3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3), jnp.float32),
+                           train=False)
+    return model, variables
+
+
+def test_fused_rtdetr_equals_staged(tiny_rtdetr):
+    """The NMS-free RT-DETR detect_fn drives the same fused program:
+    fused == staged frame-for-frame, and the device-side stretch
+    unscale matches the host wrapper math
+    (wrappers/bbox_detector/rtdetr_api.py:process)."""
+    from tracklab_tpu.engine.fused import make_rtdetr_detect_fn
+    model, variables = tiny_rtdetr
+    F, chunk, D = 8, 4, 8
+    frames = _frames(F, seed=7)
+    detect = make_rtdetr_detect_fn(model, variables, (128, 128),
+                                   conf_threshold=0.2, max_dets=D)
+    rng = np.random.default_rng(2)
+    scale = rng.uniform(0.5, 2.0, (F, 2)).astype(np.float32)
+    shape = np.stack([np.full(F, 150.0), np.full(F, 110.0)],
+                     axis=1).astype(np.float32)
+    meta = dict(scale=jnp.asarray(scale),
+                pad=jnp.zeros((F, 2), jnp.float32),
+                shape=jnp.asarray(shape))
+    cfg = OCSortConfig(max_tracks=16, max_dets=D, min_hits=1,
+                       det_thresh=0.0)
+
+    det_jit = jax.jit(lambda f, m: detect(f, m))
+    staged_dets = [det_jit(frames[i:i + chunk],
+                           jax.tree_util.tree_map(
+                               lambda x: x[i:i + chunk], meta))
+                   for i in range(0, F, chunk)]
+    staged_dets = Detections(*[
+        jnp.concatenate([getattr(d, f) for f in [fld] for d in
+                         staged_dets])
+        for fld in Detections._fields])
+    _, staged_out = jax.jit(lambda d: ocsort_scan(cfg, d))(staged_dets)
+
+    fused = jax.jit(lambda f, m: fused_detect_track(
+        detect, partial(ocsort_step, cfg), ocsort_init(cfg), f, chunk,
+        meta=m))
+    _, fused_dets, fused_out = fused(frames, meta)
+
+    assert bool(jnp.any(staged_dets.valid)), "no detections emitted"
+    np.testing.assert_array_equal(np.asarray(fused_dets.valid),
+                                  np.asarray(staged_dets.valid))
+    np.testing.assert_allclose(np.asarray(fused_dets.ltrb),
+                               np.asarray(staged_dets.ltrb),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(fused_out.track_id),
+                                  np.asarray(staged_out.track_id))
+
+    # device unscale == host wrapper math on the raw letterbox boxes
+    raw = det_jit(frames, None)
+    ltrb = np.asarray(raw.ltrb)
+    valid = np.asarray(raw.valid)
+    got = det_jit(frames, meta)
+    exp_ltrb = np.zeros_like(ltrb)
+    exp_valid = np.zeros_like(valid)
+    for i in range(F):
+        for d in range(D):
+            box = ltrb[i, d].copy()
+            box[0::2] = np.clip(box[0::2] * scale[i, 0], 0, shape[i, 0])
+            box[1::2] = np.clip(box[1::2] * scale[i, 1], 0, shape[i, 1])
+            exp_ltrb[i, d] = box
+            wh = box[2:] - box[:2]
+            exp_valid[i, d] = valid[i, d] and wh[0] > 0 and wh[1] > 0
+    np.testing.assert_array_equal(np.asarray(got.valid), exp_valid)
+    np.testing.assert_allclose(np.asarray(got.ltrb), exp_ltrb,
+                               rtol=1e-5, atol=1e-4)

@@ -437,3 +437,41 @@ def test_yolo11_wrapper_smoke():
     batch = Co.default_collate([det.preprocess(img, None, meta.iloc[0])])
     rows = det.process(batch, None, meta)
     assert isinstance(rows, list)
+
+
+def test_deform_attention_backends_agree(monkeypatch):
+    """The TPU one-hot MXU sampling path of MSDeformableAttention is
+    bit-for-bilinear equivalent to the torch-grid_sample gather path,
+    including out-of-bounds taps (zero padding) — the hat function
+    max(0, 1-|p-i|) reproduces the bilinear corner weights exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tracklab_tpu.models import rtdetr_hf as R
+
+    cfg = R.RTDetrHFConfig(d_model=32, decoder_attention_heads=4,
+                           decoder_n_points=4, num_queries=7)
+    spatial_shapes = [(8, 8), (4, 4), (2, 2)]
+    S = sum(h * w for h, w in spatial_shapes)
+    B, Q = 2, 7
+    rng = np.random.default_rng(0)
+    hidden = jnp.asarray(rng.normal(size=(B, Q, 32)), jnp.float32)
+    tokens = jnp.asarray(rng.normal(size=(B, S, 32)), jnp.float32)
+    pos = jnp.asarray(rng.normal(size=(B, Q, 32)), jnp.float32)
+    # reference boxes pushed wide so sampling points land outside the
+    # maps too (exercises the zero-padding branch of both backends)
+    refs = jnp.asarray(
+        np.stack([rng.uniform(-0.2, 1.2, size=(B, Q, 2)),
+                  rng.uniform(0.3, 2.0, size=(B, Q, 2))],
+                 axis=-2).reshape(B, Q, 4), jnp.float32)
+    attn = R.MSDeformableAttention(cfg)
+    v = attn.init(jax.random.PRNGKey(1), hidden, tokens, refs,
+                  spatial_shapes, pos)
+    outs = {}
+    for mode in ("gather", "onehot"):
+        monkeypatch.setenv("TRACKLAB_TPU_DEFORM_BACKEND", mode)
+        outs[mode] = attn.apply(v, hidden, tokens, refs,
+                                spatial_shapes, pos)
+    np.testing.assert_allclose(np.asarray(outs["gather"]),
+                               np.asarray(outs["onehot"]),
+                               rtol=0, atol=1e-5)

@@ -32,7 +32,8 @@ from jax import lax
 
 from tracklab_tpu.trackers.common import Detections
 
-__all__ = ["fused_detect_track", "make_yolox_detect_fn"]
+__all__ = ["fused_detect_track", "make_yolox_detect_fn",
+           "make_rtdetr_detect_fn"]
 
 
 def make_yolox_detect_fn(model, variables, conf_threshold: float = 0.4,
@@ -67,6 +68,49 @@ def make_yolox_detect_fn(model, variables, conf_threshold: float = 0.4,
             wh0 = meta["shape"][:, None, :].astype(jnp.float32)
             lo = jnp.clip((ltrb[..., 0:2] - pad) / scale, 0.0, wh0)
             hi = jnp.clip((ltrb[..., 2:4] - pad) / scale, 0.0, wh0)
+            ltrb = jnp.concatenate([lo, hi], axis=-1)
+            side = hi - lo
+            valid = valid & (side[..., 0] > 0) & (side[..., 1] > 0)
+        B = ltrb.shape[0]
+        ref = jnp.broadcast_to(
+            jnp.arange(max_dets, dtype=jnp.int32), (B, max_dets))
+        return Detections(ltrb, d["score"].astype(jnp.float32),
+                          d["cls"].astype(jnp.float32), ref, valid)
+
+    return detect
+
+
+def make_rtdetr_detect_fn(model, variables, input_size,
+                          conf_threshold: float = 0.4,
+                          max_dets: int = 32,
+                          compute_dtype: Any = jnp.float32) -> Callable:
+    """Build a ``detect_fn(frames, meta) -> Detections`` for the HF-exact
+    RT-DETR (NMS-free top-k decode, models/rtdetr_hf.py).
+
+    ``frames``: (B, H, W, 3) uint8 stretch-resized to ``input_size``
+    (RTDetrImageProcessor semantics: rescale 1/255, no normalization).
+    ``meta``: optional dict with ``scale`` (B, 2) per-axis [sx, sy] and
+    ``shape`` (B, 2) [w0, h0]; boxes are mapped back to original-image
+    coordinates with the same clip/collapse-drop order as the host
+    wrapper (wrappers/bbox_detector/rtdetr_api.py:process).
+    """
+    from tracklab_tpu.models.rtdetr_hf import postprocess_rtdetr
+
+    th, tw = input_size
+
+    def detect(frames, meta=None) -> Detections:
+        imgs = frames.astype(compute_dtype) / 255.0
+        logits, boxes = model.apply(variables, imgs, train=False)
+        d = postprocess_rtdetr(logits, boxes, img_w=tw, img_h=th,
+                               conf_threshold=conf_threshold,
+                               max_out=max_dets)
+        ltrb = d["ltrb"].astype(jnp.float32)
+        valid = d["valid"]
+        if meta is not None:
+            sxy = meta["scale"][:, None, :].astype(jnp.float32)
+            wh0 = meta["shape"][:, None, :].astype(jnp.float32)
+            lo = jnp.clip(ltrb[..., 0:2] * sxy, 0.0, wh0)
+            hi = jnp.clip(ltrb[..., 2:4] * sxy, 0.0, wh0)
             ltrb = jnp.concatenate([lo, hi], axis=-1)
             side = hi - lo
             valid = valid & (side[..., 0] > 0) & (side[..., 1] > 0)

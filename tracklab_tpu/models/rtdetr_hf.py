@@ -22,6 +22,7 @@ expected-unused during conversion).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Sequence, Tuple  # noqa: F401
 
 import flax.linen as nn
@@ -94,9 +95,13 @@ def _conv_bn(x, features, kernel, stride, conv_name, bn_name, dtype,
                 padding=[(p, p)] * 2, use_bias=False, dtype=dtype,
                 name=conv_name)(x)
     # inference path: running statistics (HF freezes backbone BNs and
-    # everything runs in eval for parity)
-    return nn.BatchNorm(use_running_average=True, epsilon=eps,
-                        dtype=jnp.float32, name=bn_name)(x)
+    # everything runs in eval for parity). BN math stays f32; the
+    # result is cast back so inter-layer buffers materialize in the
+    # compute dtype (bf16 halves the HBM traffic that dominates the
+    # backbone/CCFF — same treatment as yolox.py's ConvBnAct).
+    x = nn.BatchNorm(use_running_average=True, epsilon=eps,
+                     dtype=jnp.float32, name=bn_name)(x)
+    return x.astype(dtype)
 
 
 class ResNetConvLayer(nn.Module):
@@ -456,6 +461,26 @@ def _grid_sample_bilinear(img, grid):
             + v10 * (1 - wx) * wy + v11 * wx * wy)
 
 
+def _deform_backend() -> str:
+    """Sampling strategy for MSDeformableAttention.
+
+    ``gather``: per-level vmapped bilinear gather — exact torch
+    ``grid_sample`` semantics, fast on CPU, pathological on TPU (XLA
+    lowers the batched 2-D gather to ~60 ms/level at B=64; measured
+    188.9 ms per attention call, 94% of RT-DETR runtime).
+    ``onehot``: separable hat-function one-hot matmuls — bilinear
+    sampling as two MXU contractions (sample = OHy @ V weighted by
+    OHx), mathematically identical to bilinear with zero padding
+    because the hat ``max(0, 1-|p-i|)`` IS the bilinear corner weight
+    incl. the out-of-bounds zero rows. Measured 45.6 ms (4.1x).
+    ``auto`` picks onehot on TPU, gather elsewhere."""
+    mode = os.environ.get("TRACKLAB_TPU_DEFORM_BACKEND", "auto")
+    if mode == "auto":
+        return ("onehot" if jax.default_backend() == "tpu"
+                else "gather")
+    return mode
+
+
 class MSDeformableAttention(nn.Module):
     """RTDetrMultiscaleDeformableAttention (modeling_rt_detr.py:51-110,
     664-772): per-head, per-level, per-point bilinear sampling."""
@@ -488,8 +513,22 @@ class MSDeformableAttention(nn.Module):
         loc = (reference_points[:, :, None, None, None, :2]
                + offsets.astype(jnp.float32) / P
                * reference_points[:, :, None, None, None, 2:] * 0.5)
-        grids = 2.0 * loc - 1.0                   # (B, Q, H, L, P, 2)
-        # split value tokens back into level maps and sample
+        if _deform_backend() == "onehot":
+            out = self._sample_onehot(value, loc, weights,
+                                      spatial_shapes)
+        else:
+            out = self._sample_gather(value, loc, weights,
+                                      spatial_shapes)
+        out = out.reshape(B, Q, H * D).astype(self.dtype)
+        return nn.Dense(c.d_model, dtype=self.dtype,
+                        name="output_proj")(out)
+
+    def _sample_gather(self, value, loc, weights, spatial_shapes):
+        """torch.grid_sample-style vmapped bilinear taps (CPU path)."""
+        B, S, H, D = value.shape
+        _, Q = loc.shape[:2]
+        P = loc.shape[4]
+        grids = 2.0 * loc - 1.0               # (B, Q, H, L, P, 2)
         out = jnp.zeros((B, Q, H, D), jnp.float32)
         start = 0
         for lvl, (h, w) in enumerate(spatial_shapes):
@@ -503,9 +542,42 @@ class MSDeformableAttention(nn.Module):
             # weights (B, Q, H, P) -> (B, H, Q, P)
             w_l = weights[:, :, :, lvl].transpose(0, 2, 1, 3)
             out = out + jnp.einsum("bhqpd,bhqp->bqhd", sampled, w_l)
-        out = out.reshape(B, Q, H * D).astype(self.dtype)
-        return nn.Dense(c.d_model, dtype=self.dtype,
-                        name="output_proj")(out)
+            start += h * w
+        return out
+
+    def _sample_onehot(self, value, loc, weights, spatial_shapes):
+        """Bilinear sampling as separable one-hot MXU contractions.
+
+        For each tap at continuous (y, x), the bilinear weight of
+        integer cell (i, j) with zero padding is
+        ``max(0, 1-|y-i|) * max(0, 1-|x-j|)`` — build the two hat
+        vectors densely over the level's axes and contract:
+        ``t1 = OHy @ V`` (MXU), ``out = sum_x OHx * t1`` (VPU).
+        Keeps everything in the compute dtype; the final reduction
+        accumulates in f32."""
+        B, S, H, D = value.shape
+        _, Q = loc.shape[:2]
+        P = loc.shape[4]
+        cdt = value.dtype
+        out = jnp.zeros((B, Q, H, D), jnp.float32)
+        start = 0
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            v_l = value[:, start:start + h * w].reshape(B, h, w, H, D)
+            x = loc[:, :, :, lvl, :, 0] * w - 0.5     # (B, Q, H, P)
+            y = loc[:, :, :, lvl, :, 1] * h - 0.5
+            ys = jnp.arange(h, dtype=jnp.float32)
+            xs = jnp.arange(w, dtype=jnp.float32)
+            ohy = jnp.maximum(
+                0.0, 1.0 - jnp.abs(y[..., None] - ys))    # (B,Q,H,P,h)
+            ohx = (jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - xs))
+                   * weights[:, :, :, lvl][..., None])    # (B,Q,H,P,w)
+            t1 = jnp.einsum("bqhpy,byxhd->bqhpxd",
+                            ohy.astype(cdt), v_l)
+            out = out + jnp.einsum(
+                "bqhpxd,bqhpx->bqhd", t1, ohx.astype(cdt),
+                preferred_element_type=jnp.float32)
+            start += h * w
+        return out
 
 
 class DecoderLayer(nn.Module):
@@ -598,7 +670,7 @@ class RTDetrCore(nn.Module):
                              epsilon=c.batch_norm_eps,
                              dtype=jnp.float32,
                              name=f"encoder_input_proj_{i}_1")(p)
-            proj.append(p)
+            proj.append(p.astype(self.dtype))
         pan = HybridEncoder(c, dtype=self.dtype, name="encoder")(proj)
         sources = []
         for i, f in enumerate(pan):
@@ -609,7 +681,7 @@ class RTDetrCore(nn.Module):
                              epsilon=c.batch_norm_eps,
                              dtype=jnp.float32,
                              name=f"decoder_input_proj_{i}_1")(s)
-            sources.append(s)
+            sources.append(s.astype(self.dtype))
         spatial_shapes = [(s.shape[1], s.shape[2]) for s in sources]
         B = images.shape[0]
         flat = jnp.concatenate(

@@ -86,6 +86,28 @@ class RTDETRDetector(YOLOXDetector):
                 self.id += 1
         return rows
 
+    def device_detect_fn(self):
+        """Jit-ready ``(frames, meta) -> Detections`` for the fused
+        engine path. HF mode decodes NMS-free top-k queries and maps
+        boxes back through the per-axis stretch scale — identical math
+        to ``process`` above. (The inherited YOLOX closure would apply
+        YOLOX decode+NMS semantics to a query model, so it must not be
+        used here.)"""
+        if not self._hf_mode:
+            raise NotImplementedError(
+                "fused engine path supports the HF RT-DETR variants "
+                f"{self.HF_VARIANTS}; variant={self.variant!r} uses "
+                "the staged engine")
+        if self._infer is None:
+            self._build()
+        import jax.numpy as jnp
+
+        from tracklab_tpu.engine.fused import make_rtdetr_detect_fn
+        return make_rtdetr_detect_fn(
+            self._model, self._variables, self.input_size,
+            conf_threshold=self.min_confidence, max_dets=self.max_dets,
+            compute_dtype=jnp.float32)
+
     def _build(self):
         if self._hf_mode:
             return self._build_hf()

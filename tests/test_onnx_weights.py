@@ -75,6 +75,35 @@ def test_initializer_roundtrip(tmp_path):
         np.testing.assert_array_equal(got[k], tensors[k])
 
 
+def _tensor_proto_i64_data(name, values, packed=True):
+    """TensorProto using the int64_data field (7) instead of raw_data —
+    the layout onnx.helper/mmdeploy graph passes produce for axes/shape
+    constants. Negatives are 10-byte two's-complement varints."""
+    buf = _tag(1, 0) + _varint(len(values))
+    buf += _tag(2, 0) + _varint(7)
+    nm = name.encode()
+    buf += _tag(8, 2) + _varint(len(nm)) + nm
+    enc = b"".join(_varint(v & ((1 << 64) - 1)) for v in values)
+    if packed:
+        buf += _tag(7, 2) + _varint(len(enc)) + enc
+    else:
+        for v in values:
+            buf += _tag(7, 0) + _varint(v & ((1 << 64) - 1))
+    return buf
+
+
+@pytest.mark.parametrize("packed", [True, False])
+def test_negative_int64_data_varints(tmp_path, packed):
+    values = [-1, 0, 3, -1000, 2**40, -(2**40)]
+    tp = _tensor_proto_i64_data("axes", values, packed=packed)
+    graph = _tag(5, 2) + _varint(len(tp)) + tp
+    f = tmp_path / "i64.onnx"
+    f.write_bytes(_tag(7, 2) + _varint(len(graph)) + graph)
+    got = parse_onnx_initializers(f)
+    np.testing.assert_array_equal(got["axes"],
+                                  np.asarray(values, np.int64))
+
+
 def _fold_conv_bn(sd, eps=1e-3):
     """torch-layout conv+BN state dict -> deployment-style folded dict
     (conv gains bias; BN tensors removed) — what mmdeploy exports."""
@@ -138,3 +167,43 @@ def test_folded_bn_yolox_activation_parity(tmp_path):
     got = model.apply(loaded, x, method=YOLOX.predict)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_unused_strictness_and_missing_bias():
+    """Real do_constant_folding exports carry shape constants / decode
+    grids as extra initializers — those must be tolerated; an
+    unconsumed tensor NAMED like a weight, or a BN leaf with neither
+    its own tensors nor a folded conv bias, must still raise."""
+    from tracklab_tpu.models.convert import (_yolox_torch_key,
+                                             export_torch_state_dict)
+    from tracklab_tpu.models.yolox import YOLOX
+
+    model = YOLOX(num_classes=2, variant="nano")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3)), train=False)
+    sd = export_torch_state_dict(model, variables, _yolox_torch_key)
+    folded = _fold_conv_bn(sd, eps=1e-3)
+
+    # graph constants (op-named, numeric, int tensors) are tolerated
+    ok = dict(folded)
+    ok["onnx::Reshape_412"] = np.array([1, -1, 4], np.int64)
+    ok["Constant_17_output_0"] = np.zeros((1, 100, 2), np.float32)
+    ok["1432"] = np.array(0.5, np.float32)
+    convert_onnx_folded_bn(ok, model, (1, 128, 128, 3),
+                           _yolox_torch_key, bn_eps=1e-3)
+
+    # an unconsumed tensor that LOOKS like a state-dict weight raises
+    bad = dict(folded)
+    bad["backbone.extra_branch.conv.weight"] = np.zeros((4, 4, 1, 1),
+                                                        np.float32)
+    with pytest.raises(ValueError, match="not consumed"):
+        convert_onnx_folded_bn(bad, model, (1, 128, 128, 3),
+                               _yolox_torch_key, bn_eps=1e-3)
+
+    # a missing folded conv bias is a name-map miss, never zero-filled
+    incomplete = dict(folded)
+    victim = next(k for k in incomplete if k.endswith(".conv.bias"))
+    del incomplete[victim]
+    with pytest.raises(ValueError, match="no onnx tensor"):
+        convert_onnx_folded_bn(incomplete, model, (1, 128, 128, 3),
+                               _yolox_torch_key, bn_eps=1e-3)

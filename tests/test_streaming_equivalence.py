@@ -141,6 +141,57 @@ def test_batched_equals_offline(name, make, warps, parts):
     _assert_equal(offline, batched, tag=f"{name}:batch")
 
 
+@pytest.mark.parametrize("name,make", [
+    ("ocsort", lambda: OCSORT(max_tracks=32, max_dets=8)),
+    ("strongsort", lambda: StrongSORT(max_tracks=32, max_dets=8,
+                                      embed_dim=E)),
+], ids=["ocsort", "strongsort"])
+def test_streaming_overflow_equals_offline(name, make):
+    """Frames with more detections than capacity: both modes must keep
+    the same (most-confident) subset, or they track different boxes."""
+    rng = np.random.default_rng(3)
+    rows = []
+    idx = 0
+    pos = rng.uniform([50, 50], [800, 500], (13, 2))
+    vel = rng.uniform(-4, 4, (13, 2))
+    ident = rng.normal(0, 1, (13, E)).astype(np.float32)
+    ident /= np.linalg.norm(ident, axis=1, keepdims=True)
+    for f in range(12):
+        pos = pos + vel
+        for o in range(13):                 # no dropouts: always > 8
+            emb = ident[o] + rng.normal(0, 0.05, E).astype(np.float32)
+            emb /= np.linalg.norm(emb)
+            rows.append(dict(
+                image_id=f, video_id=0,
+                bbox_ltwh=np.array([*(pos[o] + rng.normal(0, 1.0, 2)),
+                                    60.0, 80.0], np.float32),
+                bbox_conf=float(rng.uniform(0.55, 0.99)),
+                category_id=1, embeddings=emb, name=idx))
+            idx += 1
+    dets = pd.DataFrame(rows).set_index("name")
+    metas = pd.DataFrame([dict(file_path=f"{f}.jpg", video_id=0,
+                               frame=f) for f in range(12)],
+                         index=range(12))
+    offline = make().process(dets.copy(), metas)
+    streaming = _run_streaming(make(), dets.copy(), metas)
+    _assert_equal(offline, streaming, tag=f"{name}:overflow")
+
+
+def test_streaming_none_embeddings_equal_offline():
+    """A None in the embeddings column zeroes only THAT row in both
+    modes (regression: streaming used to zero every later row too)."""
+    dets, metas = _stream(seed=11)
+    emb_col = dets["embeddings"].copy()
+    none_rows = dets.index[::4]
+    emb_col.loc[none_rows] = None
+    dets = dets.assign(embeddings=emb_col)
+    make = lambda: StrongSORT(max_tracks=16, max_dets=8,  # noqa: E731
+                              embed_dim=E)
+    offline = make().process(dets.copy(), metas)
+    streaming = _run_streaming(make(), dets.copy(), metas)
+    _assert_equal(offline, streaming, tag="none-emb")
+
+
 def test_streaming_state_persists_and_resets():
     """Two runs with reset() in between are identical; state carries
     between frames within a run (ids persist)."""

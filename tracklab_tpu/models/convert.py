@@ -27,6 +27,20 @@ def save_checkpoint(path, variables):
     ckptr.wait_until_finished()
 
 
+def init_inputs(model, input_shape):
+    """Positional arrays for ``model.init`` / weight-free ``apply``.
+
+    Most families take one (B, H, W, C) image batch. A model whose
+    parameter creation is gated by extra inputs (e.g. KPR's prompt
+    masks) declares ``dummy_input_shapes(input_shape)`` and every
+    init/eval-shape site here picks it up — no per-family
+    special-casing at call sites."""
+    import jax.numpy as jnp
+    hook = getattr(model, "dummy_input_shapes", None)
+    shapes = hook(input_shape) if hook is not None else (input_shape,)
+    return tuple(jnp.zeros(s, jnp.float32) for s in shapes)
+
+
 def load_checkpoint(path, model=None, input_shape=None):
     """Load a checkpoint. Torch files (.pth/.pt/.bin) are converted on
     the fly by the name-mapped converter matching the MODEL's family
@@ -47,15 +61,9 @@ def load_checkpoint(path, model=None, input_shape=None):
         import jax.numpy as jnp
 
         def init():
-            if type(model).__name__ == "KPR":
-                # prompt masks gate parameter creation (models/kpr.py)
-                h, w = model.img_size
-                return model.init(
-                    jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
-                    jnp.zeros((1, h, w, model.n_prompt_ch)),
-                    train=False)
             return model.init(jax.random.PRNGKey(0),
-                              jnp.zeros(input_shape), train=False)
+                              *init_inputs(model, input_shape),
+                              train=False)
 
         target = jax.eval_shape(init)
         return ckptr.restore(path.absolute(), target)
@@ -594,7 +602,6 @@ def convert_kpr_torch(sd_or_path, model, input_shape,
     heads (identity classifier Linear layers) are expected-unused.
     """
     import jax
-    import jax.numpy as jnp
 
     sd = (sd_or_path if isinstance(sd_or_path, dict)
           else _torch_state_dict(sd_or_path, allow_pickle=allow_pickle))
@@ -609,12 +616,8 @@ def convert_kpr_torch(sd_or_path, model, input_shape,
         out[k] = v
 
     def init_fn(model, input_shape):
-        h, w = model.img_size
-        return model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, h, w, 3), jnp.float32),
-            jnp.zeros((1, h, w, model.n_prompt_ch), jnp.float32),
-            train=False)
+        return model.init(jax.random.PRNGKey(0),
+                          *init_inputs(model, input_shape), train=False)
 
     return convert_by_name(
         out, model, input_shape, _kpr_torch_key,

@@ -215,6 +215,13 @@ class KPR(nn.Module):
     n_cameras: int = 0
     dtype: Any = jnp.float32
 
+    def dummy_input_shapes(self, input_shape):
+        """Init-time positional input shapes (convert.init_inputs hook):
+        prompt masks gate the dense prompt-embedding parameters, so
+        init must always pass them."""
+        h, w = self.img_size
+        return ((1, h, w, 3), (1, h, w, self.n_prompt_ch))
+
     @nn.compact
     def __call__(self, images, prompt_masks=None, cam_id=None,
                  train: bool = False):

@@ -139,20 +139,15 @@ def expected_torch_keys(family: str) -> list:
     """Sorted torch keys the converter consumes for this family's
     canonical build (weight-free: jax.eval_shape)."""
     import jax
-    import jax.numpy as jnp
     from flax.traverse_util import flatten_dict
+
+    from tracklab_tpu.models.convert import init_inputs
 
     builder, _ = FAMILIES[family]
     model, shape = builder()
     key_fn = _key_fn_for(model)
-    if type(model).__name__ == "KPR":
-        h, w = model.img_size
-        init = lambda: model.init(  # noqa: E731
-            jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)),
-            jnp.zeros((1, h, w, model.n_prompt_ch)), train=False)
-    else:
-        init = lambda: model.init(  # noqa: E731
-            jax.random.PRNGKey(0), jnp.zeros(shape), train=False)
+    init = lambda: model.init(  # noqa: E731
+        jax.random.PRNGKey(0), *init_inputs(model, shape), train=False)
     variables = jax.eval_shape(init)
     keys = set()
     for path in flatten_dict(variables):
@@ -191,20 +186,13 @@ def validate_checkpoint(path, family: str):
     """Convert a real checkpoint and run one forward pass; returns the
     output pytree. Raises on any key/shape mismatch (convert_by_name is
     strict)."""
-    import jax
-    import jax.numpy as jnp
-    from tracklab_tpu.models.convert import load_checkpoint
+    from tracklab_tpu.models.convert import init_inputs, load_checkpoint
 
     builder, _ = FAMILIES[family]
     model, shape = builder()
     variables = load_checkpoint(path, model, shape)
-    if type(model).__name__ == "KPR":
-        h, w = model.img_size
-        return model.apply(variables, jnp.zeros((1, h, w, 3)),
-                           jnp.zeros((1, h, w, model.n_prompt_ch)),
-                           train=False)
-    x = jnp.zeros(shape, jnp.float32)
+    inputs = init_inputs(model, shape)
     try:
-        return model.apply(variables, x, train=False)
+        return model.apply(variables, *inputs, train=False)
     except TypeError:
-        return model.apply(variables, x)
+        return model.apply(variables, *inputs)

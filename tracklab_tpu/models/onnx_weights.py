@@ -44,6 +44,13 @@ def _read_varint(buf, i):
         shift += 7
 
 
+def _to_i64(v):
+    """Protobuf int64 varints carry negatives as 10-byte two's-complement
+    (e.g. axes=[-1] in a Reshape constant); fold back into signed range."""
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _fields(buf):
     """Yield (field_number, wire_type, value_bytes_or_int) over a
     protobuf message buffer."""
@@ -93,14 +100,14 @@ def _parse_tensor(buf):
                 f32.append(struct.unpack("<f", v)[0])
             else:
                 f32.extend(np.frombuffer(v, "<f4").tolist())
-        elif field == 7:            # int64_data
+        elif field == 7:            # int64_data (two's-complement varints)
             if wt == 0:
-                i64.append(v)
+                i64.append(_to_i64(v))
             else:
                 i = 0
                 while i < len(v):
                     d, i = _read_varint(v, i)
-                    i64.append(d)
+                    i64.append(_to_i64(d))
         elif field == 8 and wt == 2:
             name = v.decode("utf-8", "replace")
         elif field == 9 and wt == 2:
@@ -180,20 +187,27 @@ def convert_onnx_folded_bn(sd_or_path, model, input_shape, torch_key_fn,
             new_flat[path] = jnp.asarray(_relayout(sd[tk], leaf, tk))
             used.add(tk)
             continue
-        # folded-BN reconstruction for the missing BN tensors
+        # Folded-BN reconstruction for the missing BN tensors. Only
+        # applies when the sibling conv's onnx bias exists (folding
+        # always produces one: b = beta - mean*gamma/std); a BN leaf
+        # with neither its own tensor nor a folded conv bias is a
+        # genuine name-map miss and must be reported, never filled.
         leaf_name = path[-1]
         coll = path[0]
-        if coll == "params" and leaf_name == "scale":
+        fold_src = {"scale": ".bn.weight", "bias": ".bn.bias",
+                    "mean": ".bn.running_mean", "var": ".bn.running_var"}
+        suffix = fold_src.get(leaf_name)
+        folded_bias = (tk.replace(suffix, ".conv.bias")
+                       if suffix and tk.endswith(suffix) else None)
+        if folded_bias is None or folded_bias not in sd:
+            missing.append(f"{'/'.join(path)} -> {tk}")
+        elif coll == "params" and leaf_name == "scale":
             new_flat[path] = jnp.full(leaf.shape,
                                       float(np.sqrt(1.0 + bn_eps)))
         elif coll == "params" and leaf_name == "bias":
-            bias_key = tk.replace(".bn.bias", ".conv.bias")
-            if bias_key in sd:
-                new_flat[path] = jnp.asarray(
-                    np.asarray(sd[bias_key]).reshape(leaf.shape))
-                used.add(bias_key)
-            else:
-                new_flat[path] = jnp.zeros(leaf.shape, leaf.dtype)
+            new_flat[path] = jnp.asarray(
+                np.asarray(sd[folded_bias]).reshape(leaf.shape))
+            used.add(folded_bias)
         elif coll == "batch_stats" and leaf_name == "mean":
             new_flat[path] = jnp.zeros(leaf.shape, leaf.dtype)
         elif coll == "batch_stats" and leaf_name == "var":
@@ -204,10 +218,25 @@ def convert_onnx_folded_bn(sd_or_path, model, input_shape, torch_key_fn,
         raise ValueError(
             f"{len(missing)} flax parameters have no onnx tensor:\n  "
             + "\n  ".join(missing[:20]))
+    # Real exports (do_constant_folding=True: mmdeploy, ultralytics,
+    # torch.onnx defaults) store Reshape/Resize shape constants and
+    # decode grids as extra initializers named after graph ops
+    # ("onnx::Reshape_123", "Constant_5", bare numbers) — those are not
+    # weights and are fine to skip. Raise only for unconsumed tensors
+    # whose names look like state-dict parameters (a missed name-map
+    # entry), which IS a load error.
     unused = [k for k in sd if k not in used
-              and not any(k.startswith(p) for p in expected_unused)]
+              and not any(k.startswith(p) for p in expected_unused)
+              and _looks_like_weight(k)]
     if unused:
         raise ValueError(
-            f"{len(unused)} onnx tensors were not consumed:\n  "
+            f"{len(unused)} onnx weight tensors were not consumed:\n  "
             + "\n  ".join(unused[:20]))
     return unflatten_dict(new_flat)
+
+
+_WEIGHT_SUFFIXES = (".weight", ".bias", ".running_mean", ".running_var")
+
+
+def _looks_like_weight(name: str) -> bool:
+    return name.endswith(_WEIGHT_SUFFIXES) and not name.startswith("onnx::")

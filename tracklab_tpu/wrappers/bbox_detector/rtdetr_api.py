@@ -37,6 +37,13 @@ class RTDETRDetector(YOLOXDetector):
     def _hf_mode(self):
         return self.variant in self.HF_VARIANTS
 
+    @property
+    def supports_fused_detect(self):
+        # Only the HF variants have a fused device_detect_fn; the
+        # lightweight variant must fall back to the staged engine
+        # (engine/offline.py gates on this attribute).
+        return self._hf_mode
+
     def preprocess(self, image, detections, metadata):
         if not self._hf_mode:
             return super().preprocess(image, detections, metadata)

@@ -33,7 +33,8 @@ def _collect_embeddings(dets_in, dets, lut, n_frames, embed_dim):
         ref_np = np.asarray(dets.ref)
         valid_np = np.asarray(dets.valid)
         emb_by_row = {idx: np.asarray(e, np.float32)
-                      for idx, e in dets_in["embeddings"].items()}
+                      for idx, e in dets_in["embeddings"].items()
+                      if e is not None}    # None rows -> zero embedding
         for f in range(n_frames):
             for d in np.nonzero(valid_np[f])[0]:
                 e = emb_by_row.get(lut[ref_np[f, d]])
@@ -164,6 +165,18 @@ class _ScanTrackerBase(VideoLevelModule):
                 lambda s, d: step(cfg, s, d))
         return self._jit_step_cache
 
+    def _truncate_frame(self, detections: pd.DataFrame) -> pd.DataFrame:
+        """Overflow frames keep the max_dets MOST CONFIDENT rows, in
+        confidence order — the same selection _pad_video makes offline,
+        so streaming==offline holds across capacity overflow."""
+        if len(detections) > self.max_dets:
+            log.warning("frame has %d detections > capacity %d; keeping "
+                        "the %d most confident", len(detections),
+                        self.max_dets, self.max_dets)
+            detections = detections.sort_values(
+                "bbox_conf", ascending=False).head(self.max_dets)
+        return detections
+
     def _pad_frame(self, detections: pd.DataFrame):
         """One frame's rows -> (Detections, stream-wide lut).
 
@@ -174,6 +187,15 @@ class _ScanTrackerBase(VideoLevelModule):
         if not hasattr(self, "_online_lut"):
             self._online_lut = {}
             self._online_next_ref = 0
+        if not hasattr(self, "_online_ref_window"):
+            # lut pruning window: a valid emission's ref is at most
+            # max_age frames (x max_dets rows) old; anything older can
+            # never be looked up again and is dropped to bound memory
+            # on indefinite streams.
+            cfg = self._make_config()
+            self._online_ref_window = (
+                int(getattr(cfg, "max_age", 100)) + 2) * self.max_dets
+        detections = self._truncate_frame(detections)
         lut = self._online_lut
         base = self._online_next_ref
         if len(detections):
@@ -183,6 +205,10 @@ class _ScanTrackerBase(VideoLevelModule):
             for i, idx in enumerate(detections.index):
                 lut[base + i] = idx
             self._online_next_ref = base + n
+            if len(lut) > 2 * self._online_ref_window:
+                cutoff = self._online_next_ref - self._online_ref_window
+                for k in [k for k in lut if k < cutoff]:
+                    del lut[k]
             det = pad_detections(
                 C.ltwh_to_ltrb(boxes),
                 detections["bbox_conf"].to_numpy(np.float32),
@@ -428,8 +454,10 @@ class _EmbScanTrackerBase(_ScanTrackerBase):
         if len(detections) and "embeddings" in detections.columns:
             for i, (_, e) in enumerate(
                     detections["embeddings"].items()):
-                if i >= self.max_dets or e is None:
+                if i >= self.max_dets:
                     break
+                if e is None:
+                    continue    # this row has no embedding; later rows do
                 e = np.asarray(e, np.float32)
                 if e.ndim == 2:
                     e = e[0]    # part layout: row 0 = global feature
@@ -453,6 +481,7 @@ class _EmbScanTrackerBase(_ScanTrackerBase):
         dets_in = detections[
             detections["bbox_conf"] > self.min_confidence] \
             if len(detections) else detections
+        dets_in = self._truncate_frame(dets_in)  # before emb: rows align
         det, lut = self._pad_frame(dets_in)
         emb = self._online_emb(dets_in, det)
         warp = self._online_warp(metadata)
@@ -768,6 +797,7 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
         dets_in = detections[
             detections["bbox_conf"] > self.min_confidence] \
             if len(detections) and self.min_confidence > 0 else detections
+        dets_in = self._truncate_frame(dets_in)  # before parts: rows align
         det, lut = self._pad_frame(dets_in)
         D, P, E, K = self.max_dets, self.n_parts, self.embed_dim, \
             self.n_keypoints

@@ -181,6 +181,56 @@ def main():
         jnp.uint8)
     sat_fps = run_fused(video_iid, 0.3, "saturated_worst_case")
 
+    # ---- optional: fused detect->ReID->track (BASELINE config 2:
+    # YOLOX + OSNet + StrongSORT as ONE device program). Gated behind an
+    # env flag so the driver's default bench stays bounded — the OSNet
+    # stage embeds every detection slot (chunk x max_dets crops), a
+    # second large program to compile. Run with
+    # TRACKLAB_TPU_BENCH_REID=1; measured numbers live in BASELINE.md.
+    if os.environ.get("TRACKLAB_TPU_BENCH_REID"):
+        from tracklab_tpu.engine.fused import (fused_detect_reid_track,
+                                               make_osnet_embed_fn)
+        from tracklab_tpu.models.osnet import OSNet
+        from tracklab_tpu.trackers.strongsort import (
+            StrongSortConfig, strongsort_init, strongsort_step)
+
+        # chunk sized by the crop buffer: chunk x 32 crops of 256x128
+        # bf16 = ~1.2 GB at chunk=64 — the detector prefers bigger
+        # batches but the ReID stage dominates FLOPs anyway
+        R_CHUNK = int(os.environ.get("TRACKLAB_TPU_REID_CHUNK", "64"))
+        R_DETS = 32
+        osnet = OSNet(variant="x1_0", feat_dim=512, n_parts=6,
+                      dtype=jnp.bfloat16)
+        ovars = osnet.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 256, 128, 3)), train=False)
+        embed = make_osnet_embed_fn(osnet, ovars, crop_size=(256, 128),
+                                    compute_dtype=jnp.bfloat16)
+        detect_r = make_yolox_detect_fn(
+            model, variables, conf_threshold=conf_cal,
+            iou_threshold=0.65, max_dets=R_DETS,
+            compute_dtype=jnp.bfloat16)
+        scfg = StrongSortConfig(max_tracks=64, max_dets=R_DETS,
+                                n_init=1)
+        F_R = 8 * R_CHUNK
+        fused_r = jax.jit(lambda f: fused_detect_reid_track(
+            detect_r, embed, partial(strongsort_step, scfg),
+            strongsort_init(scfg), f, chunk=R_CHUNK,
+            min_confidence=0.4, embed_dim=512,
+            return_detections=False))
+        vid_r = video[:F_R]
+        _, _, _, out_r = fused_r(vid_r)
+        per_frame_r = float(np.asarray(out_r.valid).sum(1).mean())
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _, _, _, out_r = fused_r(vid_r)
+            np.asarray(out_r.valid).sum()
+        dt_r = (time.perf_counter() - t0) / reps
+        print(json.dumps({"fused_variant": "detect_reid_track",
+                          "fps": round(F_R / dt_r, 1),
+                          "chunk": R_CHUNK,
+                          "tracks_per_frame": round(per_frame_r, 1)}),
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "e2e_detect_track_fps_per_chip",
         "value": round(e2e_fps, 1),

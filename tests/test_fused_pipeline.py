@@ -35,6 +35,17 @@ def _frames(n, h=128, w=128, seed=0):
     return jnp.asarray(rng.integers(0, 255, (n, h, w, 3)), jnp.uint8)
 
 
+def _static_frames(n, h=128, w=128, seed=0):
+    """Quasi-static video: one random frame + small per-frame jitter, so
+    the random-weight detector emits coherent boxes that an association
+    tracker can actually link (i.i.d. noise frames give i.i.d. boxes —
+    StrongSORT then never confirms a track; see bench.py)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(8, 247, (1, h, w, 3))
+    jitter = rng.integers(-4, 5, (n, h, w, 3))
+    return jnp.asarray(np.clip(base + jitter, 0, 255), jnp.uint8)
+
+
 def test_fused_equals_staged(tiny_yolox):
     """One fused program == detect-all-frames then scan, frame for frame."""
     model, variables = tiny_yolox
@@ -129,6 +140,109 @@ def test_fused_meta_rescale_matches_host_wrapper(tiny_yolox):
     np.testing.assert_array_equal(np.asarray(scaled.valid), exp_valid)
     np.testing.assert_allclose(np.asarray(scaled.ltrb), exp_ltrb,
                                rtol=1e-5, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def tiny_osnet():
+    from tracklab_tpu.models.osnet import OSNet
+    model = OSNet(variant="x0_25", feat_dim=64, n_parts=2)
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 32, 16, 3), jnp.float32),
+                           train=False)
+    return model, variables
+
+
+def test_fused_reid_equals_staged(tiny_yolox, tiny_osnet):
+    """Fused detect -> device crops -> embed -> StrongSORT == the staged
+    semantics: per-chunk detect + embed, the wrapper's min_confidence
+    row-drop-and-repack (scan_tracker.process) and embed_dim slice/pad
+    (_collect_embeddings), then one whole-video 3-input scan. Pins that
+    the fused path's mask-instead-of-drop is slot-for-slot equivalent
+    (NMS output is score-descending, so surviving rows are a prefix)."""
+    from tracklab_tpu.engine.fused import (fused_detect_reid_track,
+                                           make_osnet_embed_fn)
+    from tracklab_tpu.trackers.strongsort import (
+        StrongSortConfig, strongsort_init, strongsort_scan,
+        strongsort_step)
+
+    det_model, det_vars = tiny_yolox
+    reid_model, reid_vars = tiny_osnet
+    F, chunk, D, E = 8, 4, 12, 48
+    frames = _static_frames(F, seed=11)
+    detect = make_yolox_detect_fn(det_model, det_vars,
+                                  conf_threshold=0.25, max_dets=D)
+    embed = make_osnet_embed_fn(reid_model, reid_vars,
+                                crop_size=(32, 16))
+    cfg = StrongSortConfig(max_tracks=16, max_dets=D, embed_dim=E,
+                           n_init=1, max_dist=0.6, max_iou_dist=0.9)
+
+    # ---- staged: chunked detect + embed (same batch shapes as the
+    # fused body so XLA numerics agree), wrapper-style row drop ----
+    det_jit = jax.jit(lambda f: detect(f, None))
+    emb_jit = jax.jit(lambda f, b: embed(f, b)["embeddings"])
+    dets_l, emb_l = [], []
+    for i in range(0, F, chunk):
+        d = det_jit(frames[i:i + chunk])
+        emb_l.append(emb_jit(frames[i:i + chunk], d.ltrb))
+        dets_l.append(d)
+    sd = Detections(*[jnp.concatenate([getattr(d, f_) for d in dets_l])
+                      for f_ in Detections._fields])
+    se = np.asarray(jnp.concatenate(emb_l))          # (F, D, E0)
+    E0 = se.shape[-1]
+    # the tracker pre-filter at the median valid score: every frame has
+    # detections on BOTH sides of it, so the fused path's
+    # mask-instead-of-drop is genuinely exercised (random-weight score
+    # distributions shift with jax_enable_x64, so a constant is brittle)
+    min_conf = float(np.median(np.asarray(sd.conf)[np.asarray(sd.valid)]))
+
+    ltrb = np.zeros((F, D, 4), np.float32)
+    conf = np.zeros((F, D), np.float32)
+    cls = np.zeros((F, D), np.float32)
+    ref = np.full((F, D), -1, np.int32)
+    valid = np.zeros((F, D), bool)
+    emb_in = np.zeros((F, D, E), np.float32)
+    sv, sc = np.asarray(sd.valid), np.asarray(sd.conf)
+    for f in range(F):
+        keep = np.nonzero(sv[f] & (sc[f] > min_conf))[0]
+        n = len(keep)
+        np.testing.assert_array_equal(
+            keep, np.arange(n),
+            err_msg="NMS output not score-descending: prefix broken")
+        ltrb[f, :n] = np.asarray(sd.ltrb)[f, keep]
+        conf[f, :n] = sc[f, keep]
+        cls[f, :n] = np.asarray(sd.cls)[f, keep]
+        ref[f, :n] = f * D + keep
+        valid[f, :n] = True
+        emb_in[f, :n, :min(E0, E)] = se[f, keep, :min(E0, E)]
+    staged_in = Detections(jnp.asarray(ltrb), jnp.asarray(conf),
+                           jnp.asarray(cls), jnp.asarray(ref),
+                           jnp.asarray(valid))
+    _, staged_out = jax.jit(lambda d, e: strongsort_scan(cfg, d, e))(
+        staged_in, jnp.asarray(emb_in))
+
+    fused = jax.jit(lambda f: fused_detect_reid_track(
+        detect, embed, partial(strongsort_step, cfg),
+        strongsort_init(cfg), f, chunk, min_confidence=min_conf,
+        embed_dim=E, return_embeddings=True))
+    _, fdets, freid, fused_out = fused(frames)
+
+    assert bool(jnp.any(staged_in.valid)), "no detections above min_conf"
+    assert bool(jnp.any(staged_out.valid)), "tracker emitted nothing"
+    ov = np.asarray(staged_out.valid)
+    np.testing.assert_array_equal(np.asarray(fused_out.valid), ov)
+    np.testing.assert_array_equal(
+        np.asarray(fused_out.track_id)[ov],
+        np.asarray(staged_out.track_id)[ov])
+    np.testing.assert_array_equal(np.asarray(fused_out.ref)[ov],
+                                  np.asarray(staged_out.ref)[ov])
+    np.testing.assert_allclose(np.asarray(fused_out.ltrb)[ov],
+                               np.asarray(staged_out.ltrb)[ov],
+                               rtol=1e-4, atol=1e-3)
+    # the full ReID output is exported for the reid module's DataFrame:
+    # valid detector slots carry the staged embeddings, invalid are 0
+    fe = np.asarray(freid["embeddings"])
+    np.testing.assert_allclose(fe[sv], se[sv], rtol=1e-4, atol=1e-4)
+    assert not np.any(fe[~sv])
 
 
 @pytest.fixture(scope="module")

@@ -32,8 +32,12 @@ from jax import lax
 
 from tracklab_tpu.trackers.common import Detections
 
-__all__ = ["fused_detect_track", "make_yolox_detect_fn",
-           "make_rtdetr_detect_fn"]
+__all__ = ["fused_detect_track", "fused_detect_reid_track",
+           "fused_detect_pose_track",
+           "make_yolox_detect_fn", "make_rtdetr_detect_fn",
+           "make_osnet_embed_fn", "make_topdown_pose_fn",
+           "run_fused_video", "run_fused_reid_video",
+           "run_fused_pose_video"]
 
 
 def make_yolox_detect_fn(model, variables, conf_threshold: float = 0.4,
@@ -123,6 +127,125 @@ def make_rtdetr_detect_fn(model, variables, input_size,
     return detect
 
 
+def make_osnet_embed_fn(model, variables, crop_size=(256, 128),
+                        compute_dtype: Any = jnp.float32) -> Callable:
+    """Build an ``embed_fn(frames, boxes) -> dict`` for OSNet-family ReID
+    models: device crop-and-resize of every detection slot from the
+    detector's input frames, ImageNet-normalize, one batched forward.
+
+    Same math as the staged batched ReID module
+    (wrappers/reid/batched_api.py:74-88) with the detector's letterboxed
+    frames as the work image — the detection crops never leave the
+    device between the detector and the tracker.
+
+    ``frames``: (B, H, W, 3) uint8; ``boxes``: (B, D, 4) ltrb in frame
+    coordinates. Returns ``embeddings`` (B, D, E), ``part_features``
+    (B, D, P+1, E'), ``visibility`` (B, D, P+1).
+    """
+    from tracklab_tpu.models.preprocess import crop_resize
+    from tracklab_tpu.wrappers.reid.osnet_api import (
+        IMAGENET_MEAN, IMAGENET_STD,
+    )
+
+    ch, cw = crop_size
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    def embed(frames, boxes):
+        crops = jax.vmap(
+            lambda img, b: crop_resize(img, b, ch, cw))(frames, boxes)
+        B, D = crops.shape[0], crops.shape[1]
+        x = ((crops.reshape(B * D, ch, cw, 3) - mean) / std).astype(
+            compute_dtype)
+        out = model.apply(variables, x, train=False)
+        emb = out["embeddings"].astype(jnp.float32)
+        res = {"embeddings": emb.reshape(B, D, -1)}
+        if "part_features" in out:
+            pf = out["part_features"].astype(jnp.float32)
+            vis = out["visibility"].astype(jnp.float32)
+            res["part_features"] = pf.reshape(B, D, pf.shape[1], -1)
+            res["visibility"] = vis.reshape(B, D, -1)
+        return res
+
+    return embed
+
+
+def make_kpr_embed_fn(model, variables, crop_size=(384, 128),
+                      n_prompt_ch: int = 6,
+                      test_embeddings=("bn_foreg", "parts"),
+                      binary_visibility: bool = True,
+                      compute_dtype: Any = jnp.float32) -> Callable:
+    """Build an ``embed_fn(frames, boxes) -> dict`` for the KPR
+    part-based ReID model (models/kpr.py): device crop-and-resize of
+    every detection slot, ImageNet-normalize, one batched forward with
+    ZERO keypoint prompts (the wrapper's ``use_keypoints=False`` mode —
+    with no pose module upstream in the fused prefix there are no
+    prompts, exactly like the staged path, wrappers/reid/kpr_api.py:
+    preprocess builds zero prompt maps when keypoints are absent).
+
+    Returns ``embeddings`` (B, D, P', E) and ``visibility`` (B, D, P')
+    in the configured test-embeddings part layout
+    (models/kpr.py:extract_test_embeddings).
+    """
+    from tracklab_tpu.models.kpr import extract_test_embeddings
+    from tracklab_tpu.models.preprocess import crop_resize
+    from tracklab_tpu.wrappers.reid.osnet_api import (
+        IMAGENET_MEAN, IMAGENET_STD,
+    )
+
+    ch, cw = crop_size
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    def embed(frames, boxes):
+        crops = jax.vmap(
+            lambda img, b: crop_resize(img, b, ch, cw))(frames, boxes)
+        B, D = crops.shape[0], crops.shape[1]
+        x = ((crops.reshape(B * D, ch, cw, 3) - mean) / std).astype(
+            compute_dtype)
+        prompts = jnp.zeros((B * D, ch, cw, n_prompt_ch), compute_dtype)
+        out = model.apply(variables, x, prompts, train=False)
+        emb, vis = extract_test_embeddings(out, test_embeddings,
+                                           binary_visibility)
+        emb = emb.astype(jnp.float32)
+        vis = vis.astype(jnp.float32)
+        return {"embeddings": emb.reshape(B, D, emb.shape[1], -1),
+                "visibility": vis.reshape(B, D, -1)}
+
+    return embed
+
+
+def make_topdown_pose_fn(model, variables, crop_size=(256, 192),
+                         num_keypoints: int = 17,
+                         compute_dtype: Any = jnp.float32) -> Callable:
+    """Build a ``pose_fn(frames, boxes) -> keypoints (B, D, K, 3)`` for
+    top-down pose models exposing ``predict_keypoints`` (CSP or ViT
+    backbones): device crop-and-resize of every detection slot, /255
+    rescale, one batched forward, keypoints mapped back from crop to
+    FRAME coordinates (same math as the staged batched pose module,
+    wrappers/pose_estimator/batched_api.py:75-91; the fused body then
+    maps frame -> original coordinates via the crop_meta inverse)."""
+    from tracklab_tpu.models.preprocess import crop_resize
+
+    ch, cw = crop_size
+
+    def pose(frames, boxes):
+        crops = jax.vmap(
+            lambda img, b: crop_resize(img, b, ch, cw))(frames, boxes)
+        B, D = crops.shape[0], crops.shape[1]
+        x = (crops.reshape(B * D, ch, cw, 3) / 255.0).astype(
+            compute_dtype)
+        kp = model.predict_keypoints(variables, x)    # (B*D, K, 3)
+        kp = kp.astype(jnp.float32).reshape(B, D, num_keypoints, 3)
+        w = boxes[..., 2] - boxes[..., 0]
+        h = boxes[..., 3] - boxes[..., 1]
+        kx = kp[..., 0] * (w / cw)[..., None] + boxes[..., 0:1]
+        ky = kp[..., 1] * (h / ch)[..., None] + boxes[..., 1:2]
+        return jnp.stack([kx, ky, kp[..., 2]], axis=-1)
+
+    return pose
+
+
 def fused_detect_track(detect_fn, step_fn, init_state, frames: jnp.ndarray,
                        chunk: int, meta=None, frame_valid=None,
                        return_detections: bool = True):
@@ -194,21 +317,314 @@ def fused_detect_track(detect_fn, step_fn, init_state, frames: jnp.ndarray,
     return final, None, outs
 
 
-def run_fused_video(detector, tracker, loader, metadatas):
-    """Host orchestration of the fused fast path for one video.
+def fused_detect_reid_track(detect_fn, embed_fn, step_fn, init_state,
+                            frames: jnp.ndarray, chunk: int, meta=None,
+                            crop_meta=None, warps=None, frame_valid=None,
+                            min_confidence: float = 0.0,
+                            embed_dim: int | None = None,
+                            return_detections: bool = True,
+                            return_embeddings: bool = False):
+    """Detector -> NMS -> device crops -> ReID embed -> embedding tracker,
+    ONE traced program per video (the reference's BASELINE config-2
+    pipeline, e.g. YOLOX + OSNet + StrongSORT, run module-by-module
+    through pandas in tracklab/engine/engine.py:148-185).
 
-    Collects the detector's host-preprocessed letterboxed frames (decode
-    stays on the loader's threads), runs ONE fused device program
-    (detector -> NMS -> device unletterbox -> tracker scan), and emits
-    both modules' output DataFrames with exactly the staged path's
-    public columns and row-id assignment (yolox_api.process /
-    scan_tracker._emissions_to_df). Used by OfflineTrackingEngine when
-    ``fused=true`` and the first two pipeline modules support it.
+    Args:
+      detect_fn: ``(frames_chunk, meta_chunk|None) -> Detections``.
+      embed_fn: ``(frames_chunk, boxes (B, D, 4)) -> dict`` with
+        ``embeddings`` (B, D, E) (:func:`make_osnet_embed_fn`); crops are
+        taken from the detector's own input frames.
+      step_fn: 3-input tracker step ``(state, (Detections, emb, warp)) ->
+        (state, out)`` (strongsort/botsort/deepocsort_step).
+      crop_meta: optional per-frame affine mapping detector-output box
+        coordinates back into frame pixel coordinates for cropping:
+        ``{"scale": (F, 2), "pad": (F, 2)}`` with
+        ``frame_xy = out_xy * scale + pad`` (the exact inverse of the
+        detect_fn's unletterbox). Identity when None.
+      warps: optional (F, 2, 3) per-frame camera-compensation warps
+        (the gmc_warp column); identity when None.
+      min_confidence: the tracker wrapper's pre-filter
+        (scan_tracker.py: ``bbox_conf > min_confidence`` drops rows
+        before padding). NMS/top-k output is score-descending per frame,
+        so masking is slot-for-slot equivalent to the staged row drop.
+      embed_dim: tracker's embedding width; the ReID output is
+        sliced/zero-padded to it (scan_tracker._collect_embeddings).
+
+    Returns ``(final_state, dets|None, emb|None, outs)``; ``emb`` is the
+    full (F, D, E) ReID output dict when ``return_embeddings``.
     """
-    import numpy as np
-    import pandas as pd
+    F = frames.shape[0]
+    if F % chunk:
+        raise ValueError(f"frames ({F}) must be a multiple of chunk "
+                         f"({chunk}); pad with frame_valid=False")
+    n_chunks = F // chunk
 
-    from tracklab_tpu.utils import coordinates as C
+    def to_chunks(x):
+        return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+    xs = {"frames": to_chunks(frames),
+          "frame_base": jnp.arange(n_chunks, dtype=jnp.int32) * chunk}
+    if meta is not None:
+        xs["meta"] = jax.tree_util.tree_map(to_chunks, meta)
+    if crop_meta is not None:
+        xs["crop_meta"] = jax.tree_util.tree_map(to_chunks, crop_meta)
+    if warps is not None:
+        xs["warps"] = to_chunks(warps)
+    if frame_valid is not None:
+        xs["frame_valid"] = to_chunks(frame_valid)
+
+    def body(state, x):
+        dets = detect_fn(x["frames"], x.get("meta"))
+        D = dets.ref.shape[1]
+        frame_idx = x["frame_base"] + jnp.arange(chunk, dtype=jnp.int32)
+        dets = dets._replace(
+            ref=frame_idx[:, None] * D
+            + jnp.arange(D, dtype=jnp.int32)[None, :])
+        if "frame_valid" in x:
+            dets = dets._replace(
+                valid=dets.valid & x["frame_valid"][:, None])
+
+        # ---- ReID crops in frame coordinates ----
+        boxes = dets.ltrb
+        if "crop_meta" in x:
+            s = x["crop_meta"]["scale"][:, None, :]
+            p = x["crop_meta"]["pad"][:, None, :]
+            lo = boxes[..., 0:2] * s + p
+            hi = boxes[..., 2:4] * s + p
+            boxes = jnp.concatenate([lo, hi], axis=-1)
+        reid = embed_fn(x["frames"], boxes)
+        emb = reid["embeddings"]
+        # the staged ReID module only emits rows for valid detections;
+        # downstream consumers see zeros elsewhere
+        reid = jax.tree_util.tree_map(
+            lambda v: v * dets.valid.reshape(
+                dets.valid.shape + (1,) * (v.ndim - 2)), reid)
+        emb = emb * dets.valid[..., None]
+        E = emb.shape[-1]
+        if embed_dim is not None and E != embed_dim:
+            if E > embed_dim:
+                emb = emb[..., :embed_dim]
+            else:
+                emb = jnp.pad(emb, ((0, 0), (0, 0), (0, embed_dim - E)))
+
+        # ---- tracker: wrapper min_confidence pre-filter as a mask ----
+        trk_dets = dets._replace(
+            valid=dets.valid & (dets.conf > min_confidence))
+        emb = emb * trk_dets.valid[..., None]
+        warp = x.get("warps")
+        if warp is None:
+            warp = jnp.broadcast_to(jnp.eye(2, 3, dtype=jnp.float32),
+                                    (chunk, 2, 3))
+        state, out = lax.scan(step_fn, state, (trk_dets, emb, warp))
+        ys = (dets if return_detections else None,
+              reid if return_embeddings else None, out)
+        return state, ys
+
+    final, (dets, reid, outs) = lax.scan(body, init_state, xs)
+
+    def flat(x):
+        return x.reshape((F,) + x.shape[2:])
+
+    outs = jax.tree_util.tree_map(flat, outs)
+    if return_detections:
+        dets = jax.tree_util.tree_map(flat, dets)
+    if return_embeddings:
+        reid = jax.tree_util.tree_map(flat, reid)
+    return final, dets, reid, outs
+
+
+def fused_detect_pose_track(detect_fn, pose_fn, step_fn, init_state,
+                            frames: jnp.ndarray, chunk: int, meta=None,
+                            crop_meta=None, frame_valid=None,
+                            min_confidence: float = 0.0,
+                            return_detections: bool = True):
+    """Detector -> NMS -> device crops -> top-down pose -> tracker, ONE
+    traced program per video (the reference's PoseTrack pipeline shape:
+    detect, pose per detection, track — run module-by-module through
+    pandas, tracklab/engine/engine.py:148-185).
+
+    The pose output rides alongside: the tracker consumes the boxes
+    (2-input step like :func:`fused_detect_track`); keypoints are
+    computed per detection slot from the detector's own frames and
+    returned mapped to ORIGINAL image coordinates (the crop_meta
+    inverse), matching the staged batched pose module's output
+    (wrappers/pose_estimator/batched_api.py:process).
+
+    Returns ``(final_state, dets|None, keypoints (F, D, K, 3), outs)``.
+    """
+    F = frames.shape[0]
+    if F % chunk:
+        raise ValueError(f"frames ({F}) must be a multiple of chunk "
+                         f"({chunk}); pad with frame_valid=False")
+    n_chunks = F // chunk
+
+    def to_chunks(x):
+        return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+    xs = {"frames": to_chunks(frames),
+          "frame_base": jnp.arange(n_chunks, dtype=jnp.int32) * chunk}
+    if meta is not None:
+        xs["meta"] = jax.tree_util.tree_map(to_chunks, meta)
+    if crop_meta is not None:
+        xs["crop_meta"] = jax.tree_util.tree_map(to_chunks, crop_meta)
+    if frame_valid is not None:
+        xs["frame_valid"] = to_chunks(frame_valid)
+
+    def body(state, x):
+        dets = detect_fn(x["frames"], x.get("meta"))
+        D = dets.ref.shape[1]
+        frame_idx = x["frame_base"] + jnp.arange(chunk, dtype=jnp.int32)
+        dets = dets._replace(
+            ref=frame_idx[:, None] * D
+            + jnp.arange(D, dtype=jnp.int32)[None, :])
+        if "frame_valid" in x:
+            dets = dets._replace(
+                valid=dets.valid & x["frame_valid"][:, None])
+
+        boxes = dets.ltrb
+        if "crop_meta" in x:
+            s = x["crop_meta"]["scale"][:, None, :]
+            p = x["crop_meta"]["pad"][:, None, :]
+            boxes = jnp.concatenate([boxes[..., 0:2] * s + p,
+                                     boxes[..., 2:4] * s + p], axis=-1)
+        kp = pose_fn(x["frames"], boxes)             # frame coords
+        if "crop_meta" in x:
+            s = x["crop_meta"]["scale"][:, None, None, :]
+            p = x["crop_meta"]["pad"][:, None, None, :]
+            kp = jnp.concatenate([(kp[..., 0:2] - p) / s, kp[..., 2:3]],
+                                 axis=-1)
+        kp = kp * dets.valid[..., None, None]
+
+        trk_dets = dets._replace(
+            valid=dets.valid & (dets.conf > min_confidence))
+        state, out = lax.scan(step_fn, state, trk_dets)
+        return state, (dets if return_detections else None, kp, out)
+
+    final, (dets, kp, outs) = lax.scan(body, init_state, xs)
+
+    def flat(x):
+        return x.reshape((F,) + x.shape[2:])
+
+    outs = jax.tree_util.tree_map(flat, outs)
+    kp = flat(kp)
+    if return_detections:
+        dets = jax.tree_util.tree_map(flat, dets)
+    return final, dets, kp, outs
+
+
+def fused_detect_parts_track(detect_fn, embed_fn, step_fn, init_state,
+                             frames: jnp.ndarray, chunk: int, meta=None,
+                             crop_meta=None, warps=None, frame_valid=None,
+                             min_confidence: float = 0.0,
+                             n_parts: int = 5, embed_dim: int = 512,
+                             n_keypoints: int = 17,
+                             return_detections: bool = True,
+                             return_embeddings: bool = False):
+    """Detector -> NMS -> device crops -> KPR part features ->
+    BPBReID-StrongSORT, ONE traced program per video (the reference's
+    game-state/BPBReID pipeline prefix run module-by-module through
+    pandas, tracklab/engine/engine.py:148-185).
+
+    Like :func:`fused_detect_reid_track` but for the 5-input part-based
+    tracker step ``(state, (Detections, feat (D, P, E), vis (D, P),
+    kps (D, K, 3), warp)) -> (state, out)`` (bpbreid_step). The ReID
+    output's part layout (P', E') is sliced/zero-padded to the tracker's
+    (P, E) exactly like the staged collection
+    (scan_tracker.BPBReIDStrongSORT.process: r=min(P', P), c=min(E', E),
+    visibility 0 masks padded parts). Keypoints are zero — the 3-module
+    prefix has no pose module, matching the staged pipeline where the
+    keypoints_xyc column is absent.
+
+    ``min_confidence`` follows the BPBReID wrapper semantics: applied
+    only when > 0 (scan_tracker.py: ``if self.min_confidence > 0``).
+    """
+    F = frames.shape[0]
+    if F % chunk:
+        raise ValueError(f"frames ({F}) must be a multiple of chunk "
+                         f"({chunk}); pad with frame_valid=False")
+    n_chunks = F // chunk
+
+    def to_chunks(x):
+        return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+    xs = {"frames": to_chunks(frames),
+          "frame_base": jnp.arange(n_chunks, dtype=jnp.int32) * chunk}
+    if meta is not None:
+        xs["meta"] = jax.tree_util.tree_map(to_chunks, meta)
+    if crop_meta is not None:
+        xs["crop_meta"] = jax.tree_util.tree_map(to_chunks, crop_meta)
+    if warps is not None:
+        xs["warps"] = to_chunks(warps)
+    if frame_valid is not None:
+        xs["frame_valid"] = to_chunks(frame_valid)
+
+    def body(state, x):
+        dets = detect_fn(x["frames"], x.get("meta"))
+        D = dets.ref.shape[1]
+        frame_idx = x["frame_base"] + jnp.arange(chunk, dtype=jnp.int32)
+        dets = dets._replace(
+            ref=frame_idx[:, None] * D
+            + jnp.arange(D, dtype=jnp.int32)[None, :])
+        if "frame_valid" in x:
+            dets = dets._replace(
+                valid=dets.valid & x["frame_valid"][:, None])
+
+        boxes = dets.ltrb
+        if "crop_meta" in x:
+            s = x["crop_meta"]["scale"][:, None, :]
+            p = x["crop_meta"]["pad"][:, None, :]
+            boxes = jnp.concatenate([boxes[..., 0:2] * s + p,
+                                     boxes[..., 2:4] * s + p], axis=-1)
+        reid = embed_fn(x["frames"], boxes)
+        reid = jax.tree_util.tree_map(
+            lambda v: v * dets.valid.reshape(
+                dets.valid.shape + (1,) * (v.ndim - 2)), reid)
+        emb, vis = reid["embeddings"], reid["visibility"]
+
+        # part-layout fit (staged collection: r=min, zero-pad the rest)
+        P, E = n_parts, embed_dim
+        feat = emb[:, :, :P, :E]
+        feat = jnp.pad(feat, ((0, 0), (0, 0),
+                              (0, P - feat.shape[2]),
+                              (0, E - feat.shape[3])))
+        visf = vis[:, :, :P]
+        visf = jnp.pad(visf, ((0, 0), (0, 0), (0, P - visf.shape[2])))
+
+        trk_dets = dets
+        if min_confidence > 0:
+            trk_dets = dets._replace(
+                valid=dets.valid & (dets.conf > min_confidence))
+        feat = feat * trk_dets.valid[..., None, None]
+        visf = visf * trk_dets.valid[..., None]
+        kps = jnp.zeros((chunk, D, n_keypoints, 3), jnp.float32)
+        warp = x.get("warps")
+        if warp is None:
+            warp = jnp.broadcast_to(jnp.eye(2, 3, dtype=jnp.float32),
+                                    (chunk, 2, 3))
+        state, out = lax.scan(step_fn, state,
+                              (trk_dets, feat, visf, kps, warp))
+        ys = (dets if return_detections else None,
+              reid if return_embeddings else None, out)
+        return state, ys
+
+    final, (dets, reid, outs) = lax.scan(body, init_state, xs)
+
+    def flat(x):
+        return x.reshape((F,) + x.shape[2:])
+
+    outs = jax.tree_util.tree_map(flat, outs)
+    if return_detections:
+        dets = jax.tree_util.tree_map(flat, dets)
+    if return_embeddings:
+        reid = jax.tree_util.tree_map(flat, reid)
+    return final, dets, reid, outs
+
+
+def _collect_frames(detector, loader):
+    """Drain the detector's loader: (frame_ids, images (F, H, W, 3),
+    letterbox meta dict), frames padded to a multiple of the detector's
+    batch size with a frame_valid mask."""
+    import numpy as np
 
     frame_ids, imgs, scales, pads, shapes = [], [], [], [], []
     for ids, samples in loader:
@@ -218,7 +634,7 @@ def run_fused_video(detector, tracker, loader, metadatas):
         pads.append(np.asarray(samples["pad"], np.float32))
         shapes.append(np.asarray(samples["shape"], np.float32))
     if not frame_ids:
-        return pd.DataFrame(), pd.DataFrame()
+        return [], None, None, 0, 0, None
     images = np.concatenate(imgs)
     meta = {"scale": np.concatenate(scales),
             "pad": np.concatenate(pads),
@@ -235,27 +651,17 @@ def run_fused_video(detector, tracker, loader, metadatas):
             [v, np.ones((pad_n,) + v.shape[1:], v.dtype)])
             for k, v in meta.items()}
     frame_valid = np.arange(F_pad) < F0
+    return frame_ids, images, meta, F0, chunk, frame_valid
 
-    detect_fn = detector.device_detect_fn()
-    D = detector.max_dets
-    cfg = tracker._make_config()
-    trk_D = cfg.max_dets
-    base_step = tracker._step_fn()
-    init_state = tracker._init_state(cfg)
 
-    def step(state, det):
-        if trk_D < D:
-            det = Detections(*[x[:trk_D] for x in det])
-        return base_step(cfg, state, det)
+def _detector_df(detector, dets, frame_ids, metadatas, F0, F_pad):
+    """Fused Detections -> the detector module's output DataFrame with
+    exactly the staged path's row semantics and global row-id assignment
+    (yolox_api.process), plus the ref->row-id lut for the tracker join."""
+    import numpy as np
+    import pandas as pd
 
-    runner = jax.jit(lambda f, m, v: fused_detect_track(
-        detect_fn, step, init_state, f, chunk, meta=m, frame_valid=v))
-    _, dets, outs = runner(
-        jnp.asarray(images),
-        {k: jnp.asarray(v) for k, v in meta.items()},
-        jnp.asarray(frame_valid))
-
-    # ---- detector DataFrame (yolox_api.process row semantics) ----
+    D = dets.valid.shape[1]
     valid = np.asarray(dets.valid[:F0])
     ltrb = np.asarray(dets.ltrb[:F0])
     score = np.asarray(dets.conf[:F0])
@@ -279,9 +685,300 @@ def run_fused_video(detector, tracker, loader, metadatas):
             lut[f * D + d] = detector.id
             detector.id += 1
     det_df = pd.DataFrame(rows) if rows else pd.DataFrame()
+    return det_df, lut
+
+
+def run_fused_video(detector, tracker, loader, metadatas):
+    """Host orchestration of the fused fast path for one video.
+
+    Collects the detector's host-preprocessed letterboxed frames (decode
+    stays on the loader's threads), runs ONE fused device program
+    (detector -> NMS -> device unletterbox -> tracker scan), and emits
+    both modules' output DataFrames with exactly the staged path's
+    public columns and row-id assignment (yolox_api.process /
+    scan_tracker._emissions_to_df). Used by OfflineTrackingEngine when
+    ``fused=true`` and the first two pipeline modules support it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    frame_ids, images, meta, F0, chunk, frame_valid = _collect_frames(
+        detector, loader)
+    if not frame_ids:
+        return pd.DataFrame(), pd.DataFrame()
+
+    detect_fn = detector.device_detect_fn()
+    D = detector.max_dets
+    cfg = tracker._make_config()
+    trk_D = cfg.max_dets
+    base_step = tracker._step_fn()
+    init_state = tracker._init_state(cfg)
+    min_conf = float(getattr(tracker, "min_confidence", 0.0))
+
+    def step(state, det):
+        if trk_D < D:
+            det = Detections(*[x[:trk_D] for x in det])
+        # the wrapper's pre-filter (bbox_conf > min_confidence) as a
+        # mask: NMS output is score-descending, so slots align
+        det = det._replace(valid=det.valid & (det.conf > min_conf))
+        return base_step(cfg, state, det)
+
+    runner = jax.jit(lambda f, m, v: fused_detect_track(
+        detect_fn, step, init_state, f, chunk, meta=m, frame_valid=v))
+    _, dets, outs = runner(
+        jnp.asarray(images),
+        {k: jnp.asarray(v) for k, v in meta.items()},
+        jnp.asarray(frame_valid))
+
+    det_df, lut = _detector_df(detector, dets, frame_ids, metadatas,
+                               F0, len(frame_valid))
 
     # ---- tracker DataFrame (same join as the staged whole-video scan)
     trk_df = tracker._emissions_to_df(outs, F0, lut)
     if len(trk_df):
         trk_df = trk_df[trk_df.index >= 0]
     return det_df, trk_df
+
+
+def run_fused_pose_video(detector, pose, tracker, loader, metadatas):
+    """Host orchestration of the 3-module fused fast path for one video:
+    detector -> NMS -> device crops -> top-down pose -> tracker as ONE
+    device program (:func:`fused_detect_pose_track`). The tracker
+    consumes boxes (2-input step); keypoints ride alongside and are
+    emitted as the pose module's DataFrame (keypoints_xyc /
+    keypoints_conf, batched_api.process row semantics) in original
+    image coordinates."""
+    import numpy as np
+    import pandas as pd
+
+    frame_ids, images, meta, F0, chunk, frame_valid = _collect_frames(
+        detector, loader)
+    if not frame_ids:
+        return pd.DataFrame(), pd.DataFrame(), pd.DataFrame()
+    F_pad = len(frame_valid)
+
+    detect_fn = detector.device_detect_fn()
+    crop_meta = detector.crop_meta(meta)
+    pose_fn = pose.device_pose_fn()
+    D = detector.max_dets
+    cfg = tracker._make_config()
+    trk_D = cfg.max_dets
+    base_step = tracker._step_fn()
+    init_state = tracker._init_state(cfg)
+    min_conf = float(getattr(tracker, "min_confidence", 0.0))
+
+    def step(state, det):
+        if trk_D < D:
+            det = Detections(*[x[:trk_D] for x in det])
+        return base_step(cfg, state, det)
+
+    runner = jax.jit(lambda f, m, cm, v: fused_detect_pose_track(
+        detect_fn, pose_fn, step, init_state, f, chunk, meta=m,
+        crop_meta=cm, frame_valid=v, min_confidence=min_conf))
+    _, dets, kp, outs = runner(
+        jnp.asarray(images),
+        {k: jnp.asarray(v) for k, v in meta.items()},
+        {k: jnp.asarray(v) for k, v in crop_meta.items()},
+        jnp.asarray(frame_valid))
+
+    det_df, lut = _detector_df(detector, dets, frame_ids, metadatas,
+                               F0, F_pad)
+
+    # ---- pose DataFrame (batched_api.process row semantics) ----
+    valid = np.asarray(dets.valid[:F0])
+    kp = np.asarray(kp[:F0], np.float32)
+    idx, kps, confs = [], [], []
+    for f in range(F0):
+        for d in np.nonzero(valid[f])[0]:
+            idx.append(lut[f * D + d])
+            kps.append(kp[f, d])
+            confs.append(float(kp[f, d, :, 2].mean()))
+    pose_df = pd.DataFrame(index=idx)
+    pose_df["keypoints_xyc"] = kps
+    pose_df["keypoints_conf"] = confs
+
+    trk_df = tracker._emissions_to_df(outs, F0, lut)
+    if len(trk_df):
+        trk_df = trk_df[trk_df.index >= 0]
+    return det_df, pose_df, trk_df
+
+
+def run_fused_parts_video(detector, reid, tracker, loader, metadatas):
+    """Host orchestration of the 3-module fused fast path for one video:
+    detector -> NMS -> device crops -> KPR part features ->
+    BPBReID-StrongSORT as ONE device program
+    (:func:`fused_detect_parts_track`). Emits all three modules'
+    DataFrames with the staged path's columns and row ids (the ReID df
+    carries the full part-layout embeddings + visibility_scores,
+    kpr_api.process; the tracker df carries the KF boxes + lifecycle
+    counters, scan_tracker.BPBReIDStrongSORT._bpb_emissions_to_df)."""
+    import numpy as np
+    import pandas as pd
+
+    frame_ids, images, meta, F0, chunk, frame_valid = _collect_frames(
+        detector, loader)
+    if not frame_ids:
+        return pd.DataFrame(), pd.DataFrame(), pd.DataFrame()
+    F_pad = len(frame_valid)
+
+    detect_fn = detector.device_detect_fn()
+    crop_meta = detector.crop_meta(meta)
+    embed_fn = reid.device_embed_fn()
+    D = detector.max_dets
+    cfg = tracker._make_config()
+    trk_D = cfg.max_dets
+    init_state = tracker._init_state(cfg)
+    min_conf = float(getattr(tracker, "min_confidence", 0.0))
+
+    warps = np.broadcast_to(np.eye(2, 3, dtype=np.float32),
+                            (F_pad, 2, 3)).copy()
+    if "gmc_warp" in metadatas.columns:
+        for f, fid in enumerate(frame_ids):
+            w = metadatas.loc[fid, "gmc_warp"]
+            if isinstance(w, np.ndarray) and w.shape == (2, 3):
+                warps[f] = w
+
+    from tracklab_tpu.trackers.bpbreid_strongsort import bpbreid_step
+
+    def step(state, inputs):
+        det, feat, vis, kps, warp = inputs
+        if trk_D < D:
+            det = Detections(*[x[:trk_D] for x in det])
+            feat, vis, kps = feat[:trk_D], vis[:trk_D], kps[:trk_D]
+        return bpbreid_step(cfg, state, (det, feat, vis, kps, warp))
+
+    runner = jax.jit(lambda f, m, cm, w, v: fused_detect_parts_track(
+        detect_fn, embed_fn, step, init_state, f, chunk, meta=m,
+        crop_meta=cm, warps=w, frame_valid=v,
+        min_confidence=min_conf, n_parts=tracker.n_parts,
+        embed_dim=tracker.embed_dim, n_keypoints=tracker.n_keypoints,
+        return_embeddings=True))
+    _, dets, reid_out, outs = runner(
+        jnp.asarray(images),
+        {k: jnp.asarray(v) for k, v in meta.items()},
+        {k: jnp.asarray(v) for k, v in crop_meta.items()},
+        jnp.asarray(warps), jnp.asarray(frame_valid))
+
+    det_df, lut = _detector_df(detector, dets, frame_ids, metadatas,
+                               F0, F_pad)
+
+    # ---- ReID DataFrame (kpr_api.process row semantics) ----
+    valid = np.asarray(dets.valid[:F0])
+    emb = np.asarray(reid_out["embeddings"][:F0], np.float32)
+    vis = np.asarray(reid_out["visibility"][:F0], np.float32)
+    idx, embs, viss = [], [], []
+    for f in range(F0):
+        for d in np.nonzero(valid[f])[0]:
+            idx.append(lut[f * D + d])
+            embs.append(emb[f, d])
+            viss.append(vis[f, d])
+    reid_df = pd.DataFrame(index=idx)
+    reid_df["embeddings"] = embs
+    reid_df["visibility_scores"] = viss
+
+    # reconstruct the tracker's consumed detections (truncation +
+    # conditional pre-filter) so the emit_costs instrumentation can
+    # attribute per-detection cost rows exactly like the staged path
+    trk_dets = dets
+    if trk_D < D:
+        trk_dets = Detections(*[x[:, :trk_D] for x in dets])
+    if min_conf > 0:
+        trk_dets = trk_dets._replace(
+            valid=trk_dets.valid & (trk_dets.conf > min_conf))
+    trk_df = tracker._bpb_emissions_to_df(outs, F0, lut, dets=trk_dets)
+    if len(trk_df):
+        trk_df = trk_df[trk_df.index >= 0]
+    return det_df, reid_df, trk_df
+
+
+def run_fused_reid_video(detector, reid, tracker, loader, metadatas):
+    """Host orchestration of the 3-module fused fast path for one video:
+    detector -> NMS -> device crops -> ReID -> embedding tracker as ONE
+    device program (:func:`fused_detect_reid_track`).
+
+    The ReID crops are taken from the detector's letterboxed input
+    frames (the boxes re-letterboxed on device via the detector's
+    ``crop_meta``), so detection pixels never revisit the host between
+    modules — the staged batched ReID module's work-image resize
+    (wrappers/reid/batched_api.py:92-109) is output-equivalent when its
+    work size matches the detector input. Emits all three modules'
+    DataFrames with the staged path's columns and row ids. Camera warps
+    (gmc_warp) are read from ``metadatas`` when a CMC module already
+    populated them; identity otherwise (scan_tracker._collect_warps).
+    """
+    import numpy as np
+    import pandas as pd
+
+    frame_ids, images, meta, F0, chunk, frame_valid = _collect_frames(
+        detector, loader)
+    if not frame_ids:
+        return pd.DataFrame(), pd.DataFrame(), pd.DataFrame()
+    F_pad = len(frame_valid)
+
+    detect_fn = detector.device_detect_fn()
+    crop_meta = detector.crop_meta(meta)
+    embed_fn = reid.device_embed_fn()
+    D = detector.max_dets
+    cfg = tracker._make_config()
+    trk_D = cfg.max_dets
+    base_step = tracker._step3()
+    init_state = tracker._init_state(cfg)
+    min_conf = float(getattr(tracker, "min_confidence", 0.0))
+    embed_dim = int(getattr(tracker, "embed_dim", 512))
+
+    # per-frame camera warps from an upstream CMC module, if present
+    warps = np.broadcast_to(np.eye(2, 3, dtype=np.float32),
+                            (F_pad, 2, 3)).copy()
+    if "gmc_warp" in metadatas.columns:
+        for f, fid in enumerate(frame_ids):
+            w = metadatas.loc[fid, "gmc_warp"]
+            if isinstance(w, np.ndarray) and w.shape == (2, 3):
+                warps[f] = w
+
+    def step(state, inputs):
+        det, emb, warp = inputs
+        if trk_D < D:
+            det = Detections(*[x[:trk_D] for x in det])
+            emb = emb[:trk_D]
+        return base_step(cfg, state, (det, emb, warp))
+
+    runner = jax.jit(lambda f, m, cm, w, v: fused_detect_reid_track(
+        detect_fn, embed_fn, step, init_state, f, chunk, meta=m,
+        crop_meta=cm, warps=w, frame_valid=v,
+        min_confidence=min_conf, embed_dim=embed_dim,
+        return_embeddings=True))
+    _, dets, reid_out, outs = runner(
+        jnp.asarray(images),
+        {k: jnp.asarray(v) for k, v in meta.items()},
+        {k: jnp.asarray(v) for k, v in crop_meta.items()},
+        jnp.asarray(warps), jnp.asarray(frame_valid))
+
+    det_df, lut = _detector_df(detector, dets, frame_ids, metadatas,
+                               F0, F_pad)
+
+    # ---- ReID DataFrame (batched_api.process row semantics) ----
+    valid = np.asarray(dets.valid[:F0])
+    use_parts = bool(getattr(reid, "use_parts", False)) \
+        and "part_features" in reid_out
+    emb = np.asarray(reid_out["embeddings"][:F0], np.float32)
+    if use_parts:
+        parts = np.asarray(reid_out["part_features"][:F0], np.float32)
+        vis = np.asarray(reid_out["visibility"][:F0], np.float32)
+    idx, embs, viss = [], [], []
+    for f in range(F0):
+        for d in np.nonzero(valid[f])[0]:
+            idx.append(lut[f * D + d])
+            if use_parts:
+                embs.append(parts[f, d])
+                viss.append(vis[f, d])
+            else:
+                embs.append(emb[f, d])
+                viss.append(np.ones(1, np.float32))
+    reid_df = pd.DataFrame(index=idx)
+    reid_df["embeddings"] = embs
+    reid_df["visibility_scores"] = viss
+
+    trk_df = tracker._emissions_to_df(outs, F0, lut)
+    if len(trk_df):
+        trk_df = trk_df[trk_df.index >= 0]
+    return det_df, reid_df, trk_df

@@ -23,6 +23,58 @@ class OfflineTrackingEngine(TrackingEngine):
         detections, image_pred = self.tracker_state.load()
 
         model_names = list(self.module_names)
+        if self.fused and len(model_names) >= 3 and len(detections) == 0:
+            det_m = self.models[model_names[0]]
+            mid_m = self.models[model_names[1]]
+            trk_m = self.models[model_names[2]]
+            run_fused_3 = None
+            if getattr(det_m, "supports_fused_detect", False):
+                if (getattr(mid_m, "supports_fused_embed", False)
+                        and getattr(trk_m, "supports_fused_emb_track",
+                                    False)):
+                    # detector -> NMS -> device crops -> ReID ->
+                    # embedding tracker as ONE device program
+                    from tracklab_tpu.engine.fused import (
+                        run_fused_reid_video as run_fused_3)
+                elif (getattr(mid_m, "supports_fused_pose", False)
+                        and getattr(trk_m, "supports_fused_track",
+                                    False)):
+                    # detector -> NMS -> device crops -> top-down pose
+                    # -> tracker as ONE device program
+                    from tracklab_tpu.engine.fused import (
+                        run_fused_pose_video as run_fused_3)
+                elif (getattr(mid_m, "supports_fused_parts", False)
+                        and getattr(trk_m, "supports_fused_parts_track",
+                                    False)):
+                    # detector -> NMS -> device crops -> KPR part
+                    # features -> BPBReID tracker as ONE device program
+                    from tracklab_tpu.engine.fused import (
+                        run_fused_parts_video as run_fused_3)
+            if run_fused_3 is not None:
+                det_name, mid_name, trk_name = model_names[:3]
+                image_filepaths = {
+                    idx: fp for idx, fp in
+                    image_pred["file_path"].items()}
+                self.datapipes[det_name].update(
+                    image_filepaths, image_pred, detections)
+                loader = self.dataloaders[det_name]
+                self.fire("on_module_start", task=det_name,
+                          dataloader=loader)
+                det_df, mid_df, trk_df = run_fused_3(
+                    det_m, mid_m, trk_m, loader, image_pred)
+                detections = merge_dataframes(detections, det_df)
+                self.fire("on_module_end", task=det_name,
+                          detections=detections)
+                for name, df in ((mid_name, mid_df),
+                                 (trk_name, trk_df)):
+                    self.fire("on_module_start", task=name,
+                              dataloader=[])
+                    detections = merge_dataframes(detections, df)
+                    self.fire("on_module_end", task=name,
+                              detections=detections)
+                model_names = model_names[3:]
+                if len(detections) == 0 or not model_names:
+                    return detections, image_pred
         if self.fused and len(model_names) >= 2 and len(detections) == 0:
             det_name, trk_name = model_names[0], model_names[1]
             det_m = self.models[det_name]

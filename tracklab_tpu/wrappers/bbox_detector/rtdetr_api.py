@@ -44,6 +44,16 @@ class RTDETRDetector(YOLOXDetector):
         # (engine/offline.py gates on this attribute).
         return self._hf_mode
 
+    @staticmethod
+    def crop_meta(meta):
+        """Output-box -> stretch-resized-frame coords for device ReID
+        crops (engine/fused.py): frame_xy = out_xy / scale, no padding —
+        the inverse of the per-axis stretch unscale in ``process``."""
+        import numpy as np
+        s = np.asarray(meta["scale"], np.float32)
+        return {"scale": 1.0 / s,
+                "pad": np.zeros_like(s)}
+
     def preprocess(self, image, detections, metadata):
         if not self._hf_mode:
             return super().preprocess(image, detections, metadata)

@@ -102,6 +102,17 @@ class YOLOXDetector(ImageLevelModule):
             iou_threshold=self.nms_iou, max_dets=self.max_dets,
             compute_dtype=jnp.float32)
 
+    @staticmethod
+    def crop_meta(meta):
+        """Per-frame affine mapping output-box coords back into the
+        letterboxed frame for device ReID crops (engine/fused.py:
+        fused_detect_reid_track): frame_xy = out_xy * scale + pad — the
+        exact inverse of the unletterbox in ``process``."""
+        import numpy as np
+        s = np.asarray(meta["scale"], np.float32)
+        return {"scale": np.stack([s, s], axis=1),
+                "pad": np.asarray(meta["pad"], np.float32)}
+
     # ------------------------------------------------------------------
     def preprocess(self, image, detections, metadata) -> Any:
         """Host-side: BGR decode already done; letterbox with cv2."""

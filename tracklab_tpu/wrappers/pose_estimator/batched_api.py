@@ -29,6 +29,11 @@ class TopDownPoseBatched(ImageLevelModule):
     input_columns = ["bbox_ltwh"]
     output_columns = ["keypoints_xyc", "keypoints_conf"]
     collate_fn = staticmethod(default_collate)
+    # the engine's fused fast path can inline this module between a
+    # fused detector and a tracker (engine/fused.py:
+    # run_fused_pose_video) — crops then come from the detector's
+    # letterboxed frames instead of this module's work-image resize
+    supports_fused_pose = True
 
     def __init__(self, variant: str = "s", num_keypoints: int = 17,
                  crop_size=(256, 192), work_size=(736, 1280),
@@ -91,6 +96,26 @@ class TopDownPoseBatched(ImageLevelModule):
             return jnp.stack([kx, ky, kp[..., 2]], axis=-1)
 
         self._infer = jax.jit(infer)
+
+    def device_pose_fn(self):
+        """Jit-ready ``(frames, boxes) -> keypoints (B, D, K, 3)``
+        closure for the fused engine path: device crop-and-resize + pose
+        forward, identical math to ``_infer`` (crops from the caller's
+        frames; keypoints in the caller's frame coordinates)."""
+        if self._infer is None:
+            self._build()
+        from tracklab_tpu.engine.fused import make_topdown_pose_fn
+        if self.backbone == "vit":
+            from tracklab_tpu.models.vitpose import ViTPose
+            model = ViTPose(num_keypoints=self.num_keypoints,
+                            variant=self.variant)
+        else:
+            from tracklab_tpu.models.pose import TopDownPose
+            model = TopDownPose(num_keypoints=self.num_keypoints,
+                                variant=self.variant)
+        return make_topdown_pose_fn(
+            model, self.variables, crop_size=(self.crop_h, self.crop_w),
+            num_keypoints=self.num_keypoints)
 
     def preprocess(self, image, detections: pd.DataFrame,
                    metadata: pd.Series):

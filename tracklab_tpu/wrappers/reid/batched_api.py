@@ -28,6 +28,11 @@ class OSNetReIdBatched(ImageLevelModule):
     input_columns = ["bbox_ltwh"]
     output_columns = ["embeddings", "visibility_scores"]
     collate_fn = staticmethod(default_collate)
+    # the engine's fused fast path can inline this module between a
+    # fused detector and an embedding tracker (engine/fused.py:
+    # run_fused_reid_video) — crops then come from the detector's
+    # letterboxed frames instead of this module's work-image resize
+    supports_fused_embed = True
 
     def __init__(self, variant: str = "x1_0", feat_dim: int = 512,
                  n_parts: int = 6, crop_size=(256, 128),
@@ -88,6 +93,20 @@ class OSNetReIdBatched(ImageLevelModule):
             }
 
         self._infer = jax.jit(infer)
+
+    def device_embed_fn(self):
+        """Jit-ready ``(frames, boxes) -> dict`` closure for the fused
+        engine path: device crop-and-resize + OSNet forward, identical
+        math to ``_infer`` (the crops just come from the caller's frames
+        instead of this module's work image)."""
+        if self._infer is None:
+            self._build()
+        from tracklab_tpu.engine.fused import make_osnet_embed_fn
+        from tracklab_tpu.models.osnet import OSNet
+        model = OSNet(variant=self.variant, feat_dim=self.feat_dim,
+                      n_parts=self.n_parts, ibn=self.ibn)
+        return make_osnet_embed_fn(
+            model, self.variables, crop_size=(self.crop_h, self.crop_w))
 
     def preprocess(self, image, detections: pd.DataFrame,
                    metadata: pd.Series):

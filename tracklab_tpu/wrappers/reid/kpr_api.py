@@ -32,7 +32,7 @@ from tracklab_tpu.utils.collate import default_collate
 
 log = logging.getLogger(__name__)
 
-__all__ = ["KPReId"]
+__all__ = ["KPReId", "KPReIdBatched"]
 
 IMAGENET_MEAN = (0.485 * 255, 0.456 * 255, 0.406 * 255)
 IMAGENET_STD = (0.229 * 255, 0.224 * 255, 0.225 * 255)
@@ -43,6 +43,16 @@ class KPReId(DetectionLevelModule):
     output_columns = ["embeddings", "visibility_scores"]
     training_enabled = True
     collate_fn = staticmethod(default_collate)
+
+    @property
+    def supports_fused_parts(self):
+        # the engine's fused fast path can inline KPR between a fused
+        # detector and the part-based tracker (engine/fused.py:
+        # run_fused_parts_video) — but only in the promptless mode: with
+        # no pose module inside the fused prefix there are no keypoint
+        # prompts to rasterize (preprocess builds zero maps in exactly
+        # that case)
+        return not self.use_keypoints
 
     def __init__(self, crop_size=(384, 128), batch_size: int = 32,
                  num_parts: int = 5, dim_reduce_output: int = 512,
@@ -111,6 +121,24 @@ class KPReId(DetectionLevelModule):
 
         self._infer = jax.jit(infer)
 
+    def device_embed_fn(self):
+        """Jit-ready ``(frames, boxes) -> dict`` closure for the fused
+        engine path: device crop-and-resize + KPR forward with zero
+        prompts, identical math to ``_infer`` over host crops in the
+        ``use_keypoints=False`` mode (the crops just come from the
+        caller's frames via models/preprocess.crop_resize instead of the
+        host crop_bbox+cv2.resize — same bilinear convention, border
+        handling documented in tests/test_fused_pipeline.py)."""
+        if self._infer is None:
+            self._build()
+        from tracklab_tpu.engine.fused import make_kpr_embed_fn
+        return make_kpr_embed_fn(
+            self.model, self.variables,
+            crop_size=(self.crop_h, self.crop_w),
+            n_prompt_ch=self.n_prompt_ch,
+            test_embeddings=self.test_embeddings,
+            binary_visibility=self.binary_visibility)
+
     # ------------------------------------------------------------------
     def preprocess(self, image, detection: pd.Series, metadata: pd.Series):
         import cv2
@@ -174,3 +202,73 @@ class KPReId(DetectionLevelModule):
             self, tracking_dataset, epochs=epochs, **kwargs)
         self._infer = None
         return metrics
+
+
+class KPReIdBatched(KPReId):
+    """Image-level batched KPR: all of a frame's crops in one XLA
+    program (counterpart of OSNetReIdBatched for the part-based model —
+    the detection-level KPReId crops per detection on host threads).
+    Promptless mode only (``use_keypoints=False``): each frame is staged
+    once, ``models/preprocess.crop_resize`` gathers every detection's
+    crop on device, and KPR runs over the whole (frames x detections)
+    batch with zero prompt maps. Fusable with a device detector and the
+    part-based tracker into one program (engine/fused.py:
+    run_fused_parts_video)."""
+
+    input_columns = ["bbox_ltwh"]
+    level = "image"
+    supports_fused_parts = True
+
+    def __init__(self, *args, work_size=(736, 1280), max_dets: int = 32,
+                 **kwargs):
+        kwargs["use_keypoints"] = False
+        super().__init__(*args, **kwargs)
+        self.work_h, self.work_w = work_size
+        self.max_dets = max_dets
+
+    def _build(self):
+        super()._build()
+        import jax
+        embed = self.device_embed_fn()
+        self._infer_batched = jax.jit(embed)
+
+    def preprocess(self, image, detections: pd.DataFrame,
+                   metadata: pd.Series):
+        import cv2
+        h0, w0 = image.shape[:2]
+        work = cv2.resize(image, (self.work_w, self.work_h))
+        sx = self.work_w / w0
+        sy = self.work_h / h0
+        boxes = np.zeros((self.max_dets, 4), np.float32)
+        rows = np.full(self.max_dets, -1, np.int64)
+        n = min(len(detections), self.max_dets)
+        if n:
+            ltwh = np.stack(detections["bbox_ltwh"].to_numpy()[:n])
+            boxes[:n, 0] = ltwh[:, 0] * sx
+            boxes[:n, 1] = ltwh[:, 1] * sy
+            boxes[:n, 2] = (ltwh[:, 0] + ltwh[:, 2]) * sx
+            boxes[:n, 3] = (ltwh[:, 1] + ltwh[:, 3]) * sy
+            rows[:n] = detections.index.to_numpy()[:n]
+        return {"image": work, "boxes": boxes, "rows": rows}
+
+    def process(self, batch, detections: pd.DataFrame,
+                metadatas: pd.DataFrame):
+        if self._infer is None or not hasattr(self, "_infer_batched"):
+            self._build()
+        out = self._infer_batched(batch["image"], batch["boxes"])
+        emb = np.asarray(out["embeddings"], np.float32)
+        vis = np.asarray(out["visibility"], np.float32)
+        rows_mat = np.asarray(batch["rows"])
+        idx, embs, viss = [], [], []
+        for b in range(rows_mat.shape[0]):
+            for d in range(rows_mat.shape[1]):
+                r = rows_mat[b, d]
+                if r < 0:
+                    continue
+                idx.append(r)
+                embs.append(emb[b, d])
+                viss.append(vis[b, d])
+        result = pd.DataFrame(index=idx)
+        result["embeddings"] = embs
+        result["visibility_scores"] = viss
+        return result

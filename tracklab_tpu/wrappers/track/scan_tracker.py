@@ -423,6 +423,11 @@ class _EmbScanTrackerBase(_ScanTrackerBase):
     input_columns = ["bbox_ltwh", "bbox_conf", "category_id", "embeddings"]
     output_columns = ["track_id", "track_bbox_ltwh", "track_bbox_conf"]
 
+    # 3-input (Detections, emb, warp) scan step: fusable with a device
+    # detector + device-crop ReID into one program
+    # (engine/fused.py:run_fused_reid_video)
+    supports_fused_emb_track = True
+
     min_confidence = 0.0
     embed_dim = 512
 
@@ -723,6 +728,13 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
                       "track_bbox_kf_ltwh", "hits", "age",
                       "time_since_update"]
 
+    # 5-input step (det, part feats, visibility, keypoints, warp) — not
+    # the 3-input shape the flat-embedding fused path drives; the
+    # part-based fused path (engine/fused.py:run_fused_parts_video)
+    # drives it instead
+    supports_fused_emb_track = False
+    supports_fused_parts_track = True
+
     # defaults mirror the reference's bpbreid_strong_sort.yaml (and
     # the BPBReIDStrongSortConfig dataclass)
     def __init__(self, max_dist: float = 0.5,
@@ -900,6 +912,14 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
         warps = _collect_warps(metadatas, n_frames, F)
         _, out = self._jitted(dets, jnp.asarray(feat), jnp.asarray(vis),
                               jnp.asarray(kps), jnp.asarray(warps))
+        return self._bpb_emissions_to_df(out, n_frames, lut, dets=dets)
+
+    def _bpb_emissions_to_df(self, out, n_frames, lut, dets=None):
+        """Stacked per-frame BPBReID outputs -> the wrapper's public
+        DataFrame (KF boxes + lifecycle counters, plus the emit_costs
+        instrumentation when enabled and the consumed detections are
+        provided). Shared by ``process`` and the fused engine path
+        (engine/fused.py:run_fused_parts_video)."""
         valid = np.asarray(out.valid[:n_frames])
         fs, ts = np.nonzero(valid)
         rows = lut[np.asarray(out.ref[:n_frames])[fs, ts]]
@@ -916,7 +936,8 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
         result["age"] = np.asarray(out.age[:n_frames])[fs, ts]
         result["time_since_update"] = np.asarray(
             out.time_since_update[:n_frames])[fs, ts]
-        if self.emit_costs and out.costs_r is not None:
+        if self.emit_costs and out.costs_r is not None \
+                and dets is not None:
             # debug-viz instrumentation (reference
             # sort/tracker.py:365-425): per-detection cost dicts to
             # every pre-birth track + the matched stage/cost

@@ -233,6 +233,90 @@ def test_fused_parts_engine_matches_staged(tmp_path):
             staged.loc[sv, col].to_numpy(float), err_msg=col)
 
 
+GSR_ARGS = [
+    "pipeline=[detect, pose, reid, track]",
+    "+modules.detect._target_=tracklab_tpu.wrappers.bbox_detector."
+    "YOLOXDetector",
+    "+modules.detect.variant=nano",
+    "+modules.detect.num_classes=1",
+    "+modules.detect.input_size=[128,128]",
+    "+modules.detect.min_confidence=0.25",
+    "+modules.detect.nms_iou=0.65",
+    "+modules.detect.max_dets=16",
+    "+modules.detect.batch_size=4",
+    "+modules.pose._target_=tracklab_tpu.wrappers.pose_estimator."
+    "TopDownPoseBatched",
+    "+modules.pose.variant=nano",
+    "+modules.pose.num_keypoints=17",
+    "+modules.pose.crop_size=[64,48]",
+    "+modules.pose.work_size=[128,128]",
+    "+modules.pose.max_dets=16",
+    "+modules.pose.batch_size=4",
+    # tiny PROMPTED KPR: the keypoint prompt maps are rasterized from
+    # the pose output (host gaussians staged, device gaussians fused)
+    "+modules.reid._target_=tracklab_tpu.wrappers.reid.KPReIdBatched",
+    "+modules.reid.use_keypoints=true",
+    "+modules.reid.crop_size=[32,16]",
+    "+modules.reid.num_parts=3",
+    "+modules.reid.dim_reduce_output=16",
+    "+modules.reid.embed_dim=32",
+    "+modules.reid.depth=2",
+    "+modules.reid.num_heads=2",
+    "+modules.reid.patch_size=8",
+    "+modules.reid.stride=8",
+    "+modules.reid.work_size=[128,128]",
+    "+modules.reid.max_dets=16",
+    "+modules.reid.batch_size=4",
+    "modules/track=bpbreid_strong_sort",
+    "modules.track.motion_criterium=oks",
+    "modules.track.max_dets=16", "modules.track.max_tracks=32",
+    "modules.track.n_parts=4", "modules.track.embed_dim=16",
+    "modules.track.n_keypoints=17",
+    "modules.track.n_init=1",
+    "modules.track.max_dist=0.6", "modules.track.max_oks_distance=0.9",
+    "dataset.n_videos=1", "dataset.n_frames=10",
+    "dataset.n_objects=3", "dataset.img_w=128", "dataset.img_h=128",
+    "use_rich=false",
+]
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_fused_gsr_engine_matches_staged(tmp_path):
+    """4-module fused prefix — the FULL pose-tracking pipeline shape
+    (detect -> top-down pose -> keypoint-PROMPTED KPR -> OKS-motion
+    BPBReID-StrongSORT as ONE device program, engine/fused.py:
+    run_fused_gsr_video) — reproduces the staged run's DataFrames:
+    detector rows, keypoints, prompted part embeddings, track ids."""
+    staged = _run_args(GSR_ARGS, False, tmp_path, "staged_gsr")
+    fused = _run_args(GSR_ARGS, True, tmp_path, "fused_gsr")
+
+    assert len(staged) > 0, "staged run produced no detections"
+    assert len(fused) == len(staged), (len(fused), len(staged))
+    for col in ("image_id", "video_id", "category_id"):
+        np.testing.assert_array_equal(fused[col].to_numpy(),
+                                      staged[col].to_numpy(), err_msg=col)
+    np.testing.assert_allclose(
+        np.stack(fused["bbox_ltwh"].to_numpy()),
+        np.stack(staged["bbox_ltwh"].to_numpy()), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(
+        np.stack(fused["keypoints_xyc"].to_numpy()),
+        np.stack(staged["keypoints_xyc"].to_numpy()),
+        rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.stack(fused["embeddings"].to_numpy()),
+        np.stack(staged["embeddings"].to_numpy()), rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(
+        np.stack(fused["visibility_scores"].to_numpy()),
+        np.stack(staged["visibility_scores"].to_numpy()))
+    sv = staged["track_id"].notna()
+    fv = fused["track_id"].notna()
+    assert sv.sum() > 0, "staged tracker emitted nothing"
+    np.testing.assert_array_equal(fv.to_numpy(), sv.to_numpy())
+    np.testing.assert_array_equal(
+        fused.loc[fv, "track_id"].to_numpy(float),
+        staged.loc[sv, "track_id"].to_numpy(float))
+
+
 @pytest.mark.filterwarnings("ignore")
 def test_fused_pose_engine_matches_staged(tmp_path):
     """3-module fused prefix (detect -> top-down pose -> tracker as ONE

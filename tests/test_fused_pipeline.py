@@ -326,3 +326,54 @@ def test_fused_rtdetr_equals_staged(tiny_rtdetr):
     np.testing.assert_array_equal(np.asarray(got.valid), exp_valid)
     np.testing.assert_allclose(np.asarray(got.ltrb), exp_ltrb,
                                rtol=1e-5, atol=1e-4)
+
+
+def test_device_prompt_maps_match_host_rasterizer():
+    """models/kpr.gaussian_prompt_maps (device, batched) reproduces the
+    host prompt path exactly: reid_dataset.gaussian_keypoint_masks per
+    keypoint + kpr_api._prompt_masks' cck6 group-max with the
+    conf-gating rules (c <= 0 -> zero mask; group selection at
+    c >= vis_thresh; negatives ungated)."""
+    from tracklab_tpu.models.kpr import (PROMPT_GROUPS_CCK6,
+                                         gaussian_prompt_maps)
+    from tracklab_tpu.wrappers.reid.reid_dataset import (
+        gaussian_keypoint_masks,
+    )
+
+    rng = np.random.default_rng(3)
+    h, w = 24, 16
+    vis_thresh = 0.3
+    ltwh = np.array([12.0, 30.0, 40.0, 90.0], np.float32)
+    ltrb = np.array([ltwh[0], ltwh[1], ltwh[0] + ltwh[2],
+                     ltwh[1] + ltwh[3]], np.float32)
+    kp = np.zeros((17, 3), np.float32)
+    kp[:, 0] = rng.uniform(ltwh[0] - 5, ltwh[0] + ltwh[2] + 5, 17)
+    kp[:, 1] = rng.uniform(ltwh[1] - 5, ltwh[1] + ltwh[3] + 5, 17)
+    # confidences across all three gate regimes
+    kp[:, 2] = rng.uniform(-0.2, 1.0, 17)
+    kp[0, 2] = 0.0        # exactly zero -> excluded everywhere
+    kp[5, 2] = 0.29       # below vis_thresh -> positive-group excluded
+    kp[6, 2] = 0.3        # exactly at vis_thresh -> included (>=)
+    neg = np.zeros((4, 3), np.float32)
+    neg[:, 0] = rng.uniform(ltwh[0], ltwh[0] + ltwh[2], 4)
+    neg[:, 1] = rng.uniform(ltwh[1], ltwh[1] + ltwh[3], 4)
+    neg[:, 2] = np.array([0.1, 0.0, 0.8, -0.5], np.float32)
+
+    # host reference (kpr_api._prompt_masks semantics)
+    masks = gaussian_keypoint_masks(kp, (h, w), ltwh)
+    G = len(PROMPT_GROUPS_CCK6)
+    host = np.zeros((h, w, G + 1), np.float32)
+    conf_ok = kp[:, 2] >= vis_thresh
+    for g, idxs in enumerate(PROMPT_GROUPS_CCK6):
+        idxs = [i for i in idxs if conf_ok[i]]
+        if idxs:
+            host[..., g] = masks[idxs].max(axis=0)
+    neg_masks = gaussian_keypoint_masks(neg, (h, w), ltwh)
+    host[..., G] = neg_masks.max(axis=0)
+
+    dev = np.asarray(jax.jit(
+        lambda k, b, n: gaussian_prompt_maps(
+            k, b, (h, w), vis_thresh=vis_thresh, negative_kps=n)
+    )(jnp.asarray(kp)[None], jnp.asarray(ltrb)[None],
+      jnp.asarray(neg)[None]))[0]
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-6)

@@ -36,8 +36,10 @@ __all__ = ["fused_detect_track", "fused_detect_reid_track",
            "fused_detect_pose_track",
            "make_yolox_detect_fn", "make_rtdetr_detect_fn",
            "make_osnet_embed_fn", "make_topdown_pose_fn",
+           "fused_detect_parts_track", "make_kpr_embed_fn",
            "run_fused_video", "run_fused_reid_video",
-           "run_fused_pose_video"]
+           "run_fused_pose_video", "run_fused_parts_video",
+           "run_fused_gsr_video"]
 
 
 def make_yolox_detect_fn(model, variables, conf_threshold: float = 0.4,
@@ -174,20 +176,24 @@ def make_kpr_embed_fn(model, variables, crop_size=(384, 128),
                       n_prompt_ch: int = 6,
                       test_embeddings=("bn_foreg", "parts"),
                       binary_visibility: bool = True,
+                      vis_thresh: float = 0.3,
                       compute_dtype: Any = jnp.float32) -> Callable:
-    """Build an ``embed_fn(frames, boxes) -> dict`` for the KPR
-    part-based ReID model (models/kpr.py): device crop-and-resize of
-    every detection slot, ImageNet-normalize, one batched forward with
-    ZERO keypoint prompts (the wrapper's ``use_keypoints=False`` mode —
-    with no pose module upstream in the fused prefix there are no
-    prompts, exactly like the staged path, wrappers/reid/kpr_api.py:
-    preprocess builds zero prompt maps when keypoints are absent).
+    """Build an ``embed_fn(frames, boxes, keypoints=None) -> dict`` for
+    the KPR part-based ReID model (models/kpr.py): device
+    crop-and-resize of every detection slot, ImageNet-normalize, one
+    batched forward. With ``keypoints`` (B, D, K, 3) in the same
+    coordinate frame as ``boxes``, the cck6 gaussian prompt maps are
+    rasterized ON DEVICE (models/kpr.py:gaussian_prompt_maps — the maps
+    are crop-relative, so any common frame gives identical prompts);
+    without them the prompts are zero (the wrapper's
+    ``use_keypoints=False`` mode, wrappers/reid/kpr_api.py:preprocess).
 
     Returns ``embeddings`` (B, D, P', E) and ``visibility`` (B, D, P')
     in the configured test-embeddings part layout
     (models/kpr.py:extract_test_embeddings).
     """
-    from tracklab_tpu.models.kpr import extract_test_embeddings
+    from tracklab_tpu.models.kpr import (extract_test_embeddings,
+                                         gaussian_prompt_maps)
     from tracklab_tpu.models.preprocess import crop_resize
     from tracklab_tpu.wrappers.reid.osnet_api import (
         IMAGENET_MEAN, IMAGENET_STD,
@@ -197,13 +203,20 @@ def make_kpr_embed_fn(model, variables, crop_size=(384, 128),
     mean = jnp.asarray(IMAGENET_MEAN)
     std = jnp.asarray(IMAGENET_STD)
 
-    def embed(frames, boxes):
+    def embed(frames, boxes, keypoints=None):
         crops = jax.vmap(
             lambda img, b: crop_resize(img, b, ch, cw))(frames, boxes)
         B, D = crops.shape[0], crops.shape[1]
         x = ((crops.reshape(B * D, ch, cw, 3) - mean) / std).astype(
             compute_dtype)
-        prompts = jnp.zeros((B * D, ch, cw, n_prompt_ch), compute_dtype)
+        if keypoints is None:
+            prompts = jnp.zeros((B * D, ch, cw, n_prompt_ch),
+                                compute_dtype)
+        else:
+            prompts = gaussian_prompt_maps(
+                keypoints, boxes, (ch, cw), vis_thresh=vis_thresh)
+            prompts = prompts.reshape(B * D, ch, cw, -1).astype(
+                compute_dtype)
         out = model.apply(variables, x, prompts, train=False)
         emb, vis = extract_test_embeddings(out, test_embeddings,
                                            binary_visibility)
@@ -517,13 +530,13 @@ def fused_detect_parts_track(detect_fn, embed_fn, step_fn, init_state,
                              crop_meta=None, warps=None, frame_valid=None,
                              min_confidence: float = 0.0,
                              n_parts: int = 5, embed_dim: int = 512,
-                             n_keypoints: int = 17,
+                             n_keypoints: int = 17, pose_fn=None,
                              return_detections: bool = True,
                              return_embeddings: bool = False):
-    """Detector -> NMS -> device crops -> KPR part features ->
-    BPBReID-StrongSORT, ONE traced program per video (the reference's
-    game-state/BPBReID pipeline prefix run module-by-module through
-    pandas, tracklab/engine/engine.py:148-185).
+    """Detector -> NMS -> device crops [-> top-down pose] -> KPR part
+    features -> BPBReID-StrongSORT, ONE traced program per video (the
+    reference's game-state/BPBReID pipeline prefix run module-by-module
+    through pandas, tracklab/engine/engine.py:148-185).
 
     Like :func:`fused_detect_reid_track` but for the 5-input part-based
     tracker step ``(state, (Detections, feat (D, P, E), vis (D, P),
@@ -531,12 +544,20 @@ def fused_detect_parts_track(detect_fn, embed_fn, step_fn, init_state,
     output's part layout (P', E') is sliced/zero-padded to the tracker's
     (P, E) exactly like the staged collection
     (scan_tracker.BPBReIDStrongSORT.process: r=min(P', P), c=min(E', E),
-    visibility 0 masks padded parts). Keypoints are zero — the 3-module
-    prefix has no pose module, matching the staged pipeline where the
-    keypoints_xyc column is absent.
+    visibility 0 masks padded parts).
+
+    With ``pose_fn`` (the FULL pose-tracking prefix): keypoints are
+    estimated per detection from the same frames, rasterized into the
+    KPR keypoint prompts on device (embed_fn's ``keypoints`` argument),
+    fed to the tracker's OKS-motion input in original-image
+    coordinates, and returned for the pose module's DataFrame. Without
+    it the prompts and tracker keypoints are zero — matching the staged
+    3-module pipeline where the keypoints_xyc column is absent.
 
     ``min_confidence`` follows the BPBReID wrapper semantics: applied
     only when > 0 (scan_tracker.py: ``if self.min_confidence > 0``).
+
+    Returns ``(final_state, dets|None, reid|None, kp|None, outs)``.
     """
     F = frames.shape[0]
     if F % chunk:
@@ -575,7 +596,24 @@ def fused_detect_parts_track(detect_fn, embed_fn, step_fn, init_state,
             p = x["crop_meta"]["pad"][:, None, :]
             boxes = jnp.concatenate([boxes[..., 0:2] * s + p,
                                      boxes[..., 2:4] * s + p], axis=-1)
-        reid = embed_fn(x["frames"], boxes)
+
+        kp_orig = None
+        kp_frame = None
+        if pose_fn is not None:
+            kp_frame = pose_fn(x["frames"], boxes)     # frame coords
+            kp_orig = kp_frame
+            if "crop_meta" in x:
+                s = x["crop_meta"]["scale"][:, None, None, :]
+                p = x["crop_meta"]["pad"][:, None, None, :]
+                kp_orig = jnp.concatenate(
+                    [(kp_frame[..., 0:2] - p) / s, kp_frame[..., 2:3]],
+                    axis=-1)
+            kp_orig = kp_orig * dets.valid[..., None, None]
+
+        # prompts are crop-relative: frame-coord keypoints + frame-coord
+        # boxes give the same maps as the staged original-coord pair
+        reid = embed_fn(x["frames"], boxes) if pose_fn is None else \
+            embed_fn(x["frames"], boxes, kp_frame)
         reid = jax.tree_util.tree_map(
             lambda v: v * dets.valid.reshape(
                 dets.valid.shape + (1,) * (v.ndim - 2)), reid)
@@ -596,7 +634,15 @@ def fused_detect_parts_track(detect_fn, embed_fn, step_fn, init_state,
                 valid=dets.valid & (dets.conf > min_confidence))
         feat = feat * trk_dets.valid[..., None, None]
         visf = visf * trk_dets.valid[..., None]
-        kps = jnp.zeros((chunk, D, n_keypoints, 3), jnp.float32)
+        if kp_orig is None:
+            kps = jnp.zeros((chunk, D, n_keypoints, 3), jnp.float32)
+        else:
+            # staged collection slices/zero-pads rows to the tracker's K
+            kps = kp_orig[:, :, :n_keypoints]
+            kps = jnp.pad(kps, ((0, 0), (0, 0),
+                                (0, n_keypoints - kps.shape[2]),
+                                (0, 0)))
+            kps = kps * trk_dets.valid[..., None, None]
         warp = x.get("warps")
         if warp is None:
             warp = jnp.broadcast_to(jnp.eye(2, 3, dtype=jnp.float32),
@@ -604,10 +650,10 @@ def fused_detect_parts_track(detect_fn, embed_fn, step_fn, init_state,
         state, out = lax.scan(step_fn, state,
                               (trk_dets, feat, visf, kps, warp))
         ys = (dets if return_detections else None,
-              reid if return_embeddings else None, out)
+              reid if return_embeddings else None, kp_orig, out)
         return state, ys
 
-    final, (dets, reid, outs) = lax.scan(body, init_state, xs)
+    final, (dets, reid, kp, outs) = lax.scan(body, init_state, xs)
 
     def flat(x):
         return x.reshape((F,) + x.shape[2:])
@@ -617,7 +663,9 @@ def fused_detect_parts_track(detect_fn, embed_fn, step_fn, init_state,
         dets = jax.tree_util.tree_map(flat, dets)
     if return_embeddings:
         reid = jax.tree_util.tree_map(flat, reid)
-    return final, dets, reid, outs
+    if kp is not None:
+        kp = flat(kp)
+    return final, dets, reid, kp, outs
 
 
 def _collect_frames(detector, loader):
@@ -853,7 +901,7 @@ def run_fused_parts_video(detector, reid, tracker, loader, metadatas):
         min_confidence=min_conf, n_parts=tracker.n_parts,
         embed_dim=tracker.embed_dim, n_keypoints=tracker.n_keypoints,
         return_embeddings=True))
-    _, dets, reid_out, outs = runner(
+    _, dets, reid_out, _, outs = runner(
         jnp.asarray(images),
         {k: jnp.asarray(v) for k, v in meta.items()},
         {k: jnp.asarray(v) for k, v in crop_meta.items()},
@@ -889,6 +937,106 @@ def run_fused_parts_video(detector, reid, tracker, loader, metadatas):
     if len(trk_df):
         trk_df = trk_df[trk_df.index >= 0]
     return det_df, reid_df, trk_df
+
+
+def run_fused_gsr_video(detector, pose, reid, tracker, loader,
+                        metadatas):
+    """Host orchestration of the FULL 4-module fused prefix for one
+    video: detector -> NMS -> device crops -> top-down pose -> KPR part
+    features (keypoint prompts rasterized on device) ->
+    BPBReID-StrongSORT, ONE device program
+    (:func:`fused_detect_parts_track` with ``pose_fn``) — the
+    reference's pose-tracking / game-state pipeline shape. Emits all
+    four modules' DataFrames with the staged path's columns and row
+    ids."""
+    import numpy as np
+    import pandas as pd
+
+    frame_ids, images, meta, F0, chunk, frame_valid = _collect_frames(
+        detector, loader)
+    if not frame_ids:
+        return (pd.DataFrame(),) * 4
+    F_pad = len(frame_valid)
+
+    detect_fn = detector.device_detect_fn()
+    crop_meta = detector.crop_meta(meta)
+    pose_fn = pose.device_pose_fn()
+    embed_fn = reid.device_embed_fn()
+    D = detector.max_dets
+    cfg = tracker._make_config()
+    trk_D = cfg.max_dets
+    init_state = tracker._init_state(cfg)
+    min_conf = float(getattr(tracker, "min_confidence", 0.0))
+
+    warps = np.broadcast_to(np.eye(2, 3, dtype=np.float32),
+                            (F_pad, 2, 3)).copy()
+    if "gmc_warp" in metadatas.columns:
+        for f, fid in enumerate(frame_ids):
+            w = metadatas.loc[fid, "gmc_warp"]
+            if isinstance(w, np.ndarray) and w.shape == (2, 3):
+                warps[f] = w
+
+    from tracklab_tpu.trackers.bpbreid_strongsort import bpbreid_step
+
+    def step(state, inputs):
+        det, feat, vis, kps, warp = inputs
+        if trk_D < D:
+            det = Detections(*[x[:trk_D] for x in det])
+            feat, vis, kps = feat[:trk_D], vis[:trk_D], kps[:trk_D]
+        return bpbreid_step(cfg, state, (det, feat, vis, kps, warp))
+
+    runner = jax.jit(lambda f, m, cm, w, v: fused_detect_parts_track(
+        detect_fn, embed_fn, step, init_state, f, chunk, meta=m,
+        crop_meta=cm, warps=w, frame_valid=v,
+        min_confidence=min_conf, n_parts=tracker.n_parts,
+        embed_dim=tracker.embed_dim, n_keypoints=tracker.n_keypoints,
+        pose_fn=pose_fn, return_embeddings=True))
+    _, dets, reid_out, kp, outs = runner(
+        jnp.asarray(images),
+        {k: jnp.asarray(v) for k, v in meta.items()},
+        {k: jnp.asarray(v) for k, v in crop_meta.items()},
+        jnp.asarray(warps), jnp.asarray(frame_valid))
+
+    det_df, lut = _detector_df(detector, dets, frame_ids, metadatas,
+                               F0, F_pad)
+
+    valid = np.asarray(dets.valid[:F0])
+
+    # ---- pose DataFrame (batched_api.process row semantics) ----
+    kp = np.asarray(kp[:F0], np.float32)
+    idx, kps_l, confs = [], [], []
+    for f in range(F0):
+        for d in np.nonzero(valid[f])[0]:
+            idx.append(lut[f * D + d])
+            kps_l.append(kp[f, d])
+            confs.append(float(kp[f, d, :, 2].mean()))
+    pose_df = pd.DataFrame(index=idx)
+    pose_df["keypoints_xyc"] = kps_l
+    pose_df["keypoints_conf"] = confs
+
+    # ---- ReID DataFrame (kpr_api.process row semantics) ----
+    emb = np.asarray(reid_out["embeddings"][:F0], np.float32)
+    vis = np.asarray(reid_out["visibility"][:F0], np.float32)
+    idx, embs, viss = [], [], []
+    for f in range(F0):
+        for d in np.nonzero(valid[f])[0]:
+            idx.append(lut[f * D + d])
+            embs.append(emb[f, d])
+            viss.append(vis[f, d])
+    reid_df = pd.DataFrame(index=idx)
+    reid_df["embeddings"] = embs
+    reid_df["visibility_scores"] = viss
+
+    trk_dets = dets
+    if trk_D < D:
+        trk_dets = Detections(*[x[:, :trk_D] for x in dets])
+    if min_conf > 0:
+        trk_dets = trk_dets._replace(
+            valid=trk_dets.valid & (trk_dets.conf > min_conf))
+    trk_df = tracker._bpb_emissions_to_df(outs, F0, lut, dets=trk_dets)
+    if len(trk_df):
+        trk_df = trk_df[trk_df.index >= 0]
+    return det_df, pose_df, reid_df, trk_df
 
 
 def run_fused_reid_video(detector, reid, tracker, loader, metadatas):

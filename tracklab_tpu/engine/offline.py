@@ -23,6 +23,44 @@ class OfflineTrackingEngine(TrackingEngine):
         detections, image_pred = self.tracker_state.load()
 
         model_names = list(self.module_names)
+        if self.fused and len(model_names) >= 4 and len(detections) == 0:
+            det_m = self.models[model_names[0]]
+            pose_m = self.models[model_names[1]]
+            reid_m = self.models[model_names[2]]
+            trk_m = self.models[model_names[3]]
+            if (getattr(det_m, "supports_fused_detect", False)
+                    and getattr(pose_m, "supports_fused_pose", False)
+                    and getattr(reid_m, "supports_fused_prompted_parts",
+                                False)
+                    and getattr(trk_m, "supports_fused_parts_track",
+                                False)):
+                # the FULL pose-tracking prefix: detector -> NMS ->
+                # device crops -> pose -> prompted KPR -> BPBReID as
+                # ONE device program (engine/fused.py)
+                from tracklab_tpu.engine.fused import run_fused_gsr_video
+                names4 = model_names[:4]
+                image_filepaths = {
+                    idx: fp for idx, fp in
+                    image_pred["file_path"].items()}
+                self.datapipes[names4[0]].update(
+                    image_filepaths, image_pred, detections)
+                loader = self.dataloaders[names4[0]]
+                self.fire("on_module_start", task=names4[0],
+                          dataloader=loader)
+                dfs = run_fused_gsr_video(
+                    det_m, pose_m, reid_m, trk_m, loader, image_pred)
+                detections = merge_dataframes(detections, dfs[0])
+                self.fire("on_module_end", task=names4[0],
+                          detections=detections)
+                for name, df in zip(names4[1:], dfs[1:]):
+                    self.fire("on_module_start", task=name,
+                              dataloader=[])
+                    detections = merge_dataframes(detections, df)
+                    self.fire("on_module_end", task=name,
+                              detections=detections)
+                model_names = model_names[4:]
+                if len(detections) == 0 or not model_names:
+                    return detections, image_pred
         if self.fused and len(model_names) >= 3 and len(detections) == 0:
             det_m = self.models[model_names[0]]
             mid_m = self.models[model_names[1]]

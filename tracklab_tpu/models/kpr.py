@@ -47,7 +47,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = ["KPR", "PromptableViT", "extract_test_embeddings",
-           "PROMPT_GROUPS_CCK6", "PART_GROUPS_FIVE_V"]
+           "PROMPT_GROUPS_CCK6", "PART_GROUPS_FIVE_V",
+           "gaussian_prompt_maps"]
 
 # COCO-17 keypoints -> 6 coarse prompt channels (the fork's
 # ``prompt_preprocess: cck6`` grouping — head / torso / left arm /
@@ -282,6 +283,65 @@ class KPR(nn.Module):
             },
         }
         return out
+
+
+def gaussian_prompt_maps(keypoints_xyc, bbox_ltrb, crop_hw,
+                         vis_thresh: float = 0.3,
+                         sigma_frac: float = 0.08,
+                         negative_kps=None):
+    """Device counterpart of the host prompt rasterizer
+    (wrappers/reid/reid_dataset.gaussian_keypoint_masks +
+    kpr_api.KPReId._prompt_masks): keypoints + their detection box ->
+    cck6 gaussian prompt channels, batched.
+
+    Prompt coordinates are crop-relative ((kp - box_lt) / box_wh), so
+    keypoints and boxes may be in ANY common frame (original, work, or
+    letterboxed) — the maps are identical.
+
+    Args:
+      keypoints_xyc: (..., K, 3) with K >= 17 (COCO order).
+      bbox_ltrb: (..., 4) the keypoints' detection boxes, same frame.
+      crop_hw: static (h, w) of the model input crop.
+      negative_kps: optional (..., Kn, 3) other-person keypoints for the
+        trailing channel (zero when None).
+
+    Returns (..., h, w, G + 1) float32 prompt maps.
+    """
+    h, w = crop_hw
+    kp = keypoints_xyc.astype(jnp.float32)
+    box = bbox_ltrb.astype(jnp.float32)
+    bw = jnp.maximum(box[..., 2] - box[..., 0], 1e-6)
+    bh = jnp.maximum(box[..., 3] - box[..., 1], 1e-6)
+    sigma = sigma_frac * max(h, w)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+    def kp_mask(k_idx, source, conf_gate):
+        x = (source[..., k_idx, 0] - box[..., 0]) / bw * w
+        y = (source[..., k_idx, 1] - box[..., 1]) / bh * h
+        c = source[..., k_idx, 2]
+        d2 = ((xs - x[..., None, None]) ** 2
+              + (ys - y[..., None, None]) ** 2)
+        m = jnp.exp(-d2 / (2.0 * sigma ** 2))
+        keep = (c > 0) if conf_gate is None else \
+            ((c > 0) & (c >= conf_gate))
+        return m * keep[..., None, None]
+
+    zero = jnp.zeros(kp.shape[:-2] + (h, w), jnp.float32)
+    channels = []
+    K = kp.shape[-2]
+    for group in PROMPT_GROUPS_CCK6:
+        g = zero
+        for k_idx in group:
+            if k_idx < K:
+                g = jnp.maximum(g, kp_mask(k_idx, kp, vis_thresh))
+        channels.append(g)
+    neg = zero
+    if negative_kps is not None:
+        for k_idx in range(negative_kps.shape[-2]):
+            neg = jnp.maximum(neg, kp_mask(k_idx, negative_kps, None))
+    channels.append(neg)
+    return jnp.stack(channels, axis=-1)
 
 
 def extract_test_embeddings(out, test_embeddings=("bn_foreg", "parts"),

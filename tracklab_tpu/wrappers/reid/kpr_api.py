@@ -137,7 +137,15 @@ class KPReId(DetectionLevelModule):
             crop_size=(self.crop_h, self.crop_w),
             n_prompt_ch=self.n_prompt_ch,
             test_embeddings=self.test_embeddings,
-            binary_visibility=self.binary_visibility)
+            binary_visibility=self.binary_visibility,
+            vis_thresh=self.vis_thresh)
+
+    @property
+    def supports_fused_prompted_parts(self):
+        # the 4-module fused prefix (detect -> pose -> KPR -> BPBReID,
+        # engine/fused.py:run_fused_gsr_video) rasterizes the keypoint
+        # prompts on device from the in-program pose output
+        return self.use_keypoints
 
     # ------------------------------------------------------------------
     def preprocess(self, image, detection: pd.Series, metadata: pd.Series):
@@ -208,23 +216,27 @@ class KPReIdBatched(KPReId):
     """Image-level batched KPR: all of a frame's crops in one XLA
     program (counterpart of OSNetReIdBatched for the part-based model —
     the detection-level KPReId crops per detection on host threads).
-    Promptless mode only (``use_keypoints=False``): each frame is staged
-    once, ``models/preprocess.crop_resize`` gathers every detection's
-    crop on device, and KPR runs over the whole (frames x detections)
-    batch with zero prompt maps. Fusable with a device detector and the
-    part-based tracker into one program (engine/fused.py:
-    run_fused_parts_video)."""
+    Each frame is staged once, ``models/preprocess.crop_resize`` gathers
+    every detection's crop on device, and KPR runs over the whole
+    (frames x detections) batch. With ``use_keypoints=True`` the cck6
+    gaussian prompt maps are rasterized ON DEVICE from the
+    keypoints_xyc column (models/kpr.py:gaussian_prompt_maps — the maps
+    are crop-relative, so scaling keypoints and boxes into work
+    coordinates together leaves them identical to the host rasterizer's
+    original-coordinate maps); otherwise the prompts are zero. Fusable
+    with a device detector and the part-based tracker into one program
+    (engine/fused.py: run_fused_parts_video / run_fused_gsr_video)."""
 
-    input_columns = ["bbox_ltwh"]
     level = "image"
-    supports_fused_parts = True
 
     def __init__(self, *args, work_size=(736, 1280), max_dets: int = 32,
-                 **kwargs):
-        kwargs["use_keypoints"] = False
+                 n_keypoints: int = 17, **kwargs):
         super().__init__(*args, **kwargs)
         self.work_h, self.work_w = work_size
         self.max_dets = max_dets
+        self.n_keypoints = n_keypoints
+        self.input_columns = ["bbox_ltwh"] + (
+            ["keypoints_xyc"] if self.use_keypoints else [])
 
     def _build(self):
         super()._build()
@@ -241,6 +253,7 @@ class KPReIdBatched(KPReId):
         sy = self.work_h / h0
         boxes = np.zeros((self.max_dets, 4), np.float32)
         rows = np.full(self.max_dets, -1, np.int64)
+        kps = np.zeros((self.max_dets, self.n_keypoints, 3), np.float32)
         n = min(len(detections), self.max_dets)
         if n:
             ltwh = np.stack(detections["bbox_ltwh"].to_numpy()[:n])
@@ -249,13 +262,32 @@ class KPReIdBatched(KPReId):
             boxes[:n, 2] = (ltwh[:, 0] + ltwh[:, 2]) * sx
             boxes[:n, 3] = (ltwh[:, 1] + ltwh[:, 3]) * sy
             rows[:n] = detections.index.to_numpy()[:n]
-        return {"image": work, "boxes": boxes, "rows": rows}
+            if self.use_keypoints and "keypoints_xyc" in detections:
+                for i, (_, k) in enumerate(
+                        detections["keypoints_xyc"].items()):
+                    if i >= self.max_dets or not isinstance(
+                            k, np.ndarray):
+                        continue
+                    r = min(len(k), self.n_keypoints)
+                    kps[i, :r] = k[:r]
+                # into work coordinates alongside the boxes (the prompt
+                # maps are crop-relative, so the pair stays equivalent)
+                kps[:, :, 0] *= sx
+                kps[:, :, 1] *= sy
+        out = {"image": work, "boxes": boxes, "rows": rows}
+        if self.use_keypoints:
+            out["keypoints"] = kps
+        return out
 
     def process(self, batch, detections: pd.DataFrame,
                 metadatas: pd.DataFrame):
         if self._infer is None or not hasattr(self, "_infer_batched"):
             self._build()
-        out = self._infer_batched(batch["image"], batch["boxes"])
+        if self.use_keypoints:
+            out = self._infer_batched(batch["image"], batch["boxes"],
+                                      batch["keypoints"])
+        else:
+            out = self._infer_batched(batch["image"], batch["boxes"])
         emb = np.asarray(out["embeddings"], np.float32)
         vis = np.asarray(out["visibility"], np.float32)
         rows_mat = np.asarray(batch["rows"])

@@ -143,3 +143,57 @@ class TestBPBReIDStrongSort:
 
     def test_oks_motion(self):
         self._run("oks")
+
+    def test_pred_kf_snapshot_and_state(self):
+        """The reference extras (bpbreid_strong_sort_api.py:20-30):
+        emitted rows carry the lifecycle state int (always CONFIRMED=2,
+        since only confirmed tracks emit) and the KF box snapshot taken
+        at match time — post-predict, PRE-update (track.py:148), so for
+        a matched track it must differ from the post-update box but sit
+        near the track's detection."""
+        from tracklab_tpu.trackers.bpbreid_strongsort import (
+            BPBReIDStrongSortConfig, bpbreid_init, bpbreid_scan,
+        )
+        from tracklab_tpu.trackers.common import Detections
+        F, D, P, E, K = 8, 4, 3, 8, 17
+        cfg = BPBReIDStrongSortConfig(
+            n_parts=P, embed_dim=E, n_keypoints=K, max_tracks=8,
+            max_dets=D, n_init=1, max_dist=0.6)
+        # one static object, detected every frame
+        ltrb = np.zeros((F, D, 4), np.float32)
+        conf = np.zeros((F, D), np.float32)
+        valid = np.zeros((F, D), bool)
+        feat = np.zeros((F, D, P, E), np.float32)
+        vis = np.zeros((F, D, P), np.float32)
+        kps = np.zeros((F, D, K, 3), np.float32)
+        ltrb[:, 0] = [100, 100, 160, 240]
+        conf[:, 0] = 0.9
+        valid[:, 0] = True
+        feat[:, 0] = 1.0
+        vis[:, 0] = 1.0
+        dets = Detections(
+            jnp.asarray(ltrb), jnp.asarray(conf),
+            jnp.ones((F, D), jnp.float32),
+            jnp.broadcast_to(jnp.arange(D, dtype=jnp.int32), (F, D)),
+            jnp.asarray(valid))
+        _, out = jax.jit(lambda d, fe, vi, kp: bpbreid_scan(
+            cfg, d, fe, vi, kp))(dets, jnp.asarray(feat),
+                                 jnp.asarray(vis), jnp.asarray(kps))
+        v = np.asarray(out.valid)
+        assert v[1:].any(), "static object should emit from frame 1"
+        state = np.asarray(out.tstate)
+        pred = np.asarray(out.pred_ltrb)
+        post = np.asarray(out.ltrb)
+        for f in range(F):
+            for t in np.nonzero(v[f])[0]:
+                assert state[f, t] == 2          # CONFIRMED
+                assert np.isfinite(pred[f, t]).all()
+                # snapshot ~ the (static) detection box, and recorded
+                # BEFORE the measurement update that produced out.ltrb
+                np.testing.assert_allclose(
+                    pred[f, t], [100, 100, 160, 240], atol=20)
+                np.testing.assert_allclose(
+                    post[f, t], [100, 100, 160, 240], atol=5)
+        # never-updated slots stay NaN in the state (birth fill)
+        init = bpbreid_init(cfg)
+        assert np.isnan(np.asarray(init.last_pred_ltrb)).all()

@@ -94,6 +94,10 @@ class BPBReIDStrongSortState(NamedTuple):
     feat: jnp.ndarray           # (T, P, E) part features (unnormalized EMA)
     vis: jnp.ndarray            # (T, P) visibility scores
     kps: jnp.ndarray            # (T, K, 3) last detection keypoints
+    # KF box snapshot at match time, post-predict pre-update (the
+    # reference's track.last_kf_pred_ltwh, sort/track.py:148); NaN until
+    # the track's first update
+    last_pred_ltrb: jnp.ndarray  # (T, 4)
     tstate: jnp.ndarray
     hits: jnp.ndarray
     age: jnp.ndarray
@@ -116,6 +120,10 @@ class BPBReIDStrongSortOutput(NamedTuple):
     hits: jnp.ndarray
     age: jnp.ndarray
     time_since_update: jnp.ndarray
+    # reference extras (bpbreid_strong_sort_api.py:20-30): the KF box
+    # snapshot recorded at the last update and the lifecycle state int
+    pred_ltrb: jnp.ndarray
+    tstate: jnp.ndarray
     valid: jnp.ndarray
     # instrumentation (cfg.emit_costs; None otherwise): un-gated cost
     # matrices (D, T) vs the pre-birth track set, the matched
@@ -141,6 +149,7 @@ def bpbreid_init(cfg: BPBReIDStrongSortConfig,
         feat=jnp.zeros((T, P, E), dtype),
         vis=jnp.zeros((T, P), dtype),
         kps=jnp.zeros((T, K, 3), dtype),
+        last_pred_ltrb=jnp.full((T, 4), jnp.nan, dtype),
         tstate=jnp.zeros(T, i32),
         hits=jnp.zeros(T, i32),
         age=jnp.zeros(T, i32),
@@ -273,6 +282,9 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
     matched = trk2det >= 0
 
     # --- matched updates: NSA KF + part EMA + lifecycle ---
+    # post-predict pre-update KF box, recorded at match time (the
+    # reference sets last_kf_pred_ltwh inside update(), track.py:148)
+    pred_snapshot = _mean_to_ltrb(st.mean)
     safe = jnp.where(matched, trk2det, 0)
     z = det_xyah[safe]
     z_conf = det.conf[safe]
@@ -297,6 +309,8 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
         feat=jnp.where(matched[:, None, None], smooth, st.feat),
         vis=jnp.where(matched[:, None], new_vis, st.vis),
         kps=jnp.where(matched[:, None, None], kps[safe], st.kps),
+        last_pred_ltrb=jnp.where(matched[:, None], pred_snapshot,
+                                 st.last_pred_ltrb),
         hits=new_hits,
         time_since_update=jnp.where(matched, 0, st.time_since_update),
         tstate=jnp.where(promote, CONFIRMED, st.tstate),
@@ -330,6 +344,9 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
         feat=scat(st.feat, feat),
         vis=scat(st.vis, vis),
         kps=scat(st.kps, kps),
+        last_pred_ltrb=scat(st.last_pred_ltrb,
+                            jnp.full((D, 4), jnp.nan,
+                                     st.last_pred_ltrb.dtype)),
         tstate=scat(st.tstate, jnp.full(D, TENTATIVE, jnp.int32)),
         hits=scat(st.hits, jnp.ones(D, jnp.int32)),
         age=scat(st.age, jnp.ones(D, jnp.int32)),
@@ -369,6 +386,7 @@ def bpbreid_step(cfg: BPBReIDStrongSortConfig,
         cls=st.cls, conf=st.conf, ref=st.ref,
         hits=st.hits, age=st.age,
         time_since_update=st.time_since_update,
+        pred_ltrb=st.last_pred_ltrb, tstate=st.tstate,
         valid=emit, **extras,
     )
     return st, out

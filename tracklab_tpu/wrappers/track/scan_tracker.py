@@ -725,8 +725,8 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
     input_columns = ["bbox_ltwh", "bbox_conf", "category_id",
                      "embeddings", "visibility_scores"]
     output_columns = ["track_id", "track_bbox_ltwh", "track_bbox_conf",
-                      "track_bbox_kf_ltwh", "hits", "age",
-                      "time_since_update"]
+                      "track_bbox_kf_ltwh", "track_bbox_pred_kf_ltwh",
+                      "hits", "age", "time_since_update", "state"]
 
     # 5-input step (det, part feats, visibility, keypoints, warp) — not
     # the 3-input shape the flat-embedding fused path drives; the
@@ -846,6 +846,10 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
         ts = [order[i] for i in result.index]
         kf_ltwh = result["track_bbox_ltwh"].tolist()
         result["track_bbox_kf_ltwh"] = kf_ltwh
+        result["track_bbox_pred_kf_ltwh"] = [
+            C.ltrb_to_ltwh(np.asarray(out.pred_ltrb[t])).astype(
+                np.float32) for t in ts]
+        result["state"] = [int(out.tstate[t]) for t in ts]
         result["hits"] = [int(out.hits[t]) for t in ts]
         result["age"] = [int(out.age[t]) for t in ts]
         result["time_since_update"] = [
@@ -930,8 +934,14 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
         kf_ltwh = C.ltrb_to_ltwh(ltrb).astype(np.float32)
         result["track_bbox_ltwh"] = list(kf_ltwh)
         result["track_bbox_kf_ltwh"] = list(kf_ltwh)
+        # the reference's pre-update KF snapshot + lifecycle state int
+        # (bpbreid_strong_sort_api.py:20-30; NaN until first update)
+        result["track_bbox_pred_kf_ltwh"] = list(C.ltrb_to_ltwh(
+            np.asarray(out.pred_ltrb[:n_frames])[fs, ts]).astype(
+            np.float32))
         result["track_bbox_conf"] = np.asarray(
             out.conf[:n_frames])[fs, ts].astype(float)
+        result["state"] = np.asarray(out.tstate[:n_frames])[fs, ts]
         result["hits"] = np.asarray(out.hits[:n_frames])[fs, ts]
         result["age"] = np.asarray(out.age[:n_frames])[fs, ts]
         result["time_since_update"] = np.asarray(

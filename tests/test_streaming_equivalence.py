@@ -205,3 +205,58 @@ def test_streaming_state_persists_and_resets():
     idsN = set(a[a.index.isin(
         dets[dets.image_id == N_FRAMES - 1].index)]["track_id"])
     assert ids0 & idsN, "no identity persisted across the stream"
+
+
+def _write_pan_frames(tmp_path, n=N_FRAMES, w=160, h=120, shift=2):
+    """Textured frames translating rightward `shift` px/frame, on disk
+    so the in-module ECC path can load them by file_path."""
+    import cv2
+    rng = np.random.default_rng(7)
+    big = rng.integers(0, 255, (h, w + shift * n, 3)).astype(np.uint8)
+    big = cv2.GaussianBlur(big, (7, 7), 2)      # trackable texture
+    paths = []
+    for f in range(n):
+        p = str(tmp_path / f"ecc_{f:03d}.png")
+        cv2.imwrite(p, big[:, f * shift:f * shift + w])
+        paths.append(p)
+    return paths
+
+
+def test_in_module_ecc_matches_cmc_column(tmp_path):
+    """StrongSORT(ecc=true) computes camera compensation in-module from
+    consecutive frames (the reference's cfg.ecc path,
+    strong_sort_api.py:62-65) and must equal the explicit-CMC-module
+    pipeline (CameraMotion 'ecc' populating gmc_warp) on the same
+    frames; streaming does the same frame by frame."""
+    from tracklab_tpu.motion.gmc import GMC
+    from tracklab_tpu.utils.cv2 import cv2_load_image
+
+    dets, metas = _stream(seed=5)
+    paths = _write_pan_frames(tmp_path)
+    metas = metas.copy()
+    metas["file_path"] = paths
+
+    # reference warps: exactly what a CameraMotion('ecc') module stores
+    g = GMC(method="ecc")
+    prev, warps = None, []
+    for p in paths:
+        img = cv2_load_image(p)
+        warps.append(g.apply(prev, img))
+        prev = img
+    assert any(abs(w[0, 2]) > 0.5 for w in warps[1:]), \
+        "ECC failed to detect the synthetic pan"
+    metas_col = metas.copy()
+    metas_col["gmc_warp"] = warps
+
+    kw = dict(max_tracks=16, max_dets=8, embed_dim=E)
+    t_ecc = StrongSORT(ecc=True, **kw)
+    t_ecc.reset()
+    out_ecc = t_ecc.process(dets, metas)
+
+    t_col = StrongSORT(**kw)
+    t_col.reset()
+    out_col = t_col.process(dets, metas_col)
+    _assert_equal(out_ecc, out_col, tag="ecc-vs-cmc-column")
+
+    out_stream = _run_streaming(StrongSORT(ecc=True, **kw), dets, metas)
+    _assert_equal(out_stream, out_col, tag="ecc-streaming")

@@ -134,6 +134,9 @@ class _ScanTrackerBase(VideoLevelModule):
     def reset(self):
         # online state (streaming mode via process_online)
         self._online_state = None
+        # in-module ECC streaming state (emb trackers with cfg.ecc)
+        self._ecc_gmc = None
+        self._ecc_prev = None
         # streaming refs must be unique across the WHOLE stream (a
         # coasting track re-emits the ref of its last matched
         # detection, possibly frames later), mirroring the offline
@@ -477,6 +480,22 @@ class _EmbScanTrackerBase(_ScanTrackerBase):
             return w.astype(np.float32)
         return np.eye(2, 3, dtype=np.float32)
 
+    def _online_ecc_warp(self, metadata):
+        """Streaming counterpart of _maybe_ecc_warps: in-module ECC vs
+        the previous streamed frame (strong_sort_api.py:62-65)."""
+        if not getattr(self, "ecc", False) or metadata is None or \
+                isinstance(metadata.get("gmc_warp"), np.ndarray):
+            return None
+        from tracklab_tpu.motion.gmc import GMC
+        from tracklab_tpu.utils.cv2 import cv2_load_image
+        if getattr(self, "_ecc_gmc", None) is None:
+            self._ecc_gmc = GMC(method="ecc")
+            self._ecc_prev = None
+        img = cv2_load_image(metadata["file_path"])
+        w = self._ecc_gmc.apply(self._ecc_prev, img)
+        self._ecc_prev = img
+        return np.asarray(w, np.float32)
+
     def process_online(self, detections: pd.DataFrame,
                        metadata: pd.Series) -> pd.DataFrame:
         import jax.numpy as jnp
@@ -489,11 +508,36 @@ class _EmbScanTrackerBase(_ScanTrackerBase):
         dets_in = self._truncate_frame(dets_in)  # before emb: rows align
         det, lut = self._pad_frame(dets_in)
         emb = self._online_emb(dets_in, det)
-        warp = self._online_warp(metadata)
+        warp = self._online_ecc_warp(metadata)
+        if warp is None:
+            warp = self._online_warp(metadata)
         self._online_state, out = self._jitted_step(
             self._online_state, det, jnp.asarray(emb),
             jnp.asarray(warp))
         return self._emit_online(out, lut)
+
+    def _maybe_ecc_warps(self, metadatas, n_frames, bucketed_frames):
+        """In-module ECC camera compensation (the reference StrongSORT
+        wrapper's cfg.ecc path, strong_sort_api.py:62-65 camera_update
+        on consecutive frames) — only when enabled AND no upstream CMC
+        module already provided the gmc_warp column. Frames are loaded
+        from file_path like the engine's datapipe."""
+        if not getattr(self, "ecc", False) \
+                or "gmc_warp" in metadatas.columns:
+            return None
+        from tracklab_tpu.motion.gmc import GMC
+        from tracklab_tpu.utils.cv2 import cv2_load_image
+        g = GMC(method="ecc")
+        warps = np.broadcast_to(np.eye(2, 3, dtype=np.float32),
+                                (bucketed_frames, 2, 3)).copy()
+        prev = None
+        for f, (_, row) in enumerate(metadatas.iterrows()):
+            if f >= n_frames:
+                break
+            img = cv2_load_image(row["file_path"])
+            warps[f] = g.apply(prev, img)
+            prev = img
+        return warps
 
     def process_video_batch(self, items, mesh=None):
         """Single-chip multi-video batching for embedding trackers:
@@ -524,7 +568,9 @@ class _EmbScanTrackerBase(_ScanTrackerBase):
             lens.append(n)
             embs.append(_collect_embeddings(dets_in, d, lut, n,
                                             self.embed_dim))
-            warps_l.append(_collect_warps(metas, n, bucket))
+            w = self._maybe_ecc_warps(metas, n, bucket)
+            warps_l.append(w if w is not None
+                           else _collect_warps(metas, n, bucket))
         flat = Detections(*[
             jnp.concatenate([getattr(d, f) for d in padded])
             for f in Detections._fields])
@@ -567,7 +613,9 @@ class _EmbScanTrackerBase(_ScanTrackerBase):
         F = dets.valid.shape[0]
         emb = _collect_embeddings(dets_in, dets, lut, n_frames,
                                   self.embed_dim)
-        warps = _collect_warps(metadatas, n_frames, F)
+        warps = self._maybe_ecc_warps(metadatas, n_frames, F)
+        if warps is None:
+            warps = _collect_warps(metadatas, n_frames, F)
         _, out = self._jitted(dets, jnp.asarray(emb), jnp.asarray(warps))
 
         valid = np.asarray(out.valid[:n_frames])
@@ -745,10 +793,11 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
                  ema_alpha: float = 0.9, only_position: bool = False,
                  n_parts: int = 6, embed_dim: int = 512,
                  n_keypoints: int = 17, min_confidence: float = 0.0,
-                 emit_costs: bool = False,
+                 emit_costs: bool = False, ecc: bool = False,
                  max_tracks: int = 128, max_dets: int = 64, device=None,
                  **kwargs):
         super().__init__(max_dets=max_dets, **kwargs)
+        self.ecc = ecc
         self.params = dict(
             max_dist=max_dist, motion_criterium=motion_criterium,
             max_iou_distance=max_iou_distance,
@@ -833,7 +882,9 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
             kk = s.get("keypoints_xyc")
             if isinstance(kk, np.ndarray):
                 kps[i, :min(len(kk), K)] = kk[:K]
-        warp = self._online_warp(metadata)
+        warp = self._online_ecc_warp(metadata)
+        if warp is None:
+            warp = self._online_warp(metadata)
         self._online_state, out = self._jitted_step(
             self._online_state, det, jnp.asarray(feat),
             jnp.asarray(vis), jnp.asarray(kps), jnp.asarray(warp))
@@ -913,7 +964,9 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
                 kk = kp_by_row.get(row)
                 if kk is not None:
                     kps[f, d, :min(len(kk), K)] = kk[:K]
-        warps = _collect_warps(metadatas, n_frames, F)
+        warps = self._maybe_ecc_warps(metadatas, n_frames, F)
+        if warps is None:
+            warps = _collect_warps(metadatas, n_frames, F)
         _, out = self._jitted(dets, jnp.asarray(feat), jnp.asarray(vis),
                               jnp.asarray(kps), jnp.asarray(warps))
         return self._bpb_emissions_to_df(out, n_frames, lut, dets=dets)

@@ -377,3 +377,49 @@ def test_device_prompt_maps_match_host_rasterizer():
     )(jnp.asarray(kp)[None], jnp.asarray(ltrb)[None],
       jnp.asarray(neg)[None]))[0]
     np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("name,make", [
+    ("yolox", lambda: __import__(
+        "tracklab_tpu.wrappers.bbox_detector.yolox_api",
+        fromlist=["YOLOXDetector"]).YOLOXDetector(
+        variant="nano", num_classes=1, input_size=(64, 64),
+        min_confidence=0.05, max_dets=8)),
+    ("yolov8", lambda: __import__(
+        "tracklab_tpu.wrappers.bbox_detector.yolov8_api",
+        fromlist=["YOLOv8Detector"]).YOLOv8Detector(
+        variant="n", num_classes=1, input_size=(64, 64),
+        min_confidence=0.05, max_dets=8)),
+    ("yolo11", lambda: __import__(
+        "tracklab_tpu.wrappers.bbox_detector.yolov8_api",
+        fromlist=["YOLOv8Detector"]).YOLOv8Detector(
+        variant="11n", num_classes=1, input_size=(64, 64),
+        min_confidence=0.05, max_dets=8)),
+    ("rtmdet", lambda: __import__(
+        "tracklab_tpu.wrappers.bbox_detector.rtmdet_api",
+        fromlist=["RTMDetDetector"]).RTMDetDetector(
+        variant="nano", num_classes=1, input_size=(64, 64),
+        min_confidence=0.02, max_dets=8)),
+])
+def test_device_detect_fn_matches_staged_infer(name, make):
+    """Every fused-capable detector family's device_detect_fn must
+    reproduce its OWN staged jitted infer — including the per-family
+    input preprocessing (YOLOX raw 0-255, YOLOv8/YOLO11 /255, RTMDet
+    mean/std). Pins the bug class where the inherited YOLOX closure
+    silently skipped a subclass's normalization in the fused engine."""
+    det = make()
+    det._build()
+    frames = _frames(2, 64, 64, seed=13)
+    staged = det._infer(frames)
+    fused = jax.jit(lambda f: det.device_detect_fn()(f, None))(frames)
+    np.testing.assert_array_equal(np.asarray(fused.valid),
+                                  np.asarray(staged["valid"]),
+                                  err_msg=name)
+    v = np.asarray(staged["valid"])
+    assert v.any(), f"{name}: no detections — thresholds too high"
+    np.testing.assert_allclose(np.asarray(fused.ltrb)[v],
+                               np.asarray(staged["ltrb"])[v],
+                               rtol=1e-5, atol=1e-4, err_msg=name)
+    np.testing.assert_allclose(np.asarray(fused.conf)[v],
+                               np.asarray(staged["score"])[v],
+                               rtol=1e-5, atol=1e-5, err_msg=name)

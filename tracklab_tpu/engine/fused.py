@@ -44,9 +44,13 @@ __all__ = ["fused_detect_track", "fused_detect_reid_track",
 
 def make_yolox_detect_fn(model, variables, conf_threshold: float = 0.4,
                          iou_threshold: float = 0.65, max_dets: int = 32,
-                         compute_dtype: Any = jnp.float32) -> Callable:
-    """Build a ``detect_fn(frames, meta) -> Detections`` for YOLOX-family
-    models exposing ``predict`` (decoded (B, A, 5+C) maps).
+                         compute_dtype: Any = jnp.float32,
+                         preproc: Callable | None = None) -> Callable:
+    """Build a ``detect_fn(frames, meta) -> Detections`` for YOLO-family
+    models exposing ``predict`` (decoded (B, A, 5+C) maps): YOLOX (raw
+    0-255 input), YOLOv8/YOLO11 (``preproc=lambda x: x / 255.0``), and
+    RTMDet (mean/std normalize) — each wrapper's ``device_detect_fn``
+    passes its own staged-path normalization so fused == staged.
 
     ``frames``: (B, H, W, 3) uint8 (camera-native; cast to the compute
     dtype on device — the detector is HBM-bound, so reading uint8 instead
@@ -59,6 +63,8 @@ def make_yolox_detect_fn(model, variables, conf_threshold: float = 0.4,
 
     def detect(frames, meta=None) -> Detections:
         imgs = frames.astype(compute_dtype)
+        if preproc is not None:
+            imgs = preproc(imgs)
         decoded = model.apply(variables, imgs, method=type(model).predict)
         d = postprocess_detections(
             decoded, conf_threshold=conf_threshold,

@@ -75,3 +75,21 @@ class RTMDetDetector(YOLOXDetector):
         self._model = model
         self._variables = variables
         self._infer = jax.jit(infer)
+
+    def device_detect_fn(self):
+        """Fused-engine closure with THIS family's preprocessing (the
+        inherited YOLOX closure feeds raw 0-255 pixels; RTMDet expects
+        the mmdet data_preprocessor mean/std normalize like the staged
+        ``infer`` above)."""
+        if self._infer is None:
+            self._build()
+        import jax.numpy as jnp
+        from tracklab_tpu.engine.fused import make_yolox_detect_fn
+        mean = jnp.asarray([123.675, 116.28, 103.53])
+        std = jnp.asarray([58.395, 57.12, 57.375])
+        return make_yolox_detect_fn(
+            self._model, self._variables,
+            conf_threshold=self.min_confidence,
+            iou_threshold=self.nms_iou, max_dets=self.max_dets,
+            compute_dtype=jnp.float32,
+            preproc=lambda x: (x - mean) / std)

@@ -58,6 +58,20 @@ class YOLOv8Detector(YOLOXDetector):
         self._variables = variables
         self._infer = jax.jit(infer)
 
+    def device_detect_fn(self):
+        """Fused-engine closure with THIS family's preprocessing (the
+        inherited YOLOX closure feeds raw 0-255 pixels; YOLOv8/YOLO11
+        expect /255 like the staged ``infer`` above)."""
+        if self._infer is None:
+            self._build()
+        import jax.numpy as jnp
+        from tracklab_tpu.engine.fused import make_yolox_detect_fn
+        return make_yolox_detect_fn(
+            self._model, self._variables,
+            conf_threshold=self.min_confidence,
+            iou_threshold=self.nms_iou, max_dets=self.max_dets,
+            compute_dtype=jnp.float32, preproc=lambda x: x / 255.0)
+
     def train(self, *args, **kwargs):
         raise NotImplementedError(
             "YOLOv8 fine-tuning needs a DFL-aware loss (planned); "

@@ -260,3 +260,23 @@ def test_in_module_ecc_matches_cmc_column(tmp_path):
 
     out_stream = _run_streaming(StrongSORT(ecc=True, **kw), dets, metas)
     _assert_equal(out_stream, out_col, tag="ecc-streaming")
+
+
+def test_cmc_off_ignores_warp_column():
+    """deep_oc_sort's cmc_off skips camera compensation entirely
+    (ocsort.py:410); with the flag set, a populated gmc_warp column must
+    be ignored — identical outputs to a run with no warps at all."""
+    dets, metas = _stream(seed=3, with_warps=True)
+    kw = dict(max_tracks=16, max_dets=8, embed_dim=E)
+    t_off = DeepOCSORT(cmc_off=True, **kw)
+    t_off.reset()
+    out_off = t_off.process(dets, metas)
+
+    t_id = DeepOCSORT(**kw)
+    t_id.reset()
+    out_id = t_id.process(dets, metas.drop(columns=["gmc_warp"]))
+    _assert_equal(out_off, out_id, tag="cmc_off-offline")
+
+    out_stream = _run_streaming(DeepOCSORT(cmc_off=True, **kw), dets,
+                                metas)
+    _assert_equal(out_stream, out_id, tag="cmc_off-streaming")

@@ -886,7 +886,8 @@ def run_fused_parts_video(detector, reid, tracker, loader, metadatas):
 
     warps = np.broadcast_to(np.eye(2, 3, dtype=np.float32),
                             (F_pad, 2, 3)).copy()
-    if "gmc_warp" in metadatas.columns:
+    if "gmc_warp" in metadatas.columns \
+            and not getattr(tracker, "cmc_off", False):
         for f, fid in enumerate(frame_ids):
             w = metadatas.loc[fid, "gmc_warp"]
             if isinstance(w, np.ndarray) and w.shape == (2, 3):
@@ -976,7 +977,8 @@ def run_fused_gsr_video(detector, pose, reid, tracker, loader,
 
     warps = np.broadcast_to(np.eye(2, 3, dtype=np.float32),
                             (F_pad, 2, 3)).copy()
-    if "gmc_warp" in metadatas.columns:
+    if "gmc_warp" in metadatas.columns \
+            and not getattr(tracker, "cmc_off", False):
         for f, fid in enumerate(frame_ids):
             w = metadatas.loc[fid, "gmc_warp"]
             if isinstance(w, np.ndarray) and w.shape == (2, 3):
@@ -1083,7 +1085,8 @@ def run_fused_reid_video(detector, reid, tracker, loader, metadatas):
     # per-frame camera warps from an upstream CMC module, if present
     warps = np.broadcast_to(np.eye(2, 3, dtype=np.float32),
                             (F_pad, 2, 3)).copy()
-    if "gmc_warp" in metadatas.columns:
+    if "gmc_warp" in metadatas.columns \
+            and not getattr(tracker, "cmc_off", False):
         for f, fid in enumerate(frame_ids):
             w = metadatas.loc[fid, "gmc_warp"]
             if isinstance(w, np.ndarray) and w.shape == (2, 3):

@@ -508,13 +508,29 @@ class _EmbScanTrackerBase(_ScanTrackerBase):
         dets_in = self._truncate_frame(dets_in)  # before emb: rows align
         det, lut = self._pad_frame(dets_in)
         emb = self._online_emb(dets_in, det)
-        warp = self._online_ecc_warp(metadata)
-        if warp is None:
-            warp = self._online_warp(metadata)
+        if getattr(self, "cmc_off", False):
+            warp = np.eye(2, 3, dtype=np.float32)
+        else:
+            warp = self._online_ecc_warp(metadata)
+            if warp is None:
+                warp = self._online_warp(metadata)
         self._online_state, out = self._jitted_step(
             self._online_state, det, jnp.asarray(emb),
             jnp.asarray(warp))
         return self._emit_online(out, lut)
+
+    def _video_warps(self, metadatas, n_frames, bucketed_frames):
+        """Per-frame camera warps with the wrapper's policy: identity
+        when cmc_off (deep_oc_sort ocsort.py:410 skips CMC entirely),
+        else in-module ECC when cfg.ecc and no CMC column, else the
+        gmc_warp column / identity."""
+        if getattr(self, "cmc_off", False):
+            return np.broadcast_to(
+                np.eye(2, 3, dtype=np.float32),
+                (bucketed_frames, 2, 3)).copy()
+        w = self._maybe_ecc_warps(metadatas, n_frames, bucketed_frames)
+        return w if w is not None else _collect_warps(
+            metadatas, n_frames, bucketed_frames)
 
     def _maybe_ecc_warps(self, metadatas, n_frames, bucketed_frames):
         """In-module ECC camera compensation (the reference StrongSORT
@@ -568,9 +584,7 @@ class _EmbScanTrackerBase(_ScanTrackerBase):
             lens.append(n)
             embs.append(_collect_embeddings(dets_in, d, lut, n,
                                             self.embed_dim))
-            w = self._maybe_ecc_warps(metas, n, bucket)
-            warps_l.append(w if w is not None
-                           else _collect_warps(metas, n, bucket))
+            warps_l.append(self._video_warps(metas, n, bucket))
         flat = Detections(*[
             jnp.concatenate([getattr(d, f) for d in padded])
             for f in Detections._fields])
@@ -613,9 +627,7 @@ class _EmbScanTrackerBase(_ScanTrackerBase):
         F = dets.valid.shape[0]
         emb = _collect_embeddings(dets_in, dets, lut, n_frames,
                                   self.embed_dim)
-        warps = self._maybe_ecc_warps(metadatas, n_frames, F)
-        if warps is None:
-            warps = _collect_warps(metadatas, n_frames, F)
+        warps = self._video_warps(metadatas, n_frames, F)
         _, out = self._jitted(dets, jnp.asarray(emb), jnp.asarray(warps))
 
         valid = np.asarray(out.valid[:n_frames])
@@ -882,9 +894,12 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
             kk = s.get("keypoints_xyc")
             if isinstance(kk, np.ndarray):
                 kps[i, :min(len(kk), K)] = kk[:K]
-        warp = self._online_ecc_warp(metadata)
-        if warp is None:
-            warp = self._online_warp(metadata)
+        if getattr(self, "cmc_off", False):
+            warp = np.eye(2, 3, dtype=np.float32)
+        else:
+            warp = self._online_ecc_warp(metadata)
+            if warp is None:
+                warp = self._online_warp(metadata)
         self._online_state, out = self._jitted_step(
             self._online_state, det, jnp.asarray(feat),
             jnp.asarray(vis), jnp.asarray(kps), jnp.asarray(warp))
@@ -964,9 +979,7 @@ class BPBReIDStrongSORT(_EmbScanTrackerBase):
                 kk = kp_by_row.get(row)
                 if kk is not None:
                     kps[f, d, :min(len(kk), K)] = kk[:K]
-        warps = self._maybe_ecc_warps(metadatas, n_frames, F)
-        if warps is None:
-            warps = _collect_warps(metadatas, n_frames, F)
+        warps = self._video_warps(metadatas, n_frames, F)
         _, out = self._jitted(dets, jnp.asarray(feat), jnp.asarray(vis),
                               jnp.asarray(kps), jnp.asarray(warps))
         return self._bpb_emissions_to_df(out, n_frames, lut, dets=dets)

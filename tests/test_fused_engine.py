@@ -233,6 +233,55 @@ def test_fused_parts_engine_matches_staged(tmp_path):
             staged.loc[sv, col].to_numpy(float), err_msg=col)
 
 
+BOTTOMUP_ARGS = [
+    "pipeline=[pose, track]",
+    "+modules.pose._target_=tracklab_tpu.wrappers.pose_estimator."
+    "BottomUpPoseEstimator",
+    "+modules.pose.variant=nano",
+    "+modules.pose.num_keypoints=5",
+    "+modules.pose.input_size=[128,128]",
+    "+modules.pose.min_confidence=0.25",
+    "+modules.pose.max_dets=16",
+    "+modules.pose.batch_size=4",
+    "modules/track=oc_sort",
+    "modules.track.det_thresh=0.27",
+    "modules.track.max_dets=16", "modules.track.max_tracks=32",
+    "dataset.n_videos=1", "dataset.n_frames=10",
+    "dataset.n_objects=3", "dataset.img_w=128", "dataset.img_h=128",
+    "use_rich=false",
+]
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_fused_bottomup_engine_matches_staged(tmp_path):
+    """Fused bottom-up prefix (pose head emitting boxes-from-keypoints
+    -> tracker as ONE device program, engine/fused.py:
+    run_fused_bottomup_video) reproduces the staged run's DataFrames:
+    boxes, keypoints, track ids."""
+    staged = _run_args(BOTTOMUP_ARGS, False, tmp_path, "staged_bu")
+    fused = _run_args(BOTTOMUP_ARGS, True, tmp_path, "fused_bu")
+
+    assert len(staged) > 0, "staged run produced no detections"
+    assert len(fused) == len(staged), (len(fused), len(staged))
+    for col in ("image_id", "video_id", "category_id"):
+        np.testing.assert_array_equal(fused[col].to_numpy(),
+                                      staged[col].to_numpy(), err_msg=col)
+    np.testing.assert_allclose(
+        np.stack(fused["bbox_ltwh"].to_numpy()),
+        np.stack(staged["bbox_ltwh"].to_numpy()), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(
+        np.stack(fused["keypoints_xyc"].to_numpy()),
+        np.stack(staged["keypoints_xyc"].to_numpy()),
+        rtol=1e-3, atol=1e-3)
+    sv = staged["track_id"].notna()
+    fv = fused["track_id"].notna()
+    assert sv.sum() > 0, "staged tracker emitted nothing"
+    np.testing.assert_array_equal(fv.to_numpy(), sv.to_numpy())
+    np.testing.assert_array_equal(
+        fused.loc[fv, "track_id"].to_numpy(float),
+        staged.loc[sv, "track_id"].to_numpy(float))
+
+
 GSR_ARGS = [
     "pipeline=[detect, pose, reid, track]",
     "+modules.detect._target_=tracklab_tpu.wrappers.bbox_detector."

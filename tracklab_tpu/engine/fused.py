@@ -37,7 +37,9 @@ __all__ = ["fused_detect_track", "fused_detect_reid_track",
            "make_yolox_detect_fn", "make_rtdetr_detect_fn",
            "make_osnet_embed_fn", "make_topdown_pose_fn",
            "fused_detect_parts_track", "make_kpr_embed_fn",
+           "make_bottomup_detect_fn", "fused_bottomup_track",
            "run_fused_video", "run_fused_reid_video",
+           "run_fused_bottomup_video",
            "run_fused_pose_video", "run_fused_parts_video",
            "run_fused_gsr_video"]
 
@@ -263,6 +265,154 @@ def make_topdown_pose_fn(model, variables, crop_size=(256, 192),
         return jnp.stack([kx, ky, kp[..., 2]], axis=-1)
 
     return pose
+
+
+def _kp_bbox_ltrb(kp, extension_factor, wh0=None):
+    """Device replica of utils/coordinates.generate_bbox_from_keypoints
+    (ltrb form): box around visible (conf > 0) keypoints — all keypoints
+    when none visible — extended by (top, bottom, sides) fractions of
+    the raw height, clipped to the original image when ``wh0`` given."""
+    big = 1e9
+    x, y = kp[..., 0], kp[..., 1]
+    vis = kp[..., 2] > 0
+    any_vis = jnp.any(vis, axis=-1)
+
+    def pick(v, reduce_vis, reduce_all):
+        return jnp.where(any_vis, reduce_vis(v), reduce_all(v))
+
+    l = pick(x, lambda v: jnp.min(jnp.where(vis, v, big), -1),
+             lambda v: jnp.min(v, -1))
+    r = pick(x, lambda v: jnp.max(jnp.where(vis, v, -big), -1),
+             lambda v: jnp.max(v, -1))
+    t = pick(y, lambda v: jnp.min(jnp.where(vis, v, big), -1),
+             lambda v: jnp.min(v, -1))
+    b = pick(y, lambda v: jnp.max(jnp.where(vis, v, -big), -1),
+             lambda v: jnp.max(v, -1))
+    h = b - t
+    top, bottom, sides = extension_factor
+    ltrb = jnp.stack([l - sides * h, t - top * h,
+                      r + sides * h, b + bottom * h], axis=-1)
+    if wh0 is not None:
+        w0 = wh0[..., 0:1]
+        h0 = wh0[..., 1:2]
+        ltrb = jnp.concatenate([
+            jnp.clip(ltrb[..., 0:1], 0.0, w0),
+            jnp.clip(ltrb[..., 1:2], 0.0, h0),
+            jnp.clip(ltrb[..., 2:3], 0.0, w0),
+            jnp.clip(ltrb[..., 3:4], 0.0, h0)], axis=-1)
+    return ltrb
+
+
+def make_bottomup_detect_fn(predict_fn, conf_threshold: float = 0.4,
+                            iou_threshold: float = 0.65,
+                            max_dets: int = 32,
+                            bbox_extension_factor=(0.05, 0.05, 0.05),
+                            compute_dtype: Any = jnp.float32) -> Callable:
+    """Build ``detect_fn(frames, meta) -> (Detections, keypoints)`` for
+    bottom-up pose models (YOLOX-Pose / YOLO11-Pose): one full-image
+    forward emits boxes AND keypoints; boxes are regenerated from the
+    keypoints exactly like the staged wrapper
+    (wrappers/pose_estimator/bottomup_api.py:process — the RTMO
+    generate_bbox_from_keypoints path), and keypoints are matched to the
+    NMS-compacted detections by nearest decoded-box center, the same
+    host heuristic run on device.
+
+    ``predict_fn(images) -> (decoded (B, A, 5+C), kps (B, A, K, 3))``
+    in letterbox coordinates (the wrapper's family closure).
+    """
+    from tracklab_tpu.ops.nms import postprocess_detections
+
+    def detect(frames, meta=None):
+        imgs = frames.astype(compute_dtype)
+        decoded, kps_all = predict_fn(imgs)
+        d = postprocess_detections(
+            decoded, conf_threshold=conf_threshold,
+            iou_threshold=iou_threshold, max_out=max_dets)
+        ltrb = d["ltrb"].astype(jnp.float32)
+        valid = d["valid"]
+        # nearest-center anchor match (bottomup_api.py:process)
+        kp_centers = kps_all[..., :2].mean(axis=2)        # (B, A, 2)
+        box_c = (ltrb[..., 0:2] + ltrb[..., 2:4]) / 2.0   # (B, D, 2)
+        d2 = jnp.sum(
+            (box_c[:, :, None, :] - kp_centers[:, None, :, :]) ** 2,
+            axis=-1)                                      # (B, D, A)
+        anchor = jnp.argmin(d2, axis=-1)                  # (B, D)
+        kp = jnp.take_along_axis(
+            kps_all.astype(jnp.float32),
+            anchor[:, :, None, None], axis=1)             # (B, D, K, 3)
+        wh0 = None
+        if meta is not None:
+            scale = meta["scale"][:, None, None, None].astype(
+                jnp.float32)
+            pad = meta["pad"][:, None, None, :].astype(jnp.float32)
+            kp = jnp.concatenate(
+                [(kp[..., 0:2] - pad) / scale, kp[..., 2:3]], axis=-1)
+            wh0 = meta["shape"][:, None, :].astype(jnp.float32)
+        box = _kp_bbox_ltrb(kp, bbox_extension_factor, wh0)
+        B, D = box.shape[0], box.shape[1]
+        ref = jnp.broadcast_to(
+            jnp.arange(D, dtype=jnp.int32), (B, D))
+        dets = Detections(box, d["score"].astype(jnp.float32),
+                          jnp.ones((B, D), jnp.float32), ref, valid)
+        return dets, kp
+
+    return detect
+
+
+def fused_bottomup_track(detect_fn, step_fn, init_state,
+                         frames: jnp.ndarray, chunk: int, meta=None,
+                         frame_valid=None, min_confidence: float = 0.0,
+                         return_detections: bool = True):
+    """Bottom-up pose-detector -> tracker, ONE traced program per video
+    (the reference's RTMO / YOLO-pose pipeline head,
+    rtmlib_api.py:47-74, feeding a tracker). Like
+    :func:`fused_detect_track` but the detector also emits per-detection
+    keypoints which ride along to the output.
+
+    Returns ``(final_state, dets|None, keypoints (F, D, K, 3), outs)``.
+    """
+    F = frames.shape[0]
+    if F % chunk:
+        raise ValueError(f"frames ({F}) must be a multiple of chunk "
+                         f"({chunk}); pad with frame_valid=False")
+    n_chunks = F // chunk
+
+    def to_chunks(x):
+        return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+    xs = {"frames": to_chunks(frames),
+          "frame_base": jnp.arange(n_chunks, dtype=jnp.int32) * chunk}
+    if meta is not None:
+        xs["meta"] = jax.tree_util.tree_map(to_chunks, meta)
+    if frame_valid is not None:
+        xs["frame_valid"] = to_chunks(frame_valid)
+
+    def body(state, x):
+        dets, kp = detect_fn(x["frames"], x.get("meta"))
+        D = dets.ref.shape[1]
+        frame_idx = x["frame_base"] + jnp.arange(chunk, dtype=jnp.int32)
+        dets = dets._replace(
+            ref=frame_idx[:, None] * D
+            + jnp.arange(D, dtype=jnp.int32)[None, :])
+        if "frame_valid" in x:
+            dets = dets._replace(
+                valid=dets.valid & x["frame_valid"][:, None])
+        kp = kp * dets.valid[..., None, None]
+        trk_dets = dets._replace(
+            valid=dets.valid & (dets.conf > min_confidence))
+        state, out = lax.scan(step_fn, state, trk_dets)
+        return state, (dets if return_detections else None, kp, out)
+
+    final, (dets, kp, outs) = lax.scan(body, init_state, xs)
+
+    def flat(x):
+        return x.reshape((F,) + x.shape[2:])
+
+    outs = jax.tree_util.tree_map(flat, outs)
+    kp = flat(kp)
+    if return_detections:
+        dets = jax.tree_util.tree_map(flat, dets)
+    return final, dets, kp, outs
 
 
 def fused_detect_track(detect_fn, step_fn, init_state, frames: jnp.ndarray,
@@ -944,6 +1094,75 @@ def run_fused_parts_video(detector, reid, tracker, loader, metadatas):
     if len(trk_df):
         trk_df = trk_df[trk_df.index >= 0]
     return det_df, reid_df, trk_df
+
+
+def run_fused_bottomup_video(detector, tracker, loader, metadatas):
+    """Host orchestration of the fused bottom-up fast path for one
+    video: bottom-up pose model -> boxes-from-keypoints -> tracker as
+    ONE device program (:func:`fused_bottomup_track`). Emits the pose
+    module's DataFrame with the staged path's columns (bbox + keypoints,
+    bottomup_api.py:process row semantics) and the tracker DataFrame."""
+    import numpy as np
+    import pandas as pd
+
+    frame_ids, images, meta, F0, chunk, frame_valid = _collect_frames(
+        detector, loader)
+    if not frame_ids:
+        return pd.DataFrame(), pd.DataFrame()
+    F_pad = len(frame_valid)
+
+    detect_fn = detector.device_detect_fn()
+    D = detector.max_dets
+    cfg = tracker._make_config()
+    trk_D = cfg.max_dets
+    base_step = tracker._step_fn()
+    init_state = tracker._init_state(cfg)
+    min_conf = float(getattr(tracker, "min_confidence", 0.0))
+
+    def step(state, det):
+        if trk_D < D:
+            det = Detections(*[x[:trk_D] for x in det])
+        det = det._replace(valid=det.valid & (det.conf > min_conf))
+        return base_step(cfg, state, det)
+
+    runner = jax.jit(lambda f, m, v: fused_bottomup_track(
+        detect_fn, step, init_state, f, chunk, meta=m, frame_valid=v))
+    _, dets, kp, outs = runner(
+        jnp.asarray(images),
+        {k: jnp.asarray(v) for k, v in meta.items()},
+        jnp.asarray(frame_valid))
+
+    # ---- pose-detector DataFrame (bottomup_api.process semantics) ----
+    valid = np.asarray(dets.valid[:F0])
+    ltrb = np.asarray(dets.ltrb[:F0])
+    score = np.asarray(dets.conf[:F0])
+    kp = np.asarray(kp[:F0], np.float32)
+    lut = np.full(F_pad * D, -1, np.int64)
+    rows = []
+    for f in range(F0):
+        image_id = frame_ids[f]
+        md = metadatas.loc[image_id]
+        for d in np.nonzero(valid[f])[0]:
+            box = ltrb[f, d]
+            lt = box[:2]
+            wh = box[2:] - box[:2]
+            rows.append(pd.Series(dict(
+                image_id=image_id,
+                video_id=md.video_id,
+                category_id=1,
+                bbox_ltwh=np.concatenate([lt, wh]).astype(np.float32),
+                bbox_conf=float(score[f, d]),
+                keypoints_xyc=kp[f, d],
+                keypoints_conf=float(kp[f, d, :, 2].mean()),
+            ), name=detector.id))
+            lut[f * D + d] = detector.id
+            detector.id += 1
+    det_df = pd.DataFrame(rows) if rows else pd.DataFrame()
+
+    trk_df = tracker._emissions_to_df(outs, F0, lut)
+    if len(trk_df):
+        trk_df = trk_df[trk_df.index >= 0]
+    return det_df, trk_df
 
 
 def run_fused_gsr_video(detector, pose, reid, tracker, loader,

@@ -117,11 +117,18 @@ class OfflineTrackingEngine(TrackingEngine):
             det_name, trk_name = model_names[0], model_names[1]
             det_m = self.models[det_name]
             trk_m = self.models[trk_name]
-            if (getattr(det_m, "supports_fused_detect", False)
-                    and getattr(trk_m, "supports_fused_track", False)):
-                # detector -> NMS -> tracker as ONE device program
-                # (engine/fused.py; VERDICT r2 item 1 engine fast path)
-                from tracklab_tpu.engine.fused import run_fused_video
+            run_fused_video = None
+            if getattr(trk_m, "supports_fused_track", False):
+                if getattr(det_m, "supports_fused_detect", False):
+                    # detector -> NMS -> tracker as ONE device program
+                    # (engine/fused.py; VERDICT r2 item 1 fast path)
+                    from tracklab_tpu.engine.fused import run_fused_video
+                elif getattr(det_m, "supports_fused_bottomup", False):
+                    # bottom-up pose head (boxes from keypoints) ->
+                    # tracker as ONE device program
+                    from tracklab_tpu.engine.fused import (
+                        run_fused_bottomup_video as run_fused_video)
+            if run_fused_video is not None:
                 image_filepaths = {
                     idx: fp for idx, fp in
                     image_pred["file_path"].items()}

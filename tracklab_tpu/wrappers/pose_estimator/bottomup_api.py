@@ -25,6 +25,10 @@ class BottomUpPoseEstimator(ImageLevelModule):
     output_columns = ["image_id", "video_id", "category_id", "bbox_ltwh",
                       "bbox_conf", "keypoints_xyc", "keypoints_conf"]
     collate_fn = staticmethod(default_collate)
+    # the engine's fused fast path can inline this pose-detector head
+    # with a tracker into one device program (engine/fused.py:
+    # run_fused_bottomup_video)
+    supports_fused_bottomup = True
 
     def __init__(self, variant: str = "s", num_keypoints: int = 17,
                  input_size=(640, 640), min_confidence: float = 0.4,
@@ -92,6 +96,24 @@ class BottomUpPoseEstimator(ImageLevelModule):
             return out, kps
 
         self._infer = jax.jit(infer)
+        self._predict_fn = predict_fn
+        self._variables = variables
+
+    def device_detect_fn(self):
+        """Jit-ready ``(frames, meta) -> (Detections, keypoints)``
+        closure for the fused engine path — identical math to
+        ``process`` (boxes regenerated from keypoints in original
+        coordinates, nearest-center anchor match on device)."""
+        if self._infer is None:
+            self._build()
+        from tracklab_tpu.engine.fused import make_bottomup_detect_fn
+        variables = self._variables
+        pf = self._predict_fn
+        return make_bottomup_detect_fn(
+            lambda imgs: pf(variables, imgs),
+            conf_threshold=self.min_confidence,
+            iou_threshold=self.nms_iou, max_dets=self.max_dets,
+            bbox_extension_factor=self.bbox_ext)
 
     def preprocess(self, image, detections, metadata):
         import cv2

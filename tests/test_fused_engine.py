@@ -24,6 +24,9 @@ ARGS = [
     "+modules.detect.max_dets=16",
     "+modules.detect.batch_size=4",
     "modules/track=oc_sort",
+    # neutralize the yaml's reference-default wrapper pre-filter (0.4):
+    # random-weight scores sit below it
+    "modules.track.min_confidence=0",
     # random-weight scores on this dataset cluster ~0.284-0.297 (the r3
     # fused stem shifted the distribution below the old 0.3): 0.29
     # keeps ~60% of detections so the det_thresh gate is exercised on
@@ -149,6 +152,9 @@ POSE_ARGS = [
     "+modules.pose.max_dets=16",
     "+modules.pose.batch_size=4",
     "modules/track=oc_sort",
+    # neutralize the yaml's reference-default wrapper pre-filter (0.4):
+    # random-weight scores sit below it
+    "modules.track.min_confidence=0",
     "modules.track.det_thresh=0.27",
     "modules.track.max_dets=16", "modules.track.max_tracks=32",
     "dataset.n_videos=1", "dataset.n_frames=10",
@@ -244,6 +250,9 @@ BOTTOMUP_ARGS = [
     "+modules.pose.max_dets=16",
     "+modules.pose.batch_size=4",
     "modules/track=oc_sort",
+    # neutralize the yaml's reference-default wrapper pre-filter (0.4):
+    # random-weight scores sit below it
+    "modules.track.min_confidence=0",
     "modules.track.det_thresh=0.27",
     "modules.track.max_dets=16", "modules.track.max_tracks=32",
     "dataset.n_videos=1", "dataset.n_frames=10",

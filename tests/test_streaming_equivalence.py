@@ -280,3 +280,31 @@ def test_cmc_off_ignores_warp_column():
     out_stream = _run_streaming(DeepOCSORT(cmc_off=True, **kw), dets,
                                 metas)
     _assert_equal(out_stream, out_id, tag="cmc_off-streaming")
+
+
+def test_plain_tracker_min_confidence_prefilter():
+    """The reference applies the wrapper-level min_confidence filter in
+    EVERY tracker wrapper (oc_sort_api.py:54); the plain trackers must
+    too: OCSORT(min_confidence=t) == OCSORT on manually pre-filtered
+    detections, in offline, streaming, and batched modes."""
+    dets, metas = _stream(seed=4)
+    thr = 0.8
+    manual = dets[dets["bbox_conf"] > thr]
+    assert 0 < len(manual) < len(dets), "need rows on both sides"
+    kw = dict(max_tracks=16, max_dets=8)
+
+    t = OCSORT(min_confidence=thr, **kw)
+    t.reset()
+    out = t.process(dets, metas)
+    t0 = OCSORT(**kw)
+    t0.reset()
+    ref = t0.process(manual, metas)
+    _assert_equal(out, ref, tag="minconf-offline")
+
+    out_s = _run_streaming(OCSORT(min_confidence=thr, **kw), dets, metas)
+    _assert_equal(out_s, ref, tag="minconf-streaming")
+
+    t_b = OCSORT(min_confidence=thr, **kw)
+    t_b.reset()
+    out_b = t_b.process_video_batch([(dets, metas)])[0]
+    _assert_equal(out_b, ref, tag="minconf-batched")

@@ -126,6 +126,19 @@ class _ScanTrackerBase(VideoLevelModule):
     input_columns = ["bbox_ltwh", "bbox_conf", "category_id"]
     output_columns = ["track_id", "track_bbox_ltwh", "track_bbox_conf"]
 
+    # the reference's wrapper-level pre-filter, applied by EVERY tracker
+    # wrapper before the tracker sees the detections
+    # (oc_sort_api.py:54 inputs[inputs[:, 4] > min_confidence], same in
+    # byte_track/bot_sort/deep_oc_sort/strong_sort_api; configs default
+    # 0.4). 0.0 here; per-wrapper __init__/yaml override.
+    min_confidence = 0.0
+
+    def _prefilter(self, detections: pd.DataFrame) -> pd.DataFrame:
+        if len(detections):
+            return detections[
+                detections["bbox_conf"] > self.min_confidence]
+        return detections
+
     def __init__(self, max_dets: int = 64, n_frame_bucket: int = 64,
                  **kwargs):
         self.max_dets = max_dets
@@ -251,7 +264,7 @@ class _ScanTrackerBase(VideoLevelModule):
         cfg = self._make_config()
         if getattr(self, "_online_state", None) is None:
             self._online_state = self._init_state(cfg)
-        det, lut = self._pad_frame(detections)
+        det, lut = self._pad_frame(self._prefilter(detections))
         self._online_state, out = self._jitted_step(
             self._online_state, det)
         return self._emit_online(out, lut)
@@ -287,7 +300,8 @@ class _ScanTrackerBase(VideoLevelModule):
                       // self.n_frame_bucket) * self.n_frame_bucket,
                      self.n_frame_bucket)
         for dets_df, metas in items:
-            d, n, lut = _pad_video(dets_df, metas, self.max_dets, bucket)
+            d, n, lut = _pad_video(self._prefilter(dets_df), metas,
+                                   self.max_dets, bucket)
             # _pad_video buckets independently; re-bucket to the common F
             padded.append(d)
             luts.append(lut)
@@ -351,7 +365,8 @@ class _ScanTrackerBase(VideoLevelModule):
         if len(detections) == 0:
             return detections
         dets, n_frames, lut = _pad_video(
-            detections, metadatas, self.max_dets, self.n_frame_bucket)
+            self._prefilter(detections), metadatas, self.max_dets,
+            self.n_frame_bucket)
         _, out = self._jitted(dets)
 
         valid = np.asarray(out.valid[:n_frames])
@@ -1067,9 +1082,11 @@ class ByteTrack(_ScanTrackerBase):
 
     def __init__(self, track_thresh: float = 0.6,
                  match_thresh: float = 0.8, track_buffer: int = 25,
-                 frame_rate: int = 30, max_tracks: int = 128,
+                 frame_rate: int = 30, min_confidence: float = 0.0,
+                 max_tracks: int = 128,
                  max_dets: int = 64, device=None, **kwargs):
         super().__init__(max_dets=max_dets, **kwargs)
+        self.min_confidence = min_confidence
         self.params = dict(
             track_thresh=track_thresh, match_thresh=match_thresh,
             track_buffer=track_buffer, frame_rate=frame_rate,

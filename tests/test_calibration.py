@@ -239,3 +239,46 @@ class TestSNBaseline:
              "center_circle": gtl["center_circle"]}, 5.0)
         assert conf3[0, 1] == 1    # hallucinated goal_line_left
         assert conf3[1, 0] == 1    # missed center_circle
+
+
+def test_tvcalibration_module_mixed_batch_passthrough():
+    """A batch mixing frames WITH pitch-line observations and frames
+    WITHOUT: observed frames get optimized cameras, unobserved frames
+    pass through their dataset-provided parameters untouched (not the
+    optimizer's prior-mean camera on an empty observation set)."""
+    import jax.numpy as jnp
+    import pandas as pd
+    from tracklab_tpu.calibration.camera import CameraParams, \
+        project_points
+    from tracklab_tpu.calibration.pitch import pitch_segments
+    from tracklab_tpu.wrappers.calibration_api import TVCalibration
+
+    W, H = 480, 270
+    cam = CameraParams(
+        pan=jnp.asarray(0.1), tilt=jnp.asarray(1.25),
+        roll=jnp.asarray(0.0), focal=jnp.asarray(280.0),
+        position=jnp.asarray([0.0, 45.0, 15.0]),
+        principal=jnp.asarray([W / 2, H / 2]))
+    segs = pitch_segments(32)
+    obs = {}
+    for name, pts in segs.items():
+        pix, in_front = project_points(cam, jnp.asarray(pts))
+        pix, in_front = np.asarray(pix), np.asarray(in_front)
+        inside = (in_front & (pix[:, 0] >= 0) & (pix[:, 0] < W)
+                  & (pix[:, 1] >= 0) & (pix[:, 1] < H))
+        if inside.sum() >= 4:
+            obs[name] = pix[inside].astype(np.float32)
+
+    module = TVCalibration(steps=30, lr=0.05, image_width=W,
+                           image_height=H, batch_size=4)
+    provided = {"pan_degrees": 7.5, "tilt_degrees": 65.0,
+                "x_focal_length": 1234.0}
+    metadatas = pd.DataFrame(
+        [{"pitch_lines": obs}, {"pitch_lines": {},
+                                "parameters": provided}],
+        index=["img0", "img1"])
+    batch = {"pitch_lines": [obs, {}]}
+    _, rows = module.process(batch, pd.DataFrame(), metadatas)
+    out = {r.name: r["parameters"] for r in rows}
+    assert "relative_mean_reproj" in out["img0"]
+    assert out["img1"] == provided  # untouched passthrough

@@ -1764,3 +1764,42 @@ def test_nasnet_activation_parity():
                                             (1, H, W, 3))
     got = np.asarray(fm.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# TorchScript checkpoints (the reference's 'jit' multibackend format,
+# strong_sort/reid_multibackend.py:39): torch.jit archives keep the source
+# module's state-dict keys, so load_checkpoint routes them through the same
+# name-mapped converters as .pt files
+# ---------------------------------------------------------------------------
+
+def test_torchscript_checkpoint_parity(tmp_path):
+    import jax.numpy as jnp
+    from tracklab_tpu.models.osnet import OSNet
+    from tracklab_tpu.models.convert import checkpoint_kind, load_checkpoint
+
+    refbridge.install_stubs()
+    from strong_sort.deep.models import osnet as tosnet
+
+    tm = tosnet.OSNet(num_classes=7, blocks=[tosnet.OSBlock] * 3,
+                      layers=[2, 2, 2], channels=[16, 64, 96, 128])
+    tm.eval()
+    _randomize_module(tm, seed=41)
+
+    H, W = 256, 128
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        want = tm(xt).numpy()
+        traced = torch.jit.trace(tm, xt)
+    path = tmp_path / "osnet_x0_25.torchscript"
+    traced.save(str(path))
+
+    assert checkpoint_kind(path) == "torchscript"
+    fm = OSNet(variant="x0_25")
+    variables = load_checkpoint(path, fm, (1, H, W, 3))
+    got = np.asarray(fm.apply(variables, jnp.asarray(x),
+                              train=False)["embeddings"])
+    assert want.shape == got.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

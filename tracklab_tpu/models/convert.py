@@ -51,6 +51,10 @@ def load_checkpoint(path, model=None, input_shape=None):
     if kind == "torch":
         assert model is not None and input_shape is not None
         return _torch_converter_for(model)(path, model, input_shape)
+    if kind == "torchscript":
+        assert model is not None and input_shape is not None
+        sd = _torchscript_state_dict(path)
+        return _torch_converter_for(model)(sd, model, input_shape)
     if kind == "onnx":
         assert model is not None and input_shape is not None
         return convert_onnx(path, model, input_shape)
@@ -116,8 +120,7 @@ def _torch_converter_for(model):
 
 _RUNTIME_FORMATS = {
     ".engine": "TensorRT", ".trt": "TensorRT",
-    ".tflite": "TFLite", ".torchscript": "TorchScript",
-    ".mlmodel": "CoreML",
+    ".tflite": "TFLite", ".mlmodel": "CoreML",
 }
 
 
@@ -135,6 +138,12 @@ def checkpoint_kind(path) -> str:
         # deployment exports (models/onnx_weights.py) — the reference's
         # rtmlib/multibackend .onnx checkpoints load without onnxruntime
         return "onnx"
+    if suffix == ".torchscript":
+        # the reference's 'jit' backend (reid_multibackend.py:39):
+        # torch.jit.load restores the scripted/traced module's
+        # state_dict under the original attribute names, so the
+        # family name maps apply unchanged
+        return "torchscript"
     if suffix in _RUNTIME_FORMATS:
         raise ValueError(
             f"{path}: {_RUNTIME_FORMATS[suffix]} checkpoints are "
@@ -142,6 +151,17 @@ def checkpoint_kind(path) -> str:
             "supply the original torch .pth/.pt weights (converted by "
             "name mapping) or an orbax checkpoint directory")
     return "orbax"
+
+
+def _torchscript_state_dict(path):
+    """Extract tensors from a TorchScript archive. TorchScript runs a
+    restricted IR interpreter (no arbitrary pickle execution), and
+    scripted/traced modules keep the source module's state-dict keys,
+    so the per-family name-mapped converters consume them directly."""
+    import torch
+    mod = torch.jit.load(str(path), map_location="cpu")
+    return {k: v.detach().numpy().copy()
+            for k, v in mod.state_dict().items()}
 
 
 def _torch_state_dict(path, allow_pickle=False):

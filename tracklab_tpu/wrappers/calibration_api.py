@@ -136,21 +136,23 @@ class TVCalibration(ImageLevelModule):
         observations = batch["pitch_lines"]
         rows = []
         have_obs = [bool(o) for o in observations]
+        cams = err = None
         if any(have_obs):
             cams, err = optimize_cameras(
                 [o if o else {} for o in observations], self.cfg)
-            for (image_id, _), cam, e in zip(metadatas.iterrows(), cams,
-                                             err):
-                cam = dict(cam)
+        for i, (image_id, md) in enumerate(metadatas.iterrows()):
+            if have_obs[i]:
+                cam = dict(cams[i])
                 cam.pop("latent", None)
-                cam["relative_mean_reproj"] = float(e)
+                cam["relative_mean_reproj"] = float(err[i])
                 rows.append(pd.Series({"parameters": cam},
                                       name=image_id))
-        else:
-            for image_id, md in metadatas.iterrows():
-                if md.get("parameters") is not None:
-                    rows.append(pd.Series(
-                        {"parameters": md["parameters"]}, name=image_id))
+            elif md.get("parameters") is not None:
+                # no pitch lines for this frame: pass through the
+                # dataset-provided camera instead of the optimizer's
+                # prior-mean output on an empty observation set
+                rows.append(pd.Series(
+                    {"parameters": md["parameters"]}, name=image_id))
         return [], rows
 
 

@@ -231,6 +231,54 @@ def main():
                           "tracks_per_frame": round(per_frame_r, 1)}),
               file=sys.stderr)
 
+    # ---- optional: int8 PTQ detector (models/quantize.py — s8xs8->s32
+    # MXU convs, activation scales calibrated on sample frames). On v5e
+    # the MXU runs int8 at 2x the bf16 rate and int8 activations halve
+    # the HBM term again; this measures how much of that lands through
+    # XLA. Run with TRACKLAB_TPU_BENCH_INT8=1.
+    if os.environ.get("TRACKLAB_TPU_BENCH_INT8"):
+        from tracklab_tpu.models.quantize import calibrate_int8
+
+        calib = YOLOX(num_classes=1, variant="s", quant="calib")
+        qvars = calibrate_int8(
+            calib, variables,
+            [np.asarray(video[:8], np.float32)])
+        int8_model = YOLOX(num_classes=1, variant="s", quant="int8",
+                           dtype=jnp.bfloat16)
+
+        def detect_q(imgs):
+            imgs = imgs.astype(jnp.bfloat16)
+            decoded = int8_model.apply(qvars, imgs,
+                                       method=YOLOX.predict)
+            return postprocess_detections(decoded, conf_threshold=0.3,
+                                          max_out=32)
+
+        det_q = jax.jit(detect_q)
+        np.asarray(det_q(images)["valid"]).sum()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.asarray(det_q(images)["valid"]).sum()
+        dt_q = (time.perf_counter() - t0) / reps
+        print(json.dumps({"detector_int8_fps": round(BATCH / dt_q, 1),
+                          "detector_bf16_fps": round(det_fps, 1)}),
+              file=sys.stderr)
+        # fused e2e with the quantized detector
+        detq_fn = make_yolox_detect_fn(
+            int8_model, qvars, conf_threshold=conf_cal,
+            iou_threshold=0.65, max_dets=cfg.max_dets,
+            compute_dtype=jnp.bfloat16)
+        fused_q = jax.jit(lambda f: fused_detect_track(
+            detq_fn, partial(ocsort_step, cfg), ocsort_init(cfg), f,
+            chunk=BATCH, return_detections=False))
+        _, _, out_q = fused_q(video)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _, _, out_q = fused_q(video)
+            np.asarray(out_q.valid).sum()
+        dt_q = (time.perf_counter() - t0) / reps
+        print(json.dumps({"fused_variant": "int8_coherent_20obj",
+                          "fps": round(F / dt_q, 1)}), file=sys.stderr)
+
     print(json.dumps({
         "metric": "e2e_detect_track_fps_per_chip",
         "value": round(e2e_fps, 1),

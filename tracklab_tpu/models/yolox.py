@@ -44,20 +44,40 @@ def _round_depth(d, mult):
 class ConvBnAct(nn.Module):
     """BaseConv (Megvii yolox/models/network_blocks.py): conv+bn+silu.
     Submodule names mirror the torch attributes for name-mapped weight
-    conversion (convert.py:_yolox_torch_key)."""
+    conversion (convert.py:_yolox_torch_key).
+
+    ``quant``: None (bf16/f32 conv), "calib" (record input absmax into
+    the qstats collection), or "int8" (s8xs8->s32 MXU conv with the
+    calibrated input scale — models/quantize.py). Grouped/depthwise
+    convs always take the float path (little FLOP, poor int8 lowering);
+    the params tree is identical in every mode."""
     features: int
     kernel: int = 3
     stride: int = 1
     groups: int = 1
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=self.stride,
-                    padding=[(self.kernel // 2, self.kernel // 2)] * 2,
-                    feature_group_count=self.groups, use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+        pad = [(self.kernel // 2, self.kernel // 2)] * 2
+        if self.quant == "int8" and self.groups == 1 and not train:
+            from tracklab_tpu.models.quantize import (
+                ascale_variable, quant_conv_int8,
+            )
+            k = _FocusKernel(
+                (self.kernel, self.kernel, x.shape[-1], self.features),
+                name="conv")()
+            x = quant_conv_int8(x, k, ascale_variable(self),
+                                (self.stride, self.stride), pad)
+        else:
+            if self.quant == "calib" and self.groups == 1:
+                from tracklab_tpu.models.quantize import sow_absmax
+                sow_absmax(self, x)
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=self.stride, padding=pad,
+                        feature_group_count=self.groups, use_bias=False,
+                        dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=jnp.float32, name="bn")(x)
         # cast the block output back to the model dtype: BN+silu run in
@@ -74,14 +94,15 @@ class DWConv(nn.Module):
     kernel: int = 3
     stride: int = 1
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBnAct(x.shape[-1], self.kernel, self.stride,
                       groups=x.shape[-1], dtype=self.dtype,
-                      name="dconv")(x, train)
+                      quant=self.quant, name="dconv")(x, train)
         return ConvBnAct(self.features, 1, 1, dtype=self.dtype,
-                         name="pconv")(x, train)
+                         quant=self.quant, name="pconv")(x, train)
 
 
 class Bottleneck(nn.Module):
@@ -89,14 +110,15 @@ class Bottleneck(nn.Module):
     shortcut: bool = True
     depthwise: bool = False
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv2 = DWConv if self.depthwise else ConvBnAct
         y = ConvBnAct(self.features, 1, dtype=self.dtype,
-                      name="conv1")(x, train)
+                      quant=self.quant, name="conv1")(x, train)
         y = conv2(self.features, 3, 1, dtype=self.dtype,
-                  name="conv2")(y, train)
+                  quant=self.quant, name="conv2")(y, train)
         if self.shortcut and x.shape[-1] == self.features:
             y = y + x
         return y
@@ -108,18 +130,22 @@ class CSPLayer(nn.Module):
     shortcut: bool = True
     depthwise: bool = False
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = self.features // 2
-        a = ConvBnAct(hidden, 1, dtype=self.dtype, name="conv1")(x, train)
-        b = ConvBnAct(hidden, 1, dtype=self.dtype, name="conv2")(x, train)
+        a = ConvBnAct(hidden, 1, dtype=self.dtype, quant=self.quant,
+                      name="conv1")(x, train)
+        b = ConvBnAct(hidden, 1, dtype=self.dtype, quant=self.quant,
+                      name="conv2")(x, train)
         for k in range(self.n):
             a = Bottleneck(hidden, self.shortcut, self.depthwise,
-                           dtype=self.dtype, name=f"m__{k}")(a, train)
+                           dtype=self.dtype, quant=self.quant,
+                           name=f"m__{k}")(a, train)
         y = jnp.concatenate([a, b], axis=-1)
         return ConvBnAct(self.features, 1, dtype=self.dtype,
-                         name="conv3")(y, train)
+                         quant=self.quant, name="conv3")(y, train)
 
 
 class SPPBottleneck(nn.Module):
@@ -132,11 +158,13 @@ class SPPBottleneck(nn.Module):
     features: int
     dtype: Any = jnp.float32
     cascade: bool = True
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = x.shape[-1] // 2
-        x = ConvBnAct(hidden, 1, dtype=self.dtype, name="conv1")(x, train)
+        x = ConvBnAct(hidden, 1, dtype=self.dtype, quant=self.quant,
+                      name="conv1")(x, train)
         if self.cascade:
             p5 = nn.max_pool(x, (5, 5), strides=(1, 1),
                              padding=[(2, 2)] * 2)
@@ -152,7 +180,7 @@ class SPPBottleneck(nn.Module):
                                          padding=[(k // 2, k // 2)] * 2))
         x = jnp.concatenate(pools, axis=-1)
         return ConvBnAct(self.features, 1, dtype=self.dtype,
-                         name="conv2")(x, train)
+                         quant=self.quant, name="conv2")(x, train)
 
 
 class _FocusKernel(nn.Module):
@@ -183,6 +211,7 @@ class Focus(nn.Module):
     features: int
     dtype: Any = jnp.float32
     fused: bool = True
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -193,7 +222,7 @@ class Focus(nn.Module):
             br = x[:, 1::2, 1::2]
             x = jnp.concatenate([tl, bl, tr, br], axis=-1)
             return ConvBnAct(self.features, 3, 1, dtype=self.dtype,
-                             name="conv")(x, train)
+                             quant=self.quant, name="conv")(x, train)
         C = x.shape[-1]
         scope = self
         # param tree identical to ConvBnAct(name="conv"):
@@ -210,10 +239,22 @@ class Focus(nn.Module):
                 k6 = k3.reshape(3, 3, 2, 2, C, self.features) \
                     .transpose(0, 3, 1, 2, 4, 5) \
                     .reshape(6, 6, C, self.features)
-                y = jax.lax.conv_general_dilated(
-                    x.astype(scope.dtype), k6.astype(scope.dtype),
-                    window_strides=(2, 2), padding=[(2, 2), (2, 2)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                if scope.quant == "int8" and not train:
+                    from tracklab_tpu.models.quantize import (
+                        ascale_variable, quant_conv_int8,
+                    )
+                    y = quant_conv_int8(x, k6, ascale_variable(self),
+                                        (2, 2), [(2, 2), (2, 2)])
+                else:
+                    if scope.quant == "calib":
+                        from tracklab_tpu.models.quantize import (
+                            sow_absmax,
+                        )
+                        sow_absmax(self, x)
+                    y = jax.lax.conv_general_dilated(
+                        x.astype(scope.dtype), k6.astype(scope.dtype),
+                        window_strides=(2, 2), padding=[(2, 2), (2, 2)],
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 y = nn.BatchNorm(use_running_average=not train,
                                  momentum=0.97, epsilon=1e-3,
                                  dtype=jnp.float32, name="bn")(y)
@@ -227,6 +268,7 @@ class CSPDarknet(nn.Module):
     width_mult: float
     depthwise: bool = False
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -234,26 +276,29 @@ class CSPDarknet(nn.Module):
         d = lambda n: _round_depth(n, self.depth_mult)
         conv = DWConv if self.depthwise else ConvBnAct
 
-        x = Focus(w(64), dtype=self.dtype, name="stem")(x, train)  # /2
-        x = conv(w(128), 3, 2, dtype=self.dtype,
+        x = Focus(w(64), dtype=self.dtype, quant=self.quant, name="stem")(x, train)  # /2
+        x = conv(w(128), 3, 2, dtype=self.dtype, quant=self.quant,
                  name="dark2__0")(x, train)                       # /4
         x = CSPLayer(w(128), d(3), depthwise=self.depthwise,
-                     dtype=self.dtype, name="dark2__1")(x, train)
-        x = conv(w(256), 3, 2, dtype=self.dtype,
+                     dtype=self.dtype, quant=self.quant,
+                     name="dark2__1")(x, train)
+        x = conv(w(256), 3, 2, dtype=self.dtype, quant=self.quant,
                  name="dark3__0")(x, train)                       # /8
         c3 = CSPLayer(w(256), d(9), depthwise=self.depthwise,
-                      dtype=self.dtype, name="dark3__1")(x, train)
-        x = conv(w(512), 3, 2, dtype=self.dtype,
+                      dtype=self.dtype, quant=self.quant,
+                      name="dark3__1")(x, train)
+        x = conv(w(512), 3, 2, dtype=self.dtype, quant=self.quant,
                  name="dark4__0")(c3, train)                      # /16
         c4 = CSPLayer(w(512), d(9), depthwise=self.depthwise,
-                      dtype=self.dtype, name="dark4__1")(x, train)
-        x = conv(w(1024), 3, 2, dtype=self.dtype,
+                      dtype=self.dtype, quant=self.quant,
+                      name="dark4__1")(x, train)
+        x = conv(w(1024), 3, 2, dtype=self.dtype, quant=self.quant,
                  name="dark5__0")(c4, train)                      # /32
-        x = SPPBottleneck(w(1024), dtype=self.dtype,
+        x = SPPBottleneck(w(1024), dtype=self.dtype, quant=self.quant,
                           name="dark5__1")(x, train)
         c5 = CSPLayer(w(1024), d(3), shortcut=False,
                       depthwise=self.depthwise, dtype=self.dtype,
-                      name="dark5__2")(x, train)
+                      quant=self.quant, name="dark5__2")(x, train)
         return c3, c4, c5
 
 
@@ -267,6 +312,7 @@ class YOLOPAFPN(nn.Module):
     width_mult: float
     depthwise: bool = False
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
@@ -276,31 +322,31 @@ class YOLOPAFPN(nn.Module):
         conv = DWConv if self.depthwise else ConvBnAct
 
         # top-down (names mirror Megvii YOLOPAFPN attributes)
-        p5 = ConvBnAct(w(512), 1, dtype=self.dtype,
+        p5 = ConvBnAct(w(512), 1, dtype=self.dtype, quant=self.quant,
                        name="lateral_conv0")(c5, train)
         m4 = jnp.concatenate([_upsample2(p5), c4], axis=-1)
         m4 = CSPLayer(w(512), d(3), shortcut=False,
                       depthwise=self.depthwise, dtype=self.dtype,
-                      name="C3_p4")(m4, train)
-        p4 = ConvBnAct(w(256), 1, dtype=self.dtype,
+                      quant=self.quant, name="C3_p4")(m4, train)
+        p4 = ConvBnAct(w(256), 1, dtype=self.dtype, quant=self.quant,
                        name="reduce_conv1")(m4, train)
         m3 = jnp.concatenate([_upsample2(p4), c3], axis=-1)
         out3 = CSPLayer(w(256), d(3), shortcut=False,
                         depthwise=self.depthwise, dtype=self.dtype,
-                        name="C3_p3")(m3, train)
+                        quant=self.quant, name="C3_p3")(m3, train)
         # bottom-up
-        n3 = conv(w(256), 3, 2, dtype=self.dtype,
+        n3 = conv(w(256), 3, 2, dtype=self.dtype, quant=self.quant,
                   name="bu_conv2")(out3, train)
         m4b = jnp.concatenate([n3, p4], axis=-1)
         out4 = CSPLayer(w(512), d(3), shortcut=False,
                         depthwise=self.depthwise, dtype=self.dtype,
-                        name="C3_n3")(m4b, train)
-        n4 = conv(w(512), 3, 2, dtype=self.dtype,
+                        quant=self.quant, name="C3_n3")(m4b, train)
+        n4 = conv(w(512), 3, 2, dtype=self.dtype, quant=self.quant,
                   name="bu_conv1")(out4, train)
         m5 = jnp.concatenate([n4, p5], axis=-1)
         out5 = CSPLayer(w(1024), d(3), shortcut=False,
                         depthwise=self.depthwise, dtype=self.dtype,
-                        name="C3_n4")(m5, train)
+                        quant=self.quant, name="C3_n4")(m5, train)
         return out3, out4, out5
 
 
@@ -309,6 +355,7 @@ class YOLOXHead(nn.Module):
     width_mult: float
     depthwise: bool = False
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
@@ -317,17 +364,18 @@ class YOLOXHead(nn.Module):
         outputs = []
         for i, x in enumerate(feats):
             s = ConvBnAct(hidden, 1, dtype=self.dtype,
+                          quant=self.quant,
                           name=f"stems__{i}")(x, train)
             c = conv(hidden, 3, 1, dtype=self.dtype,
-                     name=f"cls_convs__{i}__0")(s, train)
+                     quant=self.quant, name=f"cls_convs__{i}__0")(s, train)
             c = conv(hidden, 3, 1, dtype=self.dtype,
-                     name=f"cls_convs__{i}__1")(c, train)
+                     quant=self.quant, name=f"cls_convs__{i}__1")(c, train)
             cls_out = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                               name=f"cls_preds__{i}")(c)
             r = conv(hidden, 3, 1, dtype=self.dtype,
-                     name=f"reg_convs__{i}__0")(s, train)
+                     quant=self.quant, name=f"reg_convs__{i}__0")(s, train)
             r = conv(hidden, 3, 1, dtype=self.dtype,
-                     name=f"reg_convs__{i}__1")(r, train)
+                     quant=self.quant, name=f"reg_convs__{i}__1")(r, train)
             reg_out = nn.Conv(4, (1, 1), dtype=self.dtype,
                               name=f"reg_preds__{i}")(r)
             obj_out = nn.Conv(1, (1, 1), dtype=self.dtype,
@@ -362,15 +410,19 @@ class YOLOX(nn.Module):
     num_classes: int = 80
     variant: str = "s"
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     def setup(self):
         v = YOLOX_VARIANTS[self.variant]
         self.backbone = CSPDarknet(v["depth_mult"], v["width_mult"],
-                                   v["depthwise"], dtype=self.dtype)
+                                   v["depthwise"], dtype=self.dtype,
+                                   quant=self.quant)
         self.neck = YOLOPAFPN(v["depth_mult"], v["width_mult"],
-                              v["depthwise"], dtype=self.dtype)
+                              v["depthwise"], dtype=self.dtype,
+                              quant=self.quant)
         self.head = YOLOXHead(self.num_classes, v["width_mult"],
-                              v["depthwise"], dtype=self.dtype)
+                              v["depthwise"], dtype=self.dtype,
+                              quant=self.quant)
 
     def __call__(self, images, train: bool = False):
         feats = self.backbone(images, train)

@@ -40,7 +40,8 @@ class YOLOXDetector(ImageLevelModule):
                  input_size=(640, 640), min_confidence: float = 0.4,
                  nms_iou: float = 0.65, max_dets: int = 64,
                  batch_size: int = 8, checkpoint_path: str | None = None,
-                 class_offset: int = 1, device=None, **kwargs):
+                 class_offset: int = 1, quant: str | None = None,
+                 device=None, **kwargs):
         super().__init__(batch_size)
         self.variant = variant
         self.num_classes = num_classes
@@ -50,6 +51,11 @@ class YOLOXDetector(ImageLevelModule):
         self.max_dets = max_dets
         self.class_offset = class_offset
         self.checkpoint_path = checkpoint_path
+        # quant="int8": s8xs8->s32 MXU convs with activation scales
+        # calibrated on the FIRST processed batch (models/quantize.py);
+        # call calibrate(images) up front to pin scales explicitly
+        self.quant = quant
+        self._qvars = None
         self._model = None
         self._variables = None
         self._infer = None
@@ -76,6 +82,16 @@ class YOLOXDetector(ImageLevelModule):
             variables = model.init(jax.random.PRNGKey(0),
                                    jnp.zeros((1, h, w, 3)), train=False)
 
+        self._model = model
+        self._variables = variables
+        self._infer = self._make_infer(model, variables)
+
+    def _make_infer(self, model, variables):
+        import jax
+        import jax.numpy as jnp
+        from tracklab_tpu.models.yolox import YOLOX
+        from tracklab_tpu.ops.nms import postprocess_detections
+
         def infer(images):
             images = images.astype(jnp.float32)
             decoded = model.apply(variables, images, method=YOLOX.predict)
@@ -83,9 +99,26 @@ class YOLOXDetector(ImageLevelModule):
                 decoded, conf_threshold=self.min_confidence,
                 iou_threshold=self.nms_iou, max_out=self.max_dets)
 
-        self._model = model
-        self._variables = variables
-        self._infer = jax.jit(infer)
+        return jax.jit(infer)
+
+    def calibrate(self, images):
+        """Pin the int8 activation scales from sample images (any
+        (B, H, W, 3) batch at the model input size) and switch inference
+        to the quantized model. Called automatically on the first
+        processed batch when ``quant='int8'``."""
+        import jax.numpy as jnp
+        from tracklab_tpu.models.quantize import calibrate_int8
+        from tracklab_tpu.models.yolox import YOLOX
+        if self._infer is None:
+            self._build()
+        calib = YOLOX(num_classes=self.num_classes, variant=self.variant,
+                      quant="calib")
+        self._qvars = calibrate_int8(
+            calib, self._variables,
+            [jnp.asarray(images, jnp.float32)])
+        self._int8_model = YOLOX(num_classes=self.num_classes,
+                                 variant=self.variant, quant="int8")
+        self._infer = self._make_infer(self._int8_model, self._qvars)
 
     def device_detect_fn(self):
         """Jit-ready ``(frames, meta) -> Detections`` closure for the
@@ -96,8 +129,18 @@ class YOLOXDetector(ImageLevelModule):
             self._build()
         import jax.numpy as jnp
         from tracklab_tpu.engine.fused import make_yolox_detect_fn
+        model, variables = self._model, self._variables
+        if self.quant == "int8":
+            if self._qvars is None:
+                log.warning(
+                    "quant='int8' but no calibration has run — the "
+                    "fused program uses the float model; call "
+                    "calibrate(images) before building the fused "
+                    "pipeline to quantize it")
+            else:
+                model, variables = self._int8_model, self._qvars
         return make_yolox_detect_fn(
-            self._model, self._variables,
+            model, variables,
             conf_threshold=self.min_confidence,
             iou_threshold=self.nms_iou, max_dets=self.max_dets,
             compute_dtype=jnp.float32)
@@ -137,6 +180,8 @@ class YOLOXDetector(ImageLevelModule):
     def process(self, batch, detections, metadatas: pd.DataFrame):
         if self._infer is None:
             self._build()
+        if self.quant == "int8" and self._qvars is None:
+            self.calibrate(batch["image"])
         out = self._infer(batch["image"])
         ltrb = np.asarray(out["ltrb"])
         score = np.asarray(out["score"])

@@ -181,7 +181,9 @@ def compose(config_dir, config_name: str = "config",
         if ov.startswith("+"):
             key, _, val = ov[1:].partition("=")
             candidate = config_dir / key.replace(".", "/") / f"{val}.yaml"
-            if candidate.exists():
+            if not candidate.exists():
+                value_overrides.append((key, _parse_value(val)))
+            elif key.replace(".", "/").split("/")[0] == "experiment":
                 # experiment-style global-package config: its defaults
                 # entries act as group overrides (whole-subtree replace),
                 # its body merges into the root after _self_
@@ -194,7 +196,10 @@ def compose(config_dir, config_name: str = "config",
                         group_overrides[str(g).lstrip("/")] = str(opt)
                 experiment_bodies.append(exp)
             else:
-                value_overrides.append((key, _parse_value(val)))
+                # +group=option on an ordinary config group ADDS that
+                # group's subtree at its own path (hydra semantics), e.g.
+                # +modules/tracklet_agg=majority_vote
+                group_overrides[key.replace(".", "/")] = str(val)
             continue
         key, _, val = ov.partition("=")
         group_dir = config_dir / key.replace(".", "/")
@@ -266,12 +271,21 @@ def instantiate(node, *args, **extra_kwargs):
     partial = node.pop("_partial_", False)
     node.pop("_recursive_", None)
 
+    def build(v):
+        # hydra-style recursive instantiate: _target_ nodes anywhere in
+        # a kwarg's container tree are built (e.g. the visualization
+        # presets' ``visualizers: {name: {_target_: ...}}`` maps)
+        if isinstance(v, dict) and "_target_" in v:
+            return instantiate(v)
+        if isinstance(v, dict):
+            return {k2: build(v2) for k2, v2 in v.items()}
+        if isinstance(v, list):
+            return [build(v2) for v2 in v]
+        return v
+
     kwargs = {}
     for k, v in node.items():
-        if isinstance(v, dict) and "_target_" in v:
-            kwargs[k] = instantiate(v)
-        else:
-            kwargs[k] = v
+        kwargs[k] = build(v)
     kwargs.update(extra_kwargs)
 
     module_name, _, attr = target.rpartition(".")

@@ -150,3 +150,66 @@ def test_yolox_detector_wrapper_int8_first_batch_calibration():
             assert (boxes[:, 2:] > 0).all()
     if len(a) and len(b):
         assert abs(len(a) - len(b)) <= max(2, len(a))
+
+
+@pytest.mark.parametrize("family,kwargs", [
+    ("yolov8", {}),
+    ("yolo11", {}),
+])
+def test_v8_family_int8_param_tree_and_accuracy(family, kwargs):
+    """YOLOv8/YOLO11 quant modes: identical params tree to f32 and a
+    bounded int8-vs-f32 error on the calibration distribution."""
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict
+    from tracklab_tpu.models.quantize import calibrate_int8
+
+    if family == "yolov8":
+        from tracklab_tpu.models.yolov8 import YOLOv8 as M
+    else:
+        from tracklab_tpu.models.yolo11 import YOLO11 as M
+
+    H = W = 128
+    model = M(num_classes=2, variant="n", **kwargs)
+    x0 = jnp.zeros((1, H, W, 3))
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    v_int8 = M(num_classes=2, variant="n", quant="int8",
+               **kwargs).init(jax.random.PRNGKey(0), x0, train=False)
+    for col in ("params", "batch_stats"):
+        a = {k: v.shape for k, v in flatten_dict(variables[col]).items()}
+        b = {k: v.shape for k, v in flatten_dict(v_int8[col]).items()}
+        assert a == b
+
+    rng = np.random.default_rng(7)
+    batch = rng.uniform(0, 1, (2, H, W, 3)).astype(np.float32)
+    calib = M(num_classes=2, variant="n", quant="calib", **kwargs)
+    qvars = calibrate_int8(calib, variables, [batch])
+    int8 = M(num_classes=2, variant="n", quant="int8", **kwargs)
+    a = np.asarray(model.apply(variables, jnp.asarray(batch),
+                               method=M.predict))
+    b = np.asarray(int8.apply(qvars, jnp.asarray(batch),
+                              method=M.predict))
+    assert np.isfinite(b).all()
+    # DFL box centers: median within 2 px; class scores within 0.05
+    assert np.median(np.abs(a[..., :2] - b[..., :2])) < 2.0
+    assert np.abs(a[..., 5:] - b[..., 5:]).max() < 0.05
+
+
+@pytest.mark.parametrize("variant", ["n", "11n"])
+def test_yolov8_detector_wrapper_int8(variant):
+    import pandas as pd
+    from tracklab_tpu.wrappers.bbox_detector.yolov8_api import (
+        YOLOv8Detector,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (200, 280, 3)).astype(np.uint8)
+    det = YOLOv8Detector(variant=variant, num_classes=1,
+                         input_size=(128, 128), min_confidence=0.01,
+                         max_dets=8, quant="int8")
+    meta = pd.Series({"video_id": "v"}, name="img0")
+    batch = det.collate_fn([det.preprocess(img, None, meta)])
+    rows = det.process(batch, pd.DataFrame(), pd.DataFrame([meta]))
+    assert det._qvars is not None  # calibrated on the first batch
+    for r in rows:
+        assert np.isfinite(r["bbox_ltwh"]).all()

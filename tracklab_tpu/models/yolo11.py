@@ -59,12 +59,15 @@ class BottleneckE(nn.Module):
     shortcut: bool = True
     e: float = 0.5
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train=False):
         hidden = int(self.features * self.e)
-        y = Conv(hidden, 3, dtype=self.dtype, name="cv1")(x, train)
-        y = Conv(self.features, 3, dtype=self.dtype, name="cv2")(y, train)
+        y = Conv(hidden, 3, dtype=self.dtype, quant=self.quant,
+                 name="cv1")(x, train)
+        y = Conv(self.features, 3, dtype=self.dtype, quant=self.quant,
+                 name="cv2")(y, train)
         return x + y if self.shortcut and x.shape[-1] == self.features \
             else y
 
@@ -75,17 +78,20 @@ class C3k(nn.Module):
     n: int = 2
     shortcut: bool = True
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train=False):
         c = self.features // 2
-        a = Conv(c, 1, dtype=self.dtype, name="cv1")(x, train)
+        a = Conv(c, 1, dtype=self.dtype, quant=self.quant,
+                 name="cv1")(x, train)
         for j in range(self.n):
             a = BottleneckE(c, self.shortcut, e=1.0, dtype=self.dtype,
-                            name=f"m__{j}")(a, train)
-        b = Conv(c, 1, dtype=self.dtype, name="cv2")(x, train)
-        return Conv(self.features, 1, dtype=self.dtype, name="cv3")(
-            jnp.concatenate([a, b], -1), train)
+                            quant=self.quant, name=f"m__{j}")(a, train)
+        b = Conv(c, 1, dtype=self.dtype, quant=self.quant,
+                 name="cv2")(x, train)
+        return Conv(self.features, 1, dtype=self.dtype, quant=self.quant,
+                    name="cv3")(jnp.concatenate([a, b], -1), train)
 
 
 class C3k2(nn.Module):
@@ -96,22 +102,25 @@ class C3k2(nn.Module):
     e: float = 0.5
     shortcut: bool = True
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train=False):
         c = int(self.features * self.e)
-        y = Conv(2 * c, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(2 * c, 1, dtype=self.dtype, quant=self.quant,
+                 name="cv1")(x, train)
         parts = [y[..., :c], y[..., c:]]
         for k in range(self.n):
             if self.c3k:
                 parts.append(C3k(c, 2, self.shortcut, dtype=self.dtype,
+                                 quant=self.quant,
                                  name=f"m__{k}")(parts[-1], train))
             else:
                 parts.append(BottleneckE(
                     c, self.shortcut, e=0.5, dtype=self.dtype,
-                    name=f"m__{k}")(parts[-1], train))
-        return Conv(self.features, 1, dtype=self.dtype, name="cv2")(
-            jnp.concatenate(parts, -1), train)
+                    quant=self.quant, name=f"m__{k}")(parts[-1], train))
+        return Conv(self.features, 1, dtype=self.dtype, quant=self.quant,
+                    name="cv2")(jnp.concatenate(parts, -1), train)
 
 
 class ConvNoAct(nn.Module):
@@ -207,6 +216,7 @@ class YOLO11(nn.Module):
     variant: str = "n"
     reg_max: int = 16
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -229,35 +239,35 @@ class YOLO11(nn.Module):
             return _n(n, v["d"])
 
         fc = v["force_c3k"]
-        x = Conv(ch(64), 3, 2, dtype=dt, name="model__0")(x, train)
-        x = Conv(ch(128), 3, 2, dtype=dt, name="model__1")(x, train)
-        x = C3k2(ch(256), rep(2), c3k=fc, e=0.25, dtype=dt,
+        x = Conv(ch(64), 3, 2, dtype=dt, quant=self.quant, name="model__0")(x, train)
+        x = Conv(ch(128), 3, 2, dtype=dt, quant=self.quant, name="model__1")(x, train)
+        x = C3k2(ch(256), rep(2), c3k=fc, e=0.25, dtype=dt, quant=self.quant,
                  name="model__2")(x, train)
-        x = Conv(ch(256), 3, 2, dtype=dt, name="model__3")(x, train)
-        p3 = C3k2(ch(512), rep(2), c3k=fc, e=0.25, dtype=dt,
+        x = Conv(ch(256), 3, 2, dtype=dt, quant=self.quant, name="model__3")(x, train)
+        p3 = C3k2(ch(512), rep(2), c3k=fc, e=0.25, dtype=dt, quant=self.quant,
                   name="model__4")(x, train)
-        x = Conv(ch(512), 3, 2, dtype=dt, name="model__5")(p3, train)
-        p4 = C3k2(ch(512), rep(2), c3k=True, dtype=dt,
+        x = Conv(ch(512), 3, 2, dtype=dt, quant=self.quant, name="model__5")(p3, train)
+        p4 = C3k2(ch(512), rep(2), c3k=True, dtype=dt, quant=self.quant,
                   name="model__6")(x, train)
-        x = Conv(ch(1024), 3, 2, dtype=dt, name="model__7")(p4, train)
-        x = C3k2(ch(1024), rep(2), c3k=True, dtype=dt,
+        x = Conv(ch(1024), 3, 2, dtype=dt, quant=self.quant, name="model__7")(p4, train)
+        x = C3k2(ch(1024), rep(2), c3k=True, dtype=dt, quant=self.quant,
                  name="model__8")(x, train)
-        x = SPPF(ch(1024), dtype=dt, name="model__9")(x, train)
+        x = SPPF(ch(1024), dtype=dt, quant=self.quant, name="model__9")(x, train)
         p5 = C2PSA(ch(1024), rep(2), dtype=dt, name="model__10")(x, train)
 
         # head (nodes 11-22)
-        u4 = C3k2(ch(512), rep(2), c3k=fc, dtype=dt, name="model__13")(
+        u4 = C3k2(ch(512), rep(2), c3k=fc, dtype=dt, quant=self.quant, name="model__13")(
             jnp.concatenate([_up2(p5), p4], -1), train)
-        u3 = C3k2(ch(256), rep(2), c3k=fc, dtype=dt, name="model__16")(
+        u3 = C3k2(ch(256), rep(2), c3k=fc, dtype=dt, quant=self.quant, name="model__16")(
             jnp.concatenate([_up2(u4), p3], -1), train)
-        d4 = C3k2(ch(512), rep(2), c3k=fc, dtype=dt, name="model__19")(
+        d4 = C3k2(ch(512), rep(2), c3k=fc, dtype=dt, quant=self.quant, name="model__19")(
             jnp.concatenate([
-                Conv(ch(256), 3, 2, dtype=dt,
+                Conv(ch(256), 3, 2, dtype=dt, quant=self.quant,
                      name="model__17")(u3, train), u4], -1), train)
-        d5 = C3k2(ch(1024), rep(2), c3k=True, dtype=dt,
+        d5 = C3k2(ch(1024), rep(2), c3k=True, dtype=dt, quant=self.quant,
                   name="model__22")(
             jnp.concatenate([
-                Conv(ch(512), 3, 2, dtype=dt,
+                Conv(ch(512), 3, 2, dtype=dt, quant=self.quant,
                      name="model__20")(d4, train), p5], -1), train)
 
         # Detect (node 23, legacy=False): reg branch as v8, class
@@ -268,19 +278,19 @@ class YOLO11(nn.Module):
         outs = []
         for i, f in enumerate(feats):
             fc_in = f.shape[-1]
-            r = Conv(c2, 3, dtype=dt,
+            r = Conv(c2, 3, dtype=dt, quant=self.quant,
                      name=f"model__23__cv2__{i}__0")(f, train)
-            r = Conv(c2, 3, dtype=dt,
+            r = Conv(c2, 3, dtype=dt, quant=self.quant,
                      name=f"model__23__cv2__{i}__1")(r, train)
             r = nn.Conv(4 * self.reg_max, (1, 1), dtype=dt,
                         name=f"model__23__cv2__{i}__2")(r)
-            c = Conv(fc_in, 3, dtype=dt, groups=fc_in,
+            c = Conv(fc_in, 3, dtype=dt, quant=self.quant, groups=fc_in,
                      name=f"model__23__cv3__{i}__0__0")(f, train)
-            c = Conv(c3, 1, dtype=dt,
+            c = Conv(c3, 1, dtype=dt, quant=self.quant,
                      name=f"model__23__cv3__{i}__0__1")(c, train)
-            c = Conv(c3, 3, dtype=dt, groups=c3,
+            c = Conv(c3, 3, dtype=dt, quant=self.quant, groups=c3,
                      name=f"model__23__cv3__{i}__1__0")(c, train)
-            c = Conv(c3, 1, dtype=dt,
+            c = Conv(c3, 1, dtype=dt, quant=self.quant,
                      name=f"model__23__cv3__{i}__1__1")(c, train)
             c = nn.Conv(self.num_classes, (1, 1), dtype=dt,
                         name=f"model__23__cv3__{i}__2")(c)

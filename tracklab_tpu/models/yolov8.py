@@ -44,19 +44,36 @@ def _n(n, d):
 
 
 class Conv(nn.Module):
+    """conv+bn+silu. ``quant`` as in models/yolox.py ConvBnAct: None /
+    "calib" / "int8" (models/quantize.py); grouped convs stay float."""
     features: int
     kernel: int = 3
     stride: int = 1
     groups: int = 1
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=self.stride,
-                    padding=[(self.kernel // 2,) * 2] * 2,
-                    feature_group_count=self.groups,
-                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        pad = [(self.kernel // 2,) * 2] * 2
+        if self.quant == "int8" and self.groups == 1 and not train:
+            from tracklab_tpu.models.quantize import (
+                ascale_variable, quant_conv_int8,
+            )
+            from tracklab_tpu.models.yolox import _FocusKernel
+            k = _FocusKernel(
+                (self.kernel, self.kernel, x.shape[-1], self.features),
+                name="conv")()
+            x = quant_conv_int8(x, k, ascale_variable(self),
+                                (self.stride, self.stride), pad)
+        else:
+            if self.quant == "calib" and self.groups == 1:
+                from tracklab_tpu.models.quantize import sow_absmax
+                sow_absmax(self, x)
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=self.stride, padding=pad,
+                        feature_group_count=self.groups,
+                        use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=jnp.float32, name="bn")(x)
         # bf16 inter-layer activations: BN+silu in f32, output cast back
@@ -68,11 +85,14 @@ class Bottleneck(nn.Module):
     features: int
     shortcut: bool = True
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train=False):
-        y = Conv(self.features, 3, dtype=self.dtype, name="cv1")(x, train)
-        y = Conv(self.features, 3, dtype=self.dtype, name="cv2")(y, train)
+        y = Conv(self.features, 3, dtype=self.dtype, quant=self.quant,
+                 name="cv1")(x, train)
+        y = Conv(self.features, 3, dtype=self.dtype, quant=self.quant,
+                 name="cv2")(y, train)
         return x + y if self.shortcut and x.shape[-1] == self.features \
             else y
 
@@ -82,33 +102,38 @@ class C2f(nn.Module):
     n: int = 1
     shortcut: bool = True
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train=False):
         c = self.features // 2
-        y = Conv(2 * c, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(2 * c, 1, dtype=self.dtype, quant=self.quant,
+                 name="cv1")(x, train)
         parts = [y[..., :c], y[..., c:]]
         for k in range(self.n):
             parts.append(Bottleneck(c, self.shortcut, dtype=self.dtype,
+                                    quant=self.quant,
                                     name=f"m__{k}")(parts[-1], train))
-        return Conv(self.features, 1, dtype=self.dtype, name="cv2")(
-            jnp.concatenate(parts, -1), train)
+        return Conv(self.features, 1, dtype=self.dtype, quant=self.quant,
+                    name="cv2")(jnp.concatenate(parts, -1), train)
 
 
 class SPPF(nn.Module):
     features: int
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train=False):
         c = x.shape[-1] // 2
-        x = Conv(c, 1, dtype=self.dtype, name="cv1")(x, train)
+        x = Conv(c, 1, dtype=self.dtype, quant=self.quant,
+                 name="cv1")(x, train)
         pools = [x]
         for _ in range(3):
             pools.append(nn.max_pool(pools[-1], (5, 5), strides=(1, 1),
                                      padding=[(2, 2)] * 2))
-        return Conv(self.features, 1, dtype=self.dtype, name="cv2")(
-            jnp.concatenate(pools, -1), train)
+        return Conv(self.features, 1, dtype=self.dtype, quant=self.quant,
+                    name="cv2")(jnp.concatenate(pools, -1), train)
 
 
 def _up2(x):
@@ -121,6 +146,7 @@ class YOLOv8(nn.Module):
     variant: str = "n"
     reg_max: int = 16
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -131,33 +157,33 @@ class YOLOv8(nn.Module):
         dt = self.dtype
 
         # backbone (module indices mirror the ultralytics yolov8 yaml)
-        x = Conv(ch(64), 3, 2, dtype=dt, name="model__0")(x, train)   # /2
-        x = Conv(ch(128), 3, 2, dtype=dt, name="model__1")(x, train)  # /4
-        x = C2f(ch(128), nn_(3), dtype=dt, name="model__2")(x, train)
-        x = Conv(ch(256), 3, 2, dtype=dt, name="model__3")(x, train)  # /8
-        p3 = C2f(ch(256), nn_(6), dtype=dt, name="model__4")(x, train)
-        x = Conv(ch(512), 3, 2, dtype=dt, name="model__5")(p3, train)  # /16
-        p4 = C2f(ch(512), nn_(6), dtype=dt, name="model__6")(x, train)
-        x = Conv(ch(1024), 3, 2, dtype=dt, name="model__7")(p4, train)  # /32
-        x = C2f(ch(1024), nn_(3), dtype=dt, name="model__8")(x, train)
-        p5 = SPPF(ch(1024), dtype=dt, name="model__9")(x, train)
+        x = Conv(ch(64), 3, 2, dtype=dt, quant=self.quant, name="model__0")(x, train)   # /2
+        x = Conv(ch(128), 3, 2, dtype=dt, quant=self.quant, name="model__1")(x, train)  # /4
+        x = C2f(ch(128), nn_(3), dtype=dt, quant=self.quant, name="model__2")(x, train)
+        x = Conv(ch(256), 3, 2, dtype=dt, quant=self.quant, name="model__3")(x, train)  # /8
+        p3 = C2f(ch(256), nn_(6), dtype=dt, quant=self.quant, name="model__4")(x, train)
+        x = Conv(ch(512), 3, 2, dtype=dt, quant=self.quant, name="model__5")(p3, train)  # /16
+        p4 = C2f(ch(512), nn_(6), dtype=dt, quant=self.quant, name="model__6")(x, train)
+        x = Conv(ch(1024), 3, 2, dtype=dt, quant=self.quant, name="model__7")(p4, train)  # /32
+        x = C2f(ch(1024), nn_(3), dtype=dt, quant=self.quant, name="model__8")(x, train)
+        p5 = SPPF(ch(1024), dtype=dt, quant=self.quant, name="model__9")(x, train)
 
         # PAN neck
-        u4 = C2f(ch(512), nn_(3), shortcut=False, dtype=dt,
+        u4 = C2f(ch(512), nn_(3), shortcut=False, dtype=dt, quant=self.quant,
                  name="model__12")(
             jnp.concatenate([_up2(p5), p4], -1), train)
-        u3 = C2f(ch(256), nn_(3), shortcut=False, dtype=dt,
+        u3 = C2f(ch(256), nn_(3), shortcut=False, dtype=dt, quant=self.quant,
                  name="model__15")(
             jnp.concatenate([_up2(u4), p3], -1), train)
-        d4 = C2f(ch(512), nn_(3), shortcut=False, dtype=dt,
+        d4 = C2f(ch(512), nn_(3), shortcut=False, dtype=dt, quant=self.quant,
                  name="model__18")(
             jnp.concatenate(
-                [Conv(ch(256), 3, 2, dtype=dt,
+                [Conv(ch(256), 3, 2, dtype=dt, quant=self.quant,
                       name="model__16")(u3, train), u4], -1), train)
-        d5 = C2f(ch(1024), nn_(3), shortcut=False, dtype=dt,
+        d5 = C2f(ch(1024), nn_(3), shortcut=False, dtype=dt, quant=self.quant,
                  name="model__21")(
             jnp.concatenate(
-                [Conv(ch(512), 3, 2, dtype=dt,
+                [Conv(ch(512), 3, 2, dtype=dt, quant=self.quant,
                       name="model__19")(d4, train), p5], -1), train)
 
         # decoupled DFL head: branch widths come from the FIRST level's
@@ -167,15 +193,15 @@ class YOLOv8(nn.Module):
         c_cls = max(feats[0].shape[-1], min(self.num_classes, 100))
         outs = []
         for i, f in enumerate(feats):
-            r = Conv(c_reg, 3, dtype=dt,
+            r = Conv(c_reg, 3, dtype=dt, quant=self.quant,
                      name=f"model__22__cv2__{i}__0")(f, train)
-            r = Conv(c_reg, 3, dtype=dt,
+            r = Conv(c_reg, 3, dtype=dt, quant=self.quant,
                      name=f"model__22__cv2__{i}__1")(r, train)
             reg = nn.Conv(4 * self.reg_max, (1, 1), dtype=dt,
                           name=f"model__22__cv2__{i}__2")(r)
-            c = Conv(c_cls, 3, dtype=dt,
+            c = Conv(c_cls, 3, dtype=dt, quant=self.quant,
                      name=f"model__22__cv3__{i}__0")(f, train)
-            c = Conv(c_cls, 3, dtype=dt,
+            c = Conv(c_cls, 3, dtype=dt, quant=self.quant,
                      name=f"model__22__cv3__{i}__1")(c, train)
             cls = nn.Conv(self.num_classes, (1, 1), dtype=dt,
                           name=f"model__22__cv3__{i}__2")(c)

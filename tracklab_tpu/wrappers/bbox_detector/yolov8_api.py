@@ -18,56 +18,35 @@ class YOLOv8Detector(YOLOXDetector):
     "11n".."11x" selects YOLO11 (the family the reference's default
     config loads — yolo_ultralytics.yaml -> yolo11m.pt)."""
 
-    def _build(self):
-        import jax
-        import jax.numpy as jnp
-        from tracklab_tpu.ops.nms import postprocess_detections
-
+    def _make_model(self, quant=None):
         if self.variant.startswith("11"):
             from tracklab_tpu.models.yolo11 import YOLO11
 
-            model = YOLO11(num_classes=self.num_classes,
-                           variant=self.variant[2:])
-        else:
-            from tracklab_tpu.models.yolov8 import YOLOv8
+            return YOLO11(num_classes=self.num_classes,
+                          variant=self.variant[2:], quant=quant)
+        from tracklab_tpu.models.yolov8 import YOLOv8
 
-            model = YOLOv8(num_classes=self.num_classes,
-                           variant=self.variant)
-        h, w = self.input_size
-        if self._variables is not None:
-            variables = self._variables
-        elif self.checkpoint_path:
-            from tracklab_tpu.models.convert import load_checkpoint
-            variables = load_checkpoint(self.checkpoint_path, model,
-                                        (1, h, w, 3))
-        else:
-            log.warning("YOLOv8Detector: no checkpoint_path given — "
-                        "running with random weights")
-            variables = model.init(jax.random.PRNGKey(0),
-                                   jnp.zeros((1, h, w, 3)), train=False)
+        return YOLOv8(num_classes=self.num_classes,
+                      variant=self.variant, quant=quant)
 
-        def infer(images):
-            images = images.astype(jnp.float32) / 255.0
-            decoded = model.apply(variables, images,
-                                  method=type(model).predict)
-            return postprocess_detections(
-                decoded, conf_threshold=self.min_confidence,
-                iou_threshold=self.nms_iou, max_out=self.max_dets)
-
-        self._model = model
-        self._variables = variables
-        self._infer = jax.jit(infer)
+    @staticmethod
+    def _preproc(images):
+        import jax.numpy as jnp
+        return images.astype(jnp.float32) / 255.0
 
     def device_detect_fn(self):
         """Fused-engine closure with THIS family's preprocessing (the
         inherited YOLOX closure feeds raw 0-255 pixels; YOLOv8/YOLO11
-        expect /255 like the staged ``infer`` above)."""
+        expect /255 like the staged ``infer``)."""
         if self._infer is None:
             self._build()
         import jax.numpy as jnp
         from tracklab_tpu.engine.fused import make_yolox_detect_fn
+        model, variables = self._model, self._variables
+        if self.quant == "int8" and self._qvars is not None:
+            model, variables = self._int8_model, self._qvars
         return make_yolox_detect_fn(
-            self._model, self._variables,
+            model, variables,
             conf_threshold=self.min_confidence,
             iou_threshold=self.nms_iou, max_dets=self.max_dets,
             compute_dtype=jnp.float32, preproc=lambda x: x / 255.0)

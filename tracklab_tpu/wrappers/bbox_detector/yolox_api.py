@@ -62,13 +62,24 @@ class YOLOXDetector(ImageLevelModule):
         self.id = 0  # global detection row id (yolo_ultralytics_api.py:62)
 
     # ------------------------------------------------------------------
+    def _make_model(self, quant=None):
+        """The family's Flax model (subclasses override — the quant
+        modes must construct the same architecture)."""
+        from tracklab_tpu.models.yolox import YOLOX
+        return YOLOX(num_classes=self.num_classes, variant=self.variant,
+                     quant=quant)
+
+    @staticmethod
+    def _preproc(images):
+        """uint8 images -> the family's model input domain."""
+        import jax.numpy as jnp
+        return images.astype(jnp.float32)
+
     def _build(self):
         import jax
         import jax.numpy as jnp
-        from tracklab_tpu.models.yolox import YOLOX
-        from tracklab_tpu.ops.nms import postprocess_detections
 
-        model = YOLOX(num_classes=self.num_classes, variant=self.variant)
+        model = self._make_model()
         h, w = self.input_size
         if self._variables is not None:
             variables = self._variables
@@ -77,8 +88,8 @@ class YOLOXDetector(ImageLevelModule):
             variables = load_checkpoint(self.checkpoint_path, model,
                                         (1, h, w, 3))
         else:
-            log.warning("YOLOXDetector: no checkpoint_path given — "
-                        "running with random weights")
+            log.warning("%s: no checkpoint_path given — running with "
+                        "random weights", type(self).__name__)
             variables = model.init(jax.random.PRNGKey(0),
                                    jnp.zeros((1, h, w, 3)), train=False)
 
@@ -88,13 +99,11 @@ class YOLOXDetector(ImageLevelModule):
 
     def _make_infer(self, model, variables):
         import jax
-        import jax.numpy as jnp
-        from tracklab_tpu.models.yolox import YOLOX
         from tracklab_tpu.ops.nms import postprocess_detections
 
         def infer(images):
-            images = images.astype(jnp.float32)
-            decoded = model.apply(variables, images, method=YOLOX.predict)
+            decoded = model.apply(variables, self._preproc(images),
+                                  method=type(model).predict)
             return postprocess_detections(
                 decoded, conf_threshold=self.min_confidence,
                 iou_threshold=self.nms_iou, max_out=self.max_dets)
@@ -103,21 +112,17 @@ class YOLOXDetector(ImageLevelModule):
 
     def calibrate(self, images):
         """Pin the int8 activation scales from sample images (any
-        (B, H, W, 3) batch at the model input size) and switch inference
-        to the quantized model. Called automatically on the first
-        processed batch when ``quant='int8'``."""
+        uint8/float (B, H, W, 3) batch at the model input size) and
+        switch inference to the quantized model. Called automatically on
+        the first processed batch when ``quant='int8'``."""
         import jax.numpy as jnp
         from tracklab_tpu.models.quantize import calibrate_int8
-        from tracklab_tpu.models.yolox import YOLOX
         if self._infer is None:
             self._build()
-        calib = YOLOX(num_classes=self.num_classes, variant=self.variant,
-                      quant="calib")
         self._qvars = calibrate_int8(
-            calib, self._variables,
-            [jnp.asarray(images, jnp.float32)])
-        self._int8_model = YOLOX(num_classes=self.num_classes,
-                                 variant=self.variant, quant="int8")
+            self._make_model("calib"), self._variables,
+            [self._preproc(jnp.asarray(images))])
+        self._int8_model = self._make_model("int8")
         self._infer = self._make_infer(self._int8_model, self._qvars)
 
     def device_detect_fn(self):

@@ -49,12 +49,27 @@ def _objective_of(cost, row2col, limit, R, C):
     return tot
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_limit_solver(R, C, batched):
+    """One jitted executable per (shape, variant) with ``limit`` traced —
+    the production calling convention (trackers jit their scans). The
+    eager path compiled each lax primitive separately; on this
+    container's single-core host, hundreds of accumulated XLA:CPU eager
+    compiles in one process segfault the compiler
+    (backend_compile_and_load), so the test must not run eagerly."""
+    import jax
+    return jax.jit(lambda cost, limit: matching_limit(
+        cost, jnp.ones(R, bool), jnp.ones(C, bool), limit,
+        batched=batched))
+
+
 def _solve(cost, limit, batched):
     R, C = cost.shape
-    r2c = matching_limit(
-        jnp.asarray(cost, jnp.float32),
-        jnp.ones(R, bool), jnp.ones(C, bool),
-        limit, batched=batched)
+    r2c = _jitted_limit_solver(R, C, batched)(
+        jnp.asarray(cost, jnp.float32), jnp.float32(limit))
     return np.asarray(r2c)
 
 
@@ -108,14 +123,20 @@ def test_forced_matching_ties_match_scipy_objective(batched):
     optimal total on the valid block (same-cardinality guarantee)."""
     from scipy.optimize import linear_sum_assignment
 
+    @functools.lru_cache(maxsize=None)
+    def forced_solver(R, C):
+        import jax
+        return jax.jit(lambda cost: matching_forced(
+            cost, jnp.ones(R, bool), jnp.ones(C, bool),
+            batched=batched))
+
     rng = np.random.default_rng(0)
     for trial in range(100):
         R = int(rng.integers(1, 6))
         C = int(rng.integers(1, 6))
         cost = rng.integers(0, 5, (R, C)).astype(np.float64)
-        r2c = np.asarray(matching_forced(
-            jnp.asarray(cost, jnp.float32),
-            jnp.ones(R, bool), jnp.ones(C, bool), batched=batched))
+        r2c = np.asarray(forced_solver(R, C)(
+            jnp.asarray(cost, jnp.float32)))
         ri, ci = linear_sum_assignment(cost)
         want = cost[ri, ci].sum()
         matched = r2c >= 0

@@ -64,10 +64,17 @@ def train_detector(module, tracking_dataset, epochs: int = 3,
     import jax
     import jax.numpy as jnp
     import optax
-    from tracklab_tpu.models.train import detection_loss
 
     if module._infer is None:
         module._build()
+    # family-specific loss: YOLOX SimOTA by default; a module exposing
+    # detection_loss_fn (same signature) overrides — YOLOv8/YOLO11 use
+    # the TAL + CIoU + DFL loss (models/yolov8_train.py)
+    detection_loss = getattr(module, "detection_loss_fn", None)
+    if detection_loss is None:
+        from tracklab_tpu.models.train import detection_loss
+    preproc = getattr(module, "_preproc",
+                      lambda imgs: imgs.astype(jnp.float32))
     model = module._model
     variables = module._variables
     h, w = module.input_size
@@ -97,7 +104,7 @@ def train_detector(module, tracking_dataset, epochs: int = 3,
         def loss_fn(p, bs):
             outs, mut = model.apply(
                 {"params": p, "batch_stats": bs},
-                imgs.astype(jnp.float32), train=True,
+                preproc(imgs), train=True,
                 mutable=["batch_stats"])
             return detection_loss(outs, gb, gv, (h, w),
                                   model.num_classes), mut["batch_stats"]

@@ -51,7 +51,22 @@ class YOLOv8Detector(YOLOXDetector):
             iou_threshold=self.nms_iou, max_dets=self.max_dets,
             compute_dtype=jnp.float32, preproc=lambda x: x / 255.0)
 
-    def train(self, *args, **kwargs):
-        raise NotImplementedError(
-            "YOLOv8 fine-tuning needs a DFL-aware loss (planned); "
-            "train the YOLOX detector or convert YOLOv8 weights")
+    def detection_loss_fn(self, outputs, gt_boxes, gt_valid, input_hw,
+                          num_classes):
+        """TAL + CIoU + DFL loss (models/yolov8_train.py) — the DFL-head
+        counterpart of the YOLOX SimOTA loss, same engine signature."""
+        from tracklab_tpu.models.yolov8_train import v8_detection_loss
+        return v8_detection_loss(outputs, gt_boxes, gt_valid, input_hw,
+                                 num_classes,
+                                 reg_max=self._model.reg_max)
+
+    def train(self, tracking_dataset, pipeline=None, evaluator=None,
+              dataset_cfg=None, **kwargs):
+        """Fine-tune on the dataset's GT boxes (module.train() hook).
+        The reference trains this family out-of-band via the external
+        ultralytics engine; here it's the same Flax loop as YOLOX with
+        the v8 loss."""
+        from tracklab_tpu.models.detector_train_engine import (
+            train_detector,
+        )
+        return train_detector(self, tracking_dataset, **kwargs)

@@ -279,6 +279,100 @@ def main():
         print(json.dumps({"fused_variant": "int8_coherent_20obj",
                           "fps": round(F / dt_q, 1)}), file=sys.stderr)
 
+    # ---- optional: fused detect->pose->track (the PoseTrack pipeline
+    # shape: YOLOX + top-down CSP pose on 32 crop slots + OC-SORT as ONE
+    # program). Run with TRACKLAB_TPU_BENCH_POSE=1.
+    if os.environ.get("TRACKLAB_TPU_BENCH_POSE"):
+        from tracklab_tpu.engine.fused import (fused_detect_pose_track,
+                                               make_topdown_pose_fn)
+        from tracklab_tpu.models.pose import TopDownPose
+
+        P_CHUNK = int(os.environ.get("TRACKLAB_TPU_POSE_CHUNK", "64"))
+        P_DETS = 32
+        pmodel = TopDownPose(num_keypoints=17, variant="s",
+                             dtype=jnp.bfloat16)
+        pvars = pmodel.init(jax.random.PRNGKey(2),
+                            jnp.zeros((1, 256, 192, 3)), train=False)
+        pose_fn = make_topdown_pose_fn(pmodel, pvars,
+                                       crop_size=(256, 192),
+                                       compute_dtype=jnp.bfloat16)
+        detect_p = make_yolox_detect_fn(
+            model, variables, conf_threshold=conf_cal,
+            iou_threshold=0.65, max_dets=P_DETS,
+            compute_dtype=jnp.bfloat16)
+        pcfg = OCSortConfig(max_tracks=64, max_dets=P_DETS, min_hits=1)
+        F_P = 8 * P_CHUNK
+        fused_p = jax.jit(lambda f: fused_detect_pose_track(
+            detect_p, pose_fn, partial(ocsort_step, pcfg),
+            ocsort_init(pcfg), f, chunk=P_CHUNK, min_confidence=0.4,
+            return_detections=False))
+        vid_p = video[:F_P]
+        _, _, kp_p, out_p = fused_p(vid_p)
+        np.asarray(out_p.valid).sum()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _, _, kp_p, out_p = fused_p(vid_p)
+            np.asarray(out_p.valid).sum()
+        dt_p = (time.perf_counter() - t0) / reps
+        print(json.dumps({"fused_variant": "detect_pose_track",
+                          "fps": round(F_P / dt_p, 1),
+                          "chunk": P_CHUNK}), file=sys.stderr)
+
+    # ---- optional: the FULL GSR prefix fused — detect -> top-down pose
+    # -> keypoint-PROMPTED KPR (ViT-B 384x128, cck6 prompts rasterized on
+    # device) -> OKS BPBReID-StrongSORT, ONE program. The reference's
+    # flagship game-state pipeline runs these as four torch modules
+    # through pandas. Run with TRACKLAB_TPU_BENCH_GSR=1.
+    if os.environ.get("TRACKLAB_TPU_BENCH_GSR"):
+        from tracklab_tpu.engine.fused import (fused_detect_parts_track,
+                                               make_kpr_embed_fn,
+                                               make_topdown_pose_fn)
+        from tracklab_tpu.models.kpr import KPR
+        from tracklab_tpu.models.pose import TopDownPose
+        from tracklab_tpu.trackers.bpbreid_strongsort import (
+            BPBReIDStrongSortConfig, bpbreid_init, bpbreid_step)
+
+        G_CHUNK = int(os.environ.get("TRACKLAB_TPU_GSR_CHUNK", "16"))
+        G_DETS = 32
+        kpr = KPR(dtype=jnp.bfloat16)       # ViT-B/16 384x128, 5 parts
+        kvars = kpr.init(jax.random.PRNGKey(3),
+                         jnp.zeros((1, 384, 128, 3)),
+                         jnp.zeros((1, 384, 128, 7)), train=False)
+        embed_g = make_kpr_embed_fn(kpr, kvars, crop_size=(384, 128),
+                                    compute_dtype=jnp.bfloat16)
+        pmodel_g = TopDownPose(num_keypoints=17, variant="s",
+                               dtype=jnp.bfloat16)
+        pvars_g = pmodel_g.init(jax.random.PRNGKey(4),
+                                jnp.zeros((1, 256, 192, 3)),
+                                train=False)
+        pose_g = make_topdown_pose_fn(pmodel_g, pvars_g,
+                                      crop_size=(256, 192),
+                                      compute_dtype=jnp.bfloat16)
+        detect_g = make_yolox_detect_fn(
+            model, variables, conf_threshold=conf_cal,
+            iou_threshold=0.65, max_dets=G_DETS,
+            compute_dtype=jnp.bfloat16)
+        gcfg = BPBReIDStrongSortConfig(
+            motion_criterium="oks", n_parts=6, embed_dim=512,
+            n_init=1, max_tracks=64, max_dets=G_DETS)
+        F_G = 8 * G_CHUNK
+        fused_g = jax.jit(lambda f: fused_detect_parts_track(
+            detect_g, embed_g, partial(bpbreid_step, gcfg),
+            bpbreid_init(gcfg), f, chunk=G_CHUNK, min_confidence=0.4,
+            n_parts=6, embed_dim=512, n_keypoints=17, pose_fn=pose_g,
+            return_detections=False))
+        vid_g = video[:F_G]
+        _, _, _, _, out_g = fused_g(vid_g)
+        np.asarray(out_g.valid).sum()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _, _, _, _, out_g = fused_g(vid_g)
+            np.asarray(out_g.valid).sum()
+        dt_g = (time.perf_counter() - t0) / reps
+        print(json.dumps({"fused_variant": "detect_pose_kpr_bpbreid",
+                          "fps": round(F_G / dt_g, 1),
+                          "chunk": G_CHUNK}), file=sys.stderr)
+
     print(json.dumps({
         "metric": "e2e_detect_track_fps_per_chip",
         "value": round(e2e_fps, 1),

@@ -119,3 +119,25 @@ def test_pitch_line_detector_to_calibration(tmp_path):
         [obs], TVCalibConfig(steps=400, lr=0.05,
                              image_width=W, image_height=H))
     assert err[0] < 0.02, f"reprojection err {err[0]}"
+
+
+def test_pitch_line_detector_deeplabv3_variant():
+    """variant="deeplabv3" runs the reference's exact architecture
+    (torchvision deeplabv3_resnet101, checkpoint-convertible — see
+    tests/test_deeplabv3_parity.py) and re-indexes its 29-class argmax
+    map onto the calibration segment set via the LUT gather."""
+    from tracklab_tpu.utils.collate import default_collate
+    from tracklab_tpu.wrappers.calibration_api import PitchLineDetector
+
+    det = PitchLineDetector(variant="deeplabv3", input_size=(96, 160),
+                            points_per_line=8)
+    img = np.random.default_rng(0).integers(
+        0, 255, (270, 480, 3)).astype(np.uint8)
+    batch = default_collate([det.preprocess(img, None, None)])
+    metas = pd.DataFrame(index=[101])
+    _, rows = det.process(batch, None, metas)
+    lines = rows[0]["pitch_lines"]
+    assert isinstance(lines, dict)
+    for name, pts in lines.items():
+        assert name in det.segment_names
+        assert pts.ndim == 2 and pts.shape[1] == 2

@@ -90,6 +90,7 @@ def _torch_converter_for(model):
         "RTDetrHF": convert_rtdetr_hf_torch,
         "OSNet": convert_osnet_torch,
         "KPR": convert_kpr_torch,
+        "DeepLabV3": convert_deeplabv3_torch,
         "OSNetAIN": convert_reid_backbone_torch,
         "ReidResNet": convert_reid_backbone_torch,
         "ReidResNetIBN": convert_reid_backbone_torch,
@@ -488,6 +489,25 @@ def convert_reid_backbone_torch(sd_or_path, model, input_shape,
                                             # (eval returns pre-conv5
                                             # part features, pcb.py:243)
                                             "conv5."))
+
+
+def convert_deeplabv3_torch(sd_or_path, model, input_shape,
+                            allow_pickle=False):
+    """Convert a torchvision DeepLabV3-ResNet101 checkpoint (the
+    reference's pitch-line segmentation net, saved under ckpt["model"]
+    by the SoccerNet calibration training — reference
+    plugins/calibration/tvcalib/inference.py:83-91) into the Flax
+    DeepLabV3 (models/deeplabv3.py). Module names mirror the torch keys,
+    so the generic name map applies; the aux classifier is converted
+    too (the checkpoint is saved with aux_loss=True)."""
+    sd = (sd_or_path if isinstance(sd_or_path, dict)
+          else _torch_state_dict(sd_or_path, allow_pickle=allow_pickle))
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    expected_unused = () if getattr(model, "aux", True) \
+        else ("aux_classifier.",)
+    return convert_by_name(sd, model, input_shape, _generic_torch_key,
+                           expected_unused=expected_unused)
 
 
 def _rtdetr_hf_torch_key(path):

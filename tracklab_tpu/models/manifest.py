@@ -76,6 +76,11 @@ def _kpr():
     return KPR(), (1, 384, 128, 3)
 
 
+def _deeplabv3_pitch():
+    from tracklab_tpu.models.deeplabv3 import DeepLabV3
+    return DeepLabV3(), (1, 256, 456, 3)
+
+
 def _reid(name):
     def build():
         from tracklab_tpu.wrappers.reid.osnet_api import (
@@ -110,6 +115,10 @@ FAMILIES = {
     "hacnn_reid": (_reid("hacnn"), r"hacnn"),
     "pcb_p6_reid": (_reid("pcb_p6"), r"pcb_p6"),
     "osnet_ain_x1_0": (_reid("osnet_ain_x1_0"), r"osnet_ain_x1_0"),
+    # the reference's TVCalib pitch segmentation net (inference.py:83-91;
+    # the SoccerNet-trained checkpoint ships as e.g. train_59.pt)
+    "deeplabv3_pitch": (_deeplabv3_pitch,
+                        r"deeplab|pitch.?seg|train_59"),
 }
 
 

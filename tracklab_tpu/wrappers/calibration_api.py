@@ -62,9 +62,30 @@ class PitchLineDetector(ImageLevelModule):
         from tracklab_tpu.models.segmentation import (
             PitchSegNet, extract_segment_points,
         )
-        model = PitchSegNet(num_classes=self.num_classes,
-                            variant=self.variant)
         h, w = self.input_size
+        if self.variant == "deeplabv3":
+            # the reference's exact architecture (torchvision
+            # deeplabv3_resnet101, inference.py:83-94) — use with the
+            # converted SoccerNet pitch-seg checkpoint; its 29-class
+            # argmax map re-indexes onto our segments via a LUT gather
+            from tracklab_tpu.models.deeplabv3 import (
+                DeepLabV3, segment_class_lut,
+            )
+            model = DeepLabV3()
+            lut = segment_class_lut(self.segment_names)
+            mean = jnp.asarray([0.485, 0.456, 0.406]) * 255.0
+            std = jnp.asarray([0.229, 0.224, 0.225]) * 255.0
+
+            def class_map(variables, images):
+                x = (images - mean) / std
+                return lut[model.predict(variables, x)]
+        else:
+            model = PitchSegNet(num_classes=self.num_classes,
+                                variant=self.variant)
+
+            def class_map(variables, images):
+                return model.apply(variables, images,
+                                   method=PitchSegNet.predict)
         if self._variables is not None:
             variables = self._variables
         elif self.checkpoint_path:
@@ -77,8 +98,7 @@ class PitchLineDetector(ImageLevelModule):
                                    jnp.zeros((1, h, w, 3)), train=False)
 
         def infer(images):
-            cmap = model.apply(variables, images,
-                               method=PitchSegNet.predict)
+            cmap = class_map(variables, images)
             return jax.vmap(lambda m: extract_segment_points(
                 m, self.num_classes, self.points_per_line))(cmap)
 

@@ -134,3 +134,22 @@ class TestPitchProjection:
         bp = out.loc[0, "bbox_pitch"]
         assert abs(bp["x_bottom_middle"] - 5.0) < 0.2
         assert abs(bp["y_bottom_middle"] - (-3.0)) < 0.2
+
+
+def test_download_hook_gated_import(tmp_path):
+    """The SDK download hook (reference soccernet_game_state.py:392-403)
+    is present and import-gated: without the SoccerNet SDK it raises a
+    clear dependency error, and the dataset ctor only invokes it when
+    download=True finds no split directories."""
+    import pytest as _pytest
+    from tracklab_tpu.wrappers.dataset.soccernet import (
+        SoccerNetGameState, download_dataset,
+    )
+    with _pytest.raises(ImportError, match="SoccerNet"):
+        download_dataset(tmp_path)
+    with _pytest.raises(ImportError, match="SoccerNet"):
+        SoccerNetGameState(str(tmp_path / "nodata"), download=True)
+    # with data present, download=True must NOT attempt the SDK
+    make_gs_video(tmp_path)
+    ds = SoccerNetGameState(str(tmp_path), download=True)
+    assert "valid" in ds.sets

@@ -8,7 +8,6 @@ and hand results to the dataset's ``process_trackeval_results`` hook.
 from __future__ import annotations
 
 import logging
-from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -18,6 +17,7 @@ from tracklab_tpu.eval.metrics import (
     make_sequence_data, evaluate_sequence, combine_sequences,
 )
 from tracklab_tpu.pipeline.levels import Evaluator
+from tracklab_tpu.utils.parallel import parallel_map
 
 log = logging.getLogger(__name__)
 
@@ -44,15 +44,25 @@ def _frames_dict(dets: pd.DataFrame, images: pd.DataFrame, bbox_col: str,
     return out
 
 
+def _eval_sequence_worker(frames):
+    """Module-level worker (process-pool picklable): the numpy/LSA-heavy
+    per-sequence metric evaluation — the GIL-bound part the reference
+    runs in a multiprocessing Pool (ref eval.py:21)."""
+    gt_frames, pred_frames = frames
+    return evaluate_sequence(make_sequence_data(gt_frames, pred_frames))
+
+
 class TrackEvalEvaluator(Evaluator):
     """cfg keys: eval_set, save_folder (optional), bbox_column_for_eval,
-    num_parallel (threads), min_visibility (GT filter),
-    distractor_classes."""
+    num_parallel + parallel_backend (thread|process|serial — process
+    matches the reference's Pool scaling, ref eval.py:21),
+    min_visibility (GT filter), distractor_classes."""
 
     def __init__(self, cfg=None, eval_set: str = "val",
                  bbox_column_for_eval: str = "bbox_ltwh",
                  save_folder: str | None = None,
                  num_parallel: int = 4,
+                 parallel_backend: str = "thread",
                  pred_track_column: str = "track_id",
                  show_progressbar: bool = False, **kwargs):
         super().__init__(cfg)
@@ -60,6 +70,7 @@ class TrackEvalEvaluator(Evaluator):
         self.bbox_col = bbox_column_for_eval
         self.save_folder = save_folder
         self.num_parallel = num_parallel
+        self.parallel_backend = parallel_backend
         self.pred_track_column = pred_track_column
 
     def run(self, tracker_state):
@@ -93,7 +104,8 @@ class TrackEvalEvaluator(Evaluator):
                 export, images, videos,
                 str(Path(self.save_folder) / "pred"), self.bbox_col)
 
-        def eval_video(video_id):
+        # pandas slicing in the parent (cheap), metric math in workers
+        def frames_for(video_id):
             vimgs = images[images.video_id == video_id]
             vgt = gt[gt.video_id == video_id] if len(gt) else gt
             vpred = pred[pred.video_id == video_id]
@@ -103,16 +115,16 @@ class TrackEvalEvaluator(Evaluator):
                       else self.bbox_col)
             pred_frames = _frames_dict(vpred, vimgs, pr_col,
                                        self.pred_track_column)
-            data = make_sequence_data(gt_frames, pred_frames)
-            return evaluate_sequence(data)
+            return gt_frames, pred_frames
 
+        vids = list(videos.index)
+        results = parallel_map(_eval_sequence_worker,
+                               [frames_for(v) for v in vids],
+                               self.num_parallel, self.parallel_backend)
         per_seq = {}
-        with ThreadPoolExecutor(max(self.num_parallel, 1)) as pool:
-            futures = {vid: pool.submit(eval_video, vid)
-                       for vid in videos.index}
-            for vid, fut in futures.items():
-                name = videos.loc[vid, "name"] if "name" in videos else vid
-                per_seq[str(name)] = fut.result()
+        for vid, res in zip(vids, results):
+            name = videos.loc[vid, "name"] if "name" in videos else vid
+            per_seq[str(name)] = res
 
         combined = combine_sequences(per_seq)
         log.info("Evaluation results (COMBINED over %d sequences):",

@@ -7,7 +7,6 @@ results renamed per soccernet_game_state.py:42-51).
 from __future__ import annotations
 
 import logging
-from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -15,6 +14,7 @@ import pandas as pd
 from tracklab_tpu.eval.gs_metrics import make_gs_sequence_data
 from tracklab_tpu.eval.metrics import combine_sequences, evaluate_sequence
 from tracklab_tpu.pipeline.levels import Evaluator
+from tracklab_tpu.utils.parallel import parallel_map
 
 log = logging.getLogger(__name__)
 
@@ -43,11 +43,20 @@ def _gs_frames(dets: pd.DataFrame, images: pd.DataFrame, id_col: str):
     return out
 
 
+def _gs_sequence_worker(args):
+    """Module-level worker (process-pool picklable)."""
+    gtf, prf, dist_tol, use_roles, use_teams, use_jerseys = args
+    data = make_gs_sequence_data(gtf, prf, dist_tol, use_roles,
+                                 use_teams, use_jerseys)
+    return evaluate_sequence(data)
+
+
 class GameStateEvaluator(Evaluator):
     def __init__(self, cfg=None, eval_set: str = "valid",
                  dist_tol: float = 5.0, use_roles: bool = True,
                  use_teams: bool = True, use_jerseys: bool = True,
                  num_parallel: int = 4,
+                 parallel_backend: str = "thread",
                  pred_track_column: str = "track_id", **kwargs):
         super().__init__(cfg)
         self.eval_set = eval_set
@@ -56,6 +65,7 @@ class GameStateEvaluator(Evaluator):
         self.use_teams = use_teams
         self.use_jerseys = use_jerseys
         self.num_parallel = num_parallel
+        self.parallel_backend = parallel_backend
         self.pred_track_column = pred_track_column
 
     def run(self, tracker_state):
@@ -67,25 +77,23 @@ class GameStateEvaluator(Evaluator):
             log.warning("No predictions to evaluate")
             return {}
 
-        def eval_video(video_id):
+        def frames_for(video_id):
             vimgs = images[images.video_id == video_id]
             gtf = _gs_frames(gt[gt.video_id == video_id]
                              if len(gt) else gt, vimgs, "track_id")
             prf = _gs_frames(pred[pred.video_id == video_id], vimgs,
                              self.pred_track_column)
-            data = make_gs_sequence_data(
-                gtf, prf, self.dist_tol, self.use_roles,
-                self.use_teams, self.use_jerseys)
-            return evaluate_sequence(data)
+            return (gtf, prf, self.dist_tol, self.use_roles,
+                    self.use_teams, self.use_jerseys)
 
+        vids = list(videos.index)
+        results = parallel_map(_gs_sequence_worker,
+                               [frames_for(v) for v in vids],
+                               self.num_parallel, self.parallel_backend)
         per_seq = {}
-        with ThreadPoolExecutor(max(self.num_parallel, 1)) as pool:
-            futures = {vid: pool.submit(eval_video, vid)
-                       for vid in videos.index}
-            for vid, fut in futures.items():
-                name = videos.loc[vid, "name"] if "name" in videos \
-                    else vid
-                per_seq[str(name)] = fut.result()
+        for vid, res in zip(vids, results):
+            name = videos.loc[vid, "name"] if "name" in videos else vid
+            per_seq[str(name)] = res
         combined = combine_sequences(per_seq)
         combined["GS-HOTA"] = combined["HOTA"]
         combined["GS-DetA"] = combined["DetA"]

@@ -10,7 +10,6 @@ artifact kind.
 from __future__ import annotations
 
 import logging
-from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -18,10 +17,37 @@ import pandas as pd
 
 from tracklab_tpu.callbacks.callback import Callback
 from tracklab_tpu.utils.cv2 import cv2_load_image
+from tracklab_tpu.utils.parallel import parallel_map
 
 log = logging.getLogger(__name__)
 
 __all__ = ["VisualizationEngine"]
+
+
+def _render_chunk(payload):
+    """Module-level worker (process-pool picklable): render a chunk of
+    frames with stateless visualizers — the reference's mp-Pool drawing
+    (ref visualization_engine.py:121-129). Pickles the visualizer list +
+    per-frame detection slices once per chunk, returns drawn frames."""
+    visualizers, items = payload
+    out = []
+    for file_path, frame_pred, frame_gt, metadata in items:
+        try:
+            image = cv2_load_image(file_path)
+        except Exception as e:  # missing frames shouldn't kill runs
+            log.warning("visualization: cannot load %s (%s)",
+                        file_path, e)
+            out.append(None)
+            continue
+        image = np.ascontiguousarray(image)
+        for v in visualizers:
+            try:
+                v.draw_frame(image, frame_pred, frame_gt, metadata)
+            except Exception as e:
+                log.warning("visualizer %s failed on frame %s: %s",
+                            type(v).__name__, metadata.get("frame"), e)
+        out.append(image)
+    return out
 
 
 class VisualizationEngine(Callback):
@@ -30,6 +56,7 @@ class VisualizationEngine(Callback):
     def __init__(self, visualizers=None, save_videos: bool = True,
                  save_images: bool = False, save_folder: str = "visuals",
                  fps: int = 30, num_workers: int = 4,
+                 parallel_backend: str = "thread",
                  process_n_videos: int = -1, video_fmt: str = "mp4v",
                  **kwargs):
         if visualizers is None:
@@ -45,6 +72,7 @@ class VisualizationEngine(Callback):
         self.save_folder = Path(save_folder)
         self.fps = fps
         self.num_workers = num_workers
+        self.parallel_backend = parallel_backend
         self.process_n_videos = process_n_videos
         self.video_fmt = video_fmt
         self._videos_done = 0
@@ -95,9 +123,31 @@ class VisualizationEngine(Callback):
         stateful = any(hasattr(v, "reset") for v in self.visualizers)
         if stateful or self.num_workers <= 1:
             frames = [render(it) for it in items]
+        elif self.parallel_backend == "process":
+            # chunked module-level worker: detections pre-sliced so each
+            # worker pickles only its own frames' rows
+            def pack(args):
+                image_id, metadata = args
+                frame_pred = (
+                    detections[detections["image_id"] == image_id]
+                    if detections is not None and len(detections)
+                    else pd.DataFrame())
+                frame_gt = (video_gt[video_gt["image_id"] == image_id]
+                            if video_gt is not None else None)
+                return (metadata["file_path"], frame_pred, frame_gt,
+                        dict(metadata))
+
+            n = max(1, (len(items) + self.num_workers - 1)
+                    // self.num_workers)
+            chunks = [(self.visualizers,
+                       [pack(it) for it in items[i:i + n]])
+                      for i in range(0, len(items), n)]
+            rendered = parallel_map(_render_chunk, chunks,
+                                    self.num_workers, "process")
+            frames = [f for chunk in rendered for f in chunk]
         else:
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                frames = list(pool.map(render, items))
+            frames = parallel_map(render, items, self.num_workers,
+                                  "thread")
 
         frames = [f for f in frames if f is not None]
         if not frames:

@@ -101,18 +101,51 @@ def _load_gs_split(split_dir: Path, counters: dict, nvid: int,
     return TrackingSet(video_df, image_df, det_df)
 
 
+def download_dataset(dataset_path,
+                     splits=("train", "valid", "test", "challenge"),
+                     task: str = "gamestate-2025"):
+    """Fetch + unzip the SoccerNet game-state dataset via the SoccerNet
+    SDK (reference soccernet_game_state.py:392-403). Gated import like
+    the yt-dlp hook: the SDK is not baked into this container, so absence
+    raises a clear error naming the dependency instead of failing at
+    call depth."""
+    import zipfile
+    try:
+        from SoccerNet.Downloader import SoccerNetDownloader
+    except ImportError as e:
+        raise ImportError(
+            "SoccerNet dataset download requires the 'SoccerNet' SDK "
+            "(pip install SoccerNet); alternatively download manually "
+            "per https://github.com/SoccerNet/sn-gamestate") from e
+    dataset_path = Path(dataset_path)
+    downloader = SoccerNetDownloader(LocalDirectory=str(dataset_path))
+    downloader.downloadDataTask(task=task, split=list(splits))
+    for split in splits:
+        zpath = dataset_path / task / f"{split}.zip"
+        if not zpath.exists():
+            log.warning("downloaded archive missing: %s", zpath)
+            continue
+        log.info("Unzipping %s split...", split)
+        with zipfile.ZipFile(zpath, "r") as zf:
+            zf.extractall(dataset_path / split)
+
+
 class SoccerNetGameState(TrackingDataset):
     name = "SoccerNetGS"
     nickname = "sngs"
 
     def __init__(self, dataset_path: str, nvid: int = -1,
                  nframes: int = -1, vids_dict: dict | None = None,
-                 **kwargs):
+                 download: bool = False, **kwargs):
         dataset_path = Path(dataset_path)
         vids_dict = vids_dict or {}
+        splits = ("train", "valid", "test", "challenge")
+        if download and not any((dataset_path / s).exists()
+                                for s in splits):
+            download_dataset(dataset_path, splits)
         counters = {"video": 0, "image": 0, "detection": 0}
         sets = {}
-        for split in ("train", "valid", "test", "challenge"):
+        for split in splits:
             sdir = dataset_path / split
             if sdir.exists():
                 sets[split] = _load_gs_split(

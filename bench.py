@@ -5,23 +5,96 @@ End-to-end tracked FPS per chip, MEASURED on the fused device program
 Detections -> OC-SORT scan, one lax.scan over frame chunks carrying
 tracker state — a single XLA dispatch per video. This is the BASELINE.md
 primary metric ("end-to-end tracked FPS per chip", target >= 300 on
-v5e). Stage micro-rates (detector-only, tracker-only) go to stderr.
+v5e). Stage micro-rates and the other fused pipeline shapes go to
+stderr as JSON lines.
+
+Timeout robustness (VERDICT r3 item 1):
+  * The persistent compile cache lives in the REPO (cache/jax_cache) —
+    it survives the /tmp wipes that cost round 3 its number.
+  * The stdout headline JSON is printed with flush=True IMMEDIATELY
+    after the coherent fused measurement; every other section runs
+    after it.
+  * A watchdog thread enforces a wall-clock budget
+    (TRACKLAB_TPU_BENCH_BUDGET_S, default 1260 s): at the deadline it
+    prints the best available number (the stage-derived fallback if the
+    fused program hasn't finished compiling) and exits 0, so the driver
+    always parses a line.
 
 Prints exactly ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "mode": ...}
 """
 from __future__ import annotations
 
 import json
 import os
 import sys
+import threading
 import time
 
-os.makedirs("/tmp/jax_cache", exist_ok=True)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE_DIR = os.path.join(_REPO, "cache", "jax_cache")
+os.makedirs(CACHE_DIR, exist_ok=True)
 
 import numpy as np
 
 TARGET_FPS = 300.0  # BASELINE.json north-star: >=300 FPS/chip on v5e
+BUDGET_S = float(os.environ.get("TRACKLAB_TPU_BENCH_BUDGET_S", "1260"))
+_T0 = time.monotonic()
+
+_PRINT_LOCK = threading.Lock()
+_STATE: dict = {"printed": False, "fallback": None}
+
+
+def elapsed() -> float:
+    return time.monotonic() - _T0
+
+
+def remaining() -> float:
+    return BUDGET_S - elapsed()
+
+
+def note(**kv) -> None:
+    """Progress/extra metrics: one JSON line on stderr, flushed."""
+    kv.setdefault("t", round(elapsed(), 1))
+    print(json.dumps(kv), file=sys.stderr, flush=True)
+
+
+def emit_headline(payload: dict) -> bool:
+    """Print THE stdout JSON line (at most once per process)."""
+    with _PRINT_LOCK:
+        if _STATE["printed"]:
+            return False
+        _STATE["printed"] = True
+    print(json.dumps(payload), flush=True)
+    return True
+
+
+def set_fallback(fps: float, mode: str) -> None:
+    _STATE["fallback"] = {
+        "metric": "e2e_detect_track_fps_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+        "mode": mode,
+    }
+
+
+def _watchdog() -> None:
+    while remaining() > 0:
+        time.sleep(min(5.0, max(0.1, remaining())))
+    payload = _STATE["fallback"] or {
+        "metric": "e2e_detect_track_fps_per_chip",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+        "mode": "timeout_no_number",
+    }
+    fresh = emit_headline(payload)
+    note(watchdog="budget_expired", budget_s=BUDGET_S,
+         printed_fallback=fresh)
+    # hard-exit: a remote XLA compile cannot be interrupted from Python,
+    # and an rc!=0 / driver-side kill may discard stdout entirely.
+    os._exit(0)
 
 
 def tracker_stream(n_frames, n_obj, d_cap, seed=0):
@@ -59,8 +132,10 @@ def tracker_stream(n_frames, n_obj, d_cap, seed=0):
 def main():
     from functools import partial
 
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from tracklab_tpu.engine.fused import (fused_detect_track,
@@ -70,22 +145,36 @@ def main():
     from tracklab_tpu.trackers.ocsort import (OCSortConfig, ocsort_init,
                                               ocsort_scan, ocsort_step)
 
-    # ---- detector stage: YOLOX-s bf16, batch of frames, pipelined
-    # dispatch (the production streaming shape: the host queues the next
-    # batch while the device runs the current one) ----
-    BATCH = 384  # r2 sweep with bf16 activations + uint8 staging:
-    # bs=256 2165, bs=320 2182, bs=384 2371 img/s (still HBM-bound;
-    # bs=512 compile hung historically, 384 compiles in ~1 min on a
-    # warm lower-layer cache). NMS postprocess is a net WIN: it shrinks
-    # the program output from the 51 MB decoded tensor to fixed
-    # (B, 32) detections (materializing raw decode measured SLOWER:
-    # 1382 img/s)
+    reps = 5
+    note(phase="start", budget_s=BUDGET_S,
+         devices=[str(d) for d in jax.devices()])
+
+    # ---- tracker stage (micro): OC-SORT scan over a full video.
+    # Cheapest compile first — one half of the derived fallback number.
+    n_frames = 512
+    cfg = OCSortConfig(max_tracks=64, max_dets=32, min_hits=1)
+    dets = tracker_stream(n_frames, 20, cfg.max_dets)
+    scan = jax.jit(lambda d: ocsort_scan(cfg, d))
+    # NOTE: timings force a host transfer per rep (np.asarray) because
+    # block_until_ready is unreliable through remote-device tunnels.
+    _, o = scan(dets)
+    np.asarray(o.valid).sum()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _, o = scan(dets)
+        np.asarray(o.valid).sum()
+    trk_fps = n_frames / ((time.perf_counter() - t0) / reps)
+    note(phase="tracker_scan", fps=round(trk_fps, 1))
+
+    # ---- detector stage: YOLOX-s bf16, batch of frames ----
+    BATCH = 384  # r2 sweep: bs=256 2165, bs=320 2182, bs=384 2371 img/s
+    # (HBM-bound; r3 fused stem lifted it further). NMS postprocess is a
+    # net WIN: it shrinks the program output from the 51 MB decoded
+    # tensor to fixed (B, 32) detections.
     H = W = 640
     model = YOLOX(num_classes=1, variant="s", dtype=jnp.bfloat16)
     # stage frames as uint8 (the camera-native dtype): the detector is
-    # HBM-bandwidth bound, and reading the input batch at 0.3 GB
-    # instead of 1.2 GB (f32) trims the dominant term; the cast to
-    # bf16 happens on device inside the jitted program
+    # HBM-bandwidth bound; the cast to bf16 happens on device
     images = jnp.asarray(
         np.random.default_rng(0).integers(0, 255, (BATCH, H, W, 3)),
         jnp.uint8)
@@ -98,46 +187,31 @@ def main():
         return postprocess_detections(decoded, conf_threshold=0.3,
                                       max_out=32)
 
-    # NOTE: timings force a host transfer per rep (np.asarray) because
-    # block_until_ready is unreliable through remote-device tunnels.
     det_fn = jax.jit(detect)
     np.asarray(det_fn(images)["valid"]).sum()
-    reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         np.asarray(det_fn(images)["valid"]).sum()
     det_dt = (time.perf_counter() - t0) / reps
     det_fps = BATCH / det_dt
-
-    # ---- tracker stage (micro): OC-SORT scan over a full video ----
-    n_frames = 512
-    cfg = OCSortConfig(max_tracks=64, max_dets=32, min_hits=1)
-    dets = tracker_stream(n_frames, 20, cfg.max_dets)
-    scan = jax.jit(lambda d: ocsort_scan(cfg, d))
-    _, o = scan(dets)
-    np.asarray(o.valid).sum()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        _, o = scan(dets)
-        np.asarray(o.valid).sum()
-    trk_dt = (time.perf_counter() - t0) / reps
-    trk_fps = n_frames / trk_dt
+    # stage-derived fallback: serial detector+tracker harmonic (the r1/r2
+    # headline methodology) — replaced by the fused measurement below.
+    set_fallback(1.0 / (1.0 / det_fps + 1.0 / trk_fps),
+                 "fallback_derived_stages")
+    note(phase="detector", fps=round(det_fps, 1), batch=BATCH)
 
     # ---- THE e2e metric: the fused single-program pipeline ----
     # frames -> detector -> NMS -> tracker state carried across chunks,
-    # one dispatch for the whole video (VERDICT r2 item 1: measured, not
-    # a derived harmonic of the two stage rates).
+    # one dispatch for the whole video.
     #
     # Workload realism: the video is quasi-static (base frame + small
     # temporal noise), so the random-weight detector's NMS output is
     # frame-COHERENT — detections persist and match across frames like
-    # real MOT objects (a 30 fps pedestrian moves ~3% of its box per
-    # frame). An i.i.d.-random video instead yields 32 UNMATCHABLE new
-    # boxes every frame — max-birth/max-association saturation, the
-    # adversarial worst case, reported separately below. The NMS
-    # threshold is auto-calibrated so ~20 detections/frame survive:
-    # the same 20-object load as the tracker micro-bench and the r2
-    # derived headline (BASELINE.md), making the numbers comparable.
+    # real MOT objects. An i.i.d.-random video instead yields 32
+    # unmatchable new boxes every frame — the adversarial worst case,
+    # reported separately AFTER the headline. The NMS threshold is
+    # auto-calibrated so ~20 detections/frame survive: the same
+    # 20-object load as the tracker micro-bench.
     n_chunks = 4
     F = n_chunks * BATCH  # 1536 frames ~ one MOT17 video, 1.8 GB uint8
     rng1 = np.random.default_rng(1)
@@ -152,6 +226,7 @@ def main():
     s = np.asarray(probe[0, :, 4] * probe[0, :, 5:].max(-1))
     top = np.sort(s)[::-1]
     conf_cal = float(round((top[19] + top[20]) / 2, 6))
+    note(phase="calibrated", conf=conf_cal)
 
     def run_fused(video, conf, tag):
         detect_fn = make_yolox_detect_fn(
@@ -167,36 +242,71 @@ def main():
             _, _, out = fused(video)
             np.asarray(out.valid).sum()
         dt = (time.perf_counter() - t0) / reps
-        print(json.dumps({"fused_variant": tag,
-                          "fps": round(F / dt, 1),
-                          "tracks_per_frame": round(per_frame, 1)}),
-              file=sys.stderr)
+        note(fused_variant=tag, fps=round(F / dt, 1),
+             tracks_per_frame=round(per_frame, 1))
         return F / dt
 
     e2e_fps = run_fused(video, conf_cal, "coherent_20obj")
-    # adversarial saturation: i.i.d. frames -> 32 incoherent dets/frame,
-    # max births + full-capacity association every frame
-    video_iid = jnp.asarray(
-        np.random.default_rng(2).integers(0, 255, (F, H, W, 3)),
-        jnp.uint8)
-    sat_fps = run_fused(video_iid, 0.3, "saturated_worst_case")
 
-    # ---- optional: fused detect->ReID->track (BASELINE config 2:
-    # YOLOX + OSNet + StrongSORT as ONE device program). Gated behind an
-    # env flag so the driver's default bench stays bounded — the OSNet
-    # stage embeds every detection slot (chunk x max_dets crops), a
-    # second large program to compile. Run with
-    # TRACKLAB_TPU_BENCH_REID=1; measured numbers live in BASELINE.md.
-    if os.environ.get("TRACKLAB_TPU_BENCH_REID"):
+    # ======== THE stdout line — printed before anything else runs ======
+    emit_headline({
+        "metric": "e2e_detect_track_fps_per_chip",
+        "value": round(e2e_fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(e2e_fps / TARGET_FPS, 3),
+        "mode": "fused_measured",
+    })
+    note(detector_fps=round(det_fps, 1),
+         tracker_scan_fps=round(trk_fps, 1),
+         e2e_mode="fused_single_program", e2e_frames=F, e2e_chunk=BATCH)
+
+    # ---- everything below is extra: stderr JSON lines, budget-guarded,
+    # failure-isolated. The watchdog exits 0 at the deadline regardless.
+    def extra(tag, min_budget_s, fn):
+        if os.environ.get("TRACKLAB_TPU_BENCH_SKIP_EXTRAS"):
+            return
+        if remaining() < min_budget_s:
+            note(skipped=tag, reason="budget",
+                 remaining_s=round(remaining(), 1))
+            return
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — isolate extras
+            note(failed=tag, error=f"{type(e).__name__}: {e}"[:300])
+
+    def bench_calls(fn, arg, n_out_frames, tag, **kv):
+        def force(out):
+            v = out.valid if hasattr(out, "valid") else out
+            np.asarray(v).sum()
+
+        force(fn(arg))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            force(fn(arg))
+        dt = (time.perf_counter() - t0) / reps
+        note(fused_variant=tag, fps=round(n_out_frames / dt, 1), **kv)
+        return n_out_frames / dt
+
+    # adversarial saturation: i.i.d. frames -> 32 incoherent dets/frame,
+    # max births + full-capacity association every frame (same program
+    # as the headline: no new compile)
+    def saturated():
+        video_iid = jnp.asarray(
+            np.random.default_rng(2).integers(0, 255, (F, H, W, 3)),
+            jnp.uint8)
+        run_fused(video_iid, 0.3, "saturated_worst_case")
+
+    extra("saturated_worst_case", 60, saturated)
+
+    # ---- fused detect->ReID->track (BASELINE config 2: YOLOX + OSNet +
+    # StrongSORT as ONE device program). Default-on since r4.
+    def reid():
         from tracklab_tpu.engine.fused import (fused_detect_reid_track,
                                                make_osnet_embed_fn)
         from tracklab_tpu.models.osnet import OSNet
         from tracklab_tpu.trackers.strongsort import (
             StrongSortConfig, strongsort_init, strongsort_step)
 
-        # chunk sized by the crop buffer: chunk x 32 crops of 256x128
-        # bf16 = ~1.2 GB at chunk=64 — the detector prefers bigger
-        # batches but the ReID stage dominates FLOPs anyway
         R_CHUNK = int(os.environ.get("TRACKLAB_TPU_REID_CHUNK", "64"))
         R_DETS = 32
         osnet = OSNet(variant="x1_0", feat_dim=512, n_parts=6,
@@ -209,80 +319,25 @@ def main():
             model, variables, conf_threshold=conf_cal,
             iou_threshold=0.65, max_dets=R_DETS,
             compute_dtype=jnp.bfloat16)
-        scfg = StrongSortConfig(max_tracks=64, max_dets=R_DETS,
-                                n_init=1)
+        scfg = StrongSortConfig(max_tracks=64, max_dets=R_DETS, n_init=1)
         F_R = 8 * R_CHUNK
+        # live-prefix compaction: the ~20-live coherent workload embeds
+        # 24 slots instead of 32 (exactness: test_fused_pipeline.py
+        # test_fused_reid_embed_buckets_exact); crops ride the one-hot
+        # MXU sampler on TPU (models/preprocess.crop_resize_auto)
         fused_r = jax.jit(lambda f: fused_detect_reid_track(
             detect_r, embed, partial(strongsort_step, scfg),
             strongsort_init(scfg), f, chunk=R_CHUNK,
             min_confidence=0.4, embed_dim=512,
+            embed_buckets=(8, 16, 24, 32),
             return_detections=False))
-        vid_r = video[:F_R]
-        _, _, _, out_r = fused_r(vid_r)
-        per_frame_r = float(np.asarray(out_r.valid).sum(1).mean())
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            _, _, _, out_r = fused_r(vid_r)
-            np.asarray(out_r.valid).sum()
-        dt_r = (time.perf_counter() - t0) / reps
-        print(json.dumps({"fused_variant": "detect_reid_track",
-                          "fps": round(F_R / dt_r, 1),
-                          "chunk": R_CHUNK,
-                          "tracks_per_frame": round(per_frame_r, 1)}),
-              file=sys.stderr)
+        bench_calls(lambda v: fused_r(v)[3], video[:F_R], F_R,
+                    "detect_reid_track", chunk=R_CHUNK)
 
-    # ---- optional: int8 PTQ detector (models/quantize.py — s8xs8->s32
-    # MXU convs, activation scales calibrated on sample frames). On v5e
-    # the MXU runs int8 at 2x the bf16 rate and int8 activations halve
-    # the HBM term again; this measures how much of that lands through
-    # XLA. Run with TRACKLAB_TPU_BENCH_INT8=1.
-    if os.environ.get("TRACKLAB_TPU_BENCH_INT8"):
-        from tracklab_tpu.models.quantize import calibrate_int8
+    extra("detect_reid_track", 240, reid)
 
-        calib = YOLOX(num_classes=1, variant="s", quant="calib")
-        qvars = calibrate_int8(
-            calib, variables,
-            [np.asarray(video[:8], np.float32)])
-        int8_model = YOLOX(num_classes=1, variant="s", quant="int8",
-                           dtype=jnp.bfloat16)
-
-        def detect_q(imgs):
-            imgs = imgs.astype(jnp.bfloat16)
-            decoded = int8_model.apply(qvars, imgs,
-                                       method=YOLOX.predict)
-            return postprocess_detections(decoded, conf_threshold=0.3,
-                                          max_out=32)
-
-        det_q = jax.jit(detect_q)
-        np.asarray(det_q(images)["valid"]).sum()
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            np.asarray(det_q(images)["valid"]).sum()
-        dt_q = (time.perf_counter() - t0) / reps
-        print(json.dumps({"detector_int8_fps": round(BATCH / dt_q, 1),
-                          "detector_bf16_fps": round(det_fps, 1)}),
-              file=sys.stderr)
-        # fused e2e with the quantized detector
-        detq_fn = make_yolox_detect_fn(
-            int8_model, qvars, conf_threshold=conf_cal,
-            iou_threshold=0.65, max_dets=cfg.max_dets,
-            compute_dtype=jnp.bfloat16)
-        fused_q = jax.jit(lambda f: fused_detect_track(
-            detq_fn, partial(ocsort_step, cfg), ocsort_init(cfg), f,
-            chunk=BATCH, return_detections=False))
-        _, _, out_q = fused_q(video)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            _, _, out_q = fused_q(video)
-            np.asarray(out_q.valid).sum()
-        dt_q = (time.perf_counter() - t0) / reps
-        print(json.dumps({"fused_variant": "int8_coherent_20obj",
-                          "fps": round(F / dt_q, 1)}), file=sys.stderr)
-
-    # ---- optional: fused detect->pose->track (the PoseTrack pipeline
-    # shape: YOLOX + top-down CSP pose on 32 crop slots + OC-SORT as ONE
-    # program). Run with TRACKLAB_TPU_BENCH_POSE=1.
-    if os.environ.get("TRACKLAB_TPU_BENCH_POSE"):
+    # ---- fused detect->pose->track (the PoseTrack pipeline shape) ----
+    def pose():
         from tracklab_tpu.engine.fused import (fused_detect_pose_track,
                                                make_topdown_pose_fn)
         from tracklab_tpu.models.pose import TopDownPose
@@ -306,24 +361,43 @@ def main():
             detect_p, pose_fn, partial(ocsort_step, pcfg),
             ocsort_init(pcfg), f, chunk=P_CHUNK, min_confidence=0.4,
             return_detections=False))
-        vid_p = video[:F_P]
-        _, _, kp_p, out_p = fused_p(vid_p)
-        np.asarray(out_p.valid).sum()
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            _, _, kp_p, out_p = fused_p(vid_p)
-            np.asarray(out_p.valid).sum()
-        dt_p = (time.perf_counter() - t0) / reps
-        print(json.dumps({"fused_variant": "detect_pose_track",
-                          "fps": round(F_P / dt_p, 1),
-                          "chunk": P_CHUNK}), file=sys.stderr)
+        bench_calls(lambda v: fused_p(v)[3], video[:F_P], F_P,
+                    "detect_pose_track", chunk=P_CHUNK)
 
-    # ---- optional: the FULL GSR prefix fused — detect -> top-down pose
-    # -> keypoint-PROMPTED KPR (ViT-B 384x128, cck6 prompts rasterized on
+    extra("detect_pose_track", 240, pose)
+
+    # ---- fused bottom-up pose -> track (the RTMO pipeline shape:
+    # boxes generated from keypoints on device) ----
+    def bottomup():
+        from tracklab_tpu.engine.fused import (fused_bottomup_track,
+                                               make_bottomup_detect_fn)
+        from tracklab_tpu.models.pose import YOLOXPose
+
+        B_CHUNK = int(os.environ.get("TRACKLAB_TPU_BU_CHUNK", "64"))
+        bmodel = YOLOXPose(num_classes=1, num_keypoints=17, variant="s",
+                           dtype=jnp.bfloat16)
+        bvars = bmodel.init(jax.random.PRNGKey(5),
+                            jnp.zeros((1, H, W, 3)), train=False)
+        bdetect = make_bottomup_detect_fn(
+            lambda imgs: bmodel.predict(bvars, imgs),
+            conf_threshold=0.1, iou_threshold=0.65, max_dets=32,
+            compute_dtype=jnp.bfloat16)
+        bcfg = OCSortConfig(max_tracks=64, max_dets=32, min_hits=1)
+        F_B = 8 * B_CHUNK
+        fused_b = jax.jit(lambda f: fused_bottomup_track(
+            bdetect, partial(ocsort_step, bcfg), ocsort_init(bcfg), f,
+            chunk=B_CHUNK, return_detections=False))
+        bench_calls(lambda v: fused_b(v)[3], video[:F_B], F_B,
+                    "bottomup_pose_track", chunk=B_CHUNK)
+
+    extra("bottomup_pose_track", 240, bottomup)
+
+    # ---- the FULL GSR prefix fused — detect -> top-down pose ->
+    # keypoint-PROMPTED KPR (ViT-B 384x128, cck6 prompts rasterized on
     # device) -> OKS BPBReID-StrongSORT, ONE program. The reference's
     # flagship game-state pipeline runs these as four torch modules
-    # through pandas. Run with TRACKLAB_TPU_BENCH_GSR=1.
-    if os.environ.get("TRACKLAB_TPU_BENCH_GSR"):
+    # through pandas.
+    def gsr():
         from tracklab_tpu.engine.fused import (fused_detect_parts_track,
                                                make_kpr_embed_fn,
                                                make_topdown_pose_fn)
@@ -361,32 +435,51 @@ def main():
             bpbreid_init(gcfg), f, chunk=G_CHUNK, min_confidence=0.4,
             n_parts=6, embed_dim=512, n_keypoints=17, pose_fn=pose_g,
             return_detections=False))
-        vid_g = video[:F_G]
-        _, _, _, _, out_g = fused_g(vid_g)
-        np.asarray(out_g.valid).sum()
+        bench_calls(lambda v: fused_g(v)[4], video[:F_G], F_G,
+                    "detect_pose_kpr_bpbreid", chunk=G_CHUNK)
+
+    extra("detect_pose_kpr_bpbreid", 300, gsr)
+
+    # ---- optional: int8 PTQ detector (models/quantize.py). Measured a
+    # NON-win via XLA in r3 (BASELINE.md) — kept reproducible, gated.
+    def int8():
+        from tracklab_tpu.models.quantize import calibrate_int8
+
+        calib = YOLOX(num_classes=1, variant="s", quant="calib")
+        qvars = calibrate_int8(
+            calib, variables, [np.asarray(video[:8], np.float32)])
+        int8_model = YOLOX(num_classes=1, variant="s", quant="int8",
+                           dtype=jnp.bfloat16)
+
+        def detect_q(imgs):
+            imgs = imgs.astype(jnp.bfloat16)
+            decoded = int8_model.apply(qvars, imgs,
+                                       method=YOLOX.predict)
+            return postprocess_detections(decoded, conf_threshold=0.3,
+                                          max_out=32)
+
+        det_q = jax.jit(detect_q)
+        np.asarray(det_q(images)["valid"]).sum()
         t0 = time.perf_counter()
         for _ in range(reps):
-            _, _, _, _, out_g = fused_g(vid_g)
-            np.asarray(out_g.valid).sum()
-        dt_g = (time.perf_counter() - t0) / reps
-        print(json.dumps({"fused_variant": "detect_pose_kpr_bpbreid",
-                          "fps": round(F_G / dt_g, 1),
-                          "chunk": G_CHUNK}), file=sys.stderr)
+            np.asarray(det_q(images)["valid"]).sum()
+        dt_q = (time.perf_counter() - t0) / reps
+        note(detector_int8_fps=round(BATCH / dt_q, 1),
+             detector_bf16_fps=round(det_fps, 1))
+        detq_fn = make_yolox_detect_fn(
+            int8_model, qvars, conf_threshold=conf_cal,
+            iou_threshold=0.65, max_dets=cfg.max_dets,
+            compute_dtype=jnp.bfloat16)
+        fused_q = jax.jit(lambda f: fused_detect_track(
+            detq_fn, partial(ocsort_step, cfg), ocsort_init(cfg), f,
+            chunk=BATCH, return_detections=False))
+        bench_calls(lambda v: fused_q(v)[2], video, F,
+                    "int8_coherent_20obj")
 
-    print(json.dumps({
-        "metric": "e2e_detect_track_fps_per_chip",
-        "value": round(e2e_fps, 1),
-        "unit": "frames/s",
-        "vs_baseline": round(e2e_fps / TARGET_FPS, 3),
-    }))
-    print(json.dumps({
-        "detector_fps": round(det_fps, 1),
-        "tracker_scan_fps": round(trk_fps, 1),
-        "e2e_mode": "fused_single_program",
-        "e2e_frames": F,
-        "e2e_chunk": BATCH,
-        "saturated_worst_case_fps": round(sat_fps, 1),
-    }), file=sys.stderr)
+    if os.environ.get("TRACKLAB_TPU_BENCH_INT8"):
+        extra("int8", 300, int8)
+
+    note(phase="done")
 
 
 if __name__ == "__main__":

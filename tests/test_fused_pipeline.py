@@ -245,6 +245,67 @@ def test_fused_reid_equals_staged(tiny_yolox, tiny_osnet):
     assert not np.any(fe[~sv])
 
 
+def test_fused_reid_embed_buckets_exact(tiny_yolox, tiny_osnet):
+    """Live-prefix bucketed embedding (embed_buckets) is output-identical
+    to embedding every slot: slots beyond the chunk's max live count are
+    zeroed either way (VERDICT r3 item 2's compaction lever — the JV
+    column-compaction idea applied to the ReID stage)."""
+    from tracklab_tpu.engine.fused import (fused_detect_reid_track,
+                                           make_osnet_embed_fn)
+    from tracklab_tpu.trackers.strongsort import (
+        StrongSortConfig, strongsort_init, strongsort_step)
+
+    det_model, det_vars = tiny_yolox
+    reid_model, reid_vars = tiny_osnet
+    F, chunk, D, E = 8, 4, 12, 48
+    frames = _static_frames(F, seed=11)
+    # calibrate the detector threshold so the live prefix is non-trivial
+    # (~D/2): random-weight score distributions shift across precisions,
+    # a constant threshold is brittle (CLAUDE.md r3 note)
+    probe = make_yolox_detect_fn(det_model, det_vars,
+                                 conf_threshold=0.0, max_dets=D)
+    pd_ = jax.jit(lambda f: probe(f, None))(frames)
+    scores = np.sort(np.asarray(pd_.conf)[np.asarray(pd_.valid)])[::-1]
+    conf_cal = float(scores[min(F * D // 2, len(scores) - 1)])
+    detect = make_yolox_detect_fn(det_model, det_vars,
+                                  conf_threshold=conf_cal, max_dets=D)
+    embed = make_osnet_embed_fn(reid_model, reid_vars,
+                                crop_size=(32, 16))
+    cfg = StrongSortConfig(max_tracks=16, max_dets=D, embed_dim=E,
+                           n_init=1, max_dist=0.6, max_iou_dist=0.9)
+
+    def run(buckets):
+        fused = jax.jit(lambda f: fused_detect_reid_track(
+            detect, embed, partial(strongsort_step, cfg),
+            strongsort_init(cfg), f, chunk, min_confidence=0.3,
+            embed_dim=E, embed_buckets=buckets,
+            return_embeddings=True))
+        return fused(frames)
+
+    _, d0, e0, o0 = run(None)
+    live = int(np.asarray(d0.valid).sum(1).max())
+    assert 0 < live < D, f"need a non-trivial live prefix, got {live}"
+    _, d1, e1, o1 = run((4, 8, D))
+
+    np.testing.assert_array_equal(np.asarray(d1.valid),
+                                  np.asarray(d0.valid))
+    np.testing.assert_allclose(np.asarray(e1["embeddings"]),
+                               np.asarray(e0["embeddings"]),
+                               rtol=1e-5, atol=1e-6)
+    ov = np.asarray(o0.valid)
+    np.testing.assert_array_equal(np.asarray(o1.valid), ov)
+    np.testing.assert_array_equal(np.asarray(o1.track_id)[ov],
+                                  np.asarray(o0.track_id)[ov])
+    np.testing.assert_allclose(np.asarray(o1.ltrb)[ov],
+                               np.asarray(o0.ltrb)[ov],
+                               rtol=1e-5, atol=1e-4)
+
+    def test_bad_buckets():
+        with pytest.raises(ValueError, match="embed_buckets"):
+            run((4, 8))  # must end at max_dets
+    test_bad_buckets()
+
+
 @pytest.fixture(scope="module")
 def tiny_rtdetr():
     from tracklab_tpu.models.rtdetr_hf import RTDetrHF, RTDetrHFConfig

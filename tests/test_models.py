@@ -122,6 +122,30 @@ class TestPreprocess:
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(img),
                                    atol=1e-5)
 
+    def test_crop_resize_onehot_matches_gather(self):
+        """The one-hot MXU crop (the TPU backend of crop_resize_auto)
+        reproduces the 4-tap gather, including the border-clamp
+        semantics for boxes hanging off the frame."""
+        from tracklab_tpu.models.preprocess import (
+            crop_resize, crop_resize_onehot,
+        )
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.uniform(0, 255, (48, 64, 3)), jnp.float32)
+        boxes = jnp.asarray([
+            [3.2, 5.7, 40.9, 44.1],       # interior, fractional
+            [-10.0, -8.0, 20.0, 30.0],    # off the top-left
+            [30.0, 20.0, 90.0, 70.0],     # off the bottom-right
+            [10.0, 10.0, 10.5, 10.5],     # sub-pixel box
+        ], jnp.float32)
+        want = np.asarray(crop_resize(img, boxes, 24, 16))
+        got = np.asarray(crop_resize_onehot(img, boxes, 24, 16,
+                                            dtype=jnp.float32))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+        # bf16 operands: within input-quantization noise of the 0..255
+        # pixel range (the downstream models are bf16 anyway)
+        got16 = np.asarray(crop_resize_onehot(img, boxes, 24, 16))
+        assert np.abs(got16 - want).max() < 2.5
+
 
 class TestParallel:
     def test_mesh_and_sharded_tracking(self):

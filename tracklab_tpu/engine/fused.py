@@ -152,7 +152,7 @@ def make_osnet_embed_fn(model, variables, crop_size=(256, 128),
     coordinates. Returns ``embeddings`` (B, D, E), ``part_features``
     (B, D, P+1, E'), ``visibility`` (B, D, P+1).
     """
-    from tracklab_tpu.models.preprocess import crop_resize
+    from tracklab_tpu.models.preprocess import crop_resize_auto
     from tracklab_tpu.wrappers.reid.osnet_api import (
         IMAGENET_MEAN, IMAGENET_STD,
     )
@@ -163,7 +163,7 @@ def make_osnet_embed_fn(model, variables, crop_size=(256, 128),
 
     def embed(frames, boxes):
         crops = jax.vmap(
-            lambda img, b: crop_resize(img, b, ch, cw))(frames, boxes)
+            lambda img, b: crop_resize_auto(img, b, ch, cw))(frames, boxes)
         B, D = crops.shape[0], crops.shape[1]
         x = ((crops.reshape(B * D, ch, cw, 3) - mean) / std).astype(
             compute_dtype)
@@ -202,7 +202,7 @@ def make_kpr_embed_fn(model, variables, crop_size=(384, 128),
     """
     from tracklab_tpu.models.kpr import (extract_test_embeddings,
                                          gaussian_prompt_maps)
-    from tracklab_tpu.models.preprocess import crop_resize
+    from tracklab_tpu.models.preprocess import crop_resize_auto
     from tracklab_tpu.wrappers.reid.osnet_api import (
         IMAGENET_MEAN, IMAGENET_STD,
     )
@@ -213,7 +213,7 @@ def make_kpr_embed_fn(model, variables, crop_size=(384, 128),
 
     def embed(frames, boxes, keypoints=None):
         crops = jax.vmap(
-            lambda img, b: crop_resize(img, b, ch, cw))(frames, boxes)
+            lambda img, b: crop_resize_auto(img, b, ch, cw))(frames, boxes)
         B, D = crops.shape[0], crops.shape[1]
         x = ((crops.reshape(B * D, ch, cw, 3) - mean) / std).astype(
             compute_dtype)
@@ -246,13 +246,13 @@ def make_topdown_pose_fn(model, variables, crop_size=(256, 192),
     FRAME coordinates (same math as the staged batched pose module,
     wrappers/pose_estimator/batched_api.py:75-91; the fused body then
     maps frame -> original coordinates via the crop_meta inverse)."""
-    from tracklab_tpu.models.preprocess import crop_resize
+    from tracklab_tpu.models.preprocess import crop_resize_auto
 
     ch, cw = crop_size
 
     def pose(frames, boxes):
         crops = jax.vmap(
-            lambda img, b: crop_resize(img, b, ch, cw))(frames, boxes)
+            lambda img, b: crop_resize_auto(img, b, ch, cw))(frames, boxes)
         B, D = crops.shape[0], crops.shape[1]
         x = (crops.reshape(B * D, ch, cw, 3) / 255.0).astype(
             compute_dtype)
@@ -486,11 +486,47 @@ def fused_detect_track(detect_fn, step_fn, init_state, frames: jnp.ndarray,
     return final, None, outs
 
 
+def _bucketed_embed(embed_fn, frames, boxes, valid, buckets):
+    """Run ``embed_fn`` on only the live slot PREFIX, bucketed.
+
+    NMS/top-k detections are score-descending, so ``valid`` is a slot
+    prefix per frame (tested: test_fused_engine's min_confidence mask
+    proof). Embedding slots that are invalid in EVERY frame of the chunk
+    is pure waste — the results are zeroed right after. ``buckets``
+    (ascending, last == D) picks the smallest static width covering the
+    chunk's max live count and lax.switches between per-width programs;
+    outputs are zero-padded back to D, which equals what the full-width
+    program computes after its own ``* valid`` masking (exactness test:
+    test_fused_engine.py). The same column-compaction idea as the JV
+    solver's (BASELINE.md: 1104 -> 5917 fps)."""
+    D = boxes.shape[1]
+    if not buckets or buckets[-1] != D or list(buckets) != sorted(buckets):
+        raise ValueError(
+            f"embed_buckets must be ascending and end at max_dets "
+            f"({D}); got {buckets}")
+    d_live = jnp.max(jnp.sum(valid, axis=1))
+
+    def branch(d_eff):
+        def run(fb):
+            frames, boxes = fb
+            out = embed_fn(frames, boxes[:, :d_eff])
+            return jax.tree_util.tree_map(
+                lambda v: jnp.pad(
+                    v, ((0, 0), (0, D - d_eff)) + ((0, 0),) * (v.ndim - 2)),
+                out)
+        return run
+
+    idx = jnp.searchsorted(jnp.asarray(buckets), d_live)
+    return lax.switch(idx, [branch(d) for d in buckets],
+                      (frames, boxes))
+
+
 def fused_detect_reid_track(detect_fn, embed_fn, step_fn, init_state,
                             frames: jnp.ndarray, chunk: int, meta=None,
                             crop_meta=None, warps=None, frame_valid=None,
                             min_confidence: float = 0.0,
                             embed_dim: int | None = None,
+                            embed_buckets=None,
                             return_detections: bool = True,
                             return_embeddings: bool = False):
     """Detector -> NMS -> device crops -> ReID embed -> embedding tracker,
@@ -518,6 +554,11 @@ def fused_detect_reid_track(detect_fn, embed_fn, step_fn, init_state,
         so masking is slot-for-slot equivalent to the staged row drop.
       embed_dim: tracker's embedding width; the ReID output is
         sliced/zero-padded to it (scan_tracker._collect_embeddings).
+      embed_buckets: optional ascending static widths (last must equal
+        max_dets) for live-prefix compaction of the ReID stage — embed
+        only the smallest bucket covering the chunk's max live count
+        (:func:`_bucketed_embed`; output-identical, compiles one embed
+        program per bucket).
 
     Returns ``(final_state, dets|None, emb|None, outs)``; ``emb`` is the
     full (F, D, E) ReID output dict when ``return_embeddings``.
@@ -561,7 +602,11 @@ def fused_detect_reid_track(detect_fn, embed_fn, step_fn, init_state,
             lo = boxes[..., 0:2] * s + p
             hi = boxes[..., 2:4] * s + p
             boxes = jnp.concatenate([lo, hi], axis=-1)
-        reid = embed_fn(x["frames"], boxes)
+        if embed_buckets is not None:
+            reid = _bucketed_embed(embed_fn, x["frames"], boxes,
+                                   dets.valid, tuple(embed_buckets))
+        else:
+            reid = embed_fn(x["frames"], boxes)
         emb = reid["embeddings"]
         # the staged ReID module only emits rows for valid detections;
         # downstream consumers see zeros elsewhere

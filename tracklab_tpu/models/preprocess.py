@@ -8,12 +8,14 @@ decode->letterbox->normalize->crop-resize kernel of BASELINE's north star.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["letterbox", "normalize", "crop_resize", "letterbox_params"]
+__all__ = ["letterbox", "normalize", "crop_resize", "letterbox_params",
+           "crop_resize_onehot", "crop_resize_auto"]
 
 
 def letterbox_params(src_hw, dst_hw):
@@ -80,3 +82,58 @@ def crop_resize(image, boxes_ltrb, out_h: int, out_w: int):
         return top * (1 - wy) + bot * wy
 
     return jax.vmap(one)(boxes_ltrb)
+
+
+def _hat_weights(lo, hi, n_out: int, n_src: int, dtype):
+    """(N, n_out, n_src) one-hot bilinear sampling rows with the exact
+    border-clamp semantics of :func:`crop_resize` (two taps
+    s0=clip(floor(s)), s1=clip(s0+1), w=clip(s-s0, 0, 1)); each row sums
+    to 1 exactly, so sampling commutes with any affine pixel transform."""
+    ss = lo[:, None] + (hi - lo)[:, None] * (
+        (jnp.arange(n_out) + 0.5) / n_out) - 0.5          # (N, n_out)
+    s0 = jnp.clip(jnp.floor(ss).astype(jnp.int32), 0, n_src - 1)
+    s1 = jnp.clip(s0 + 1, 0, n_src - 1)
+    w = jnp.clip(ss - s0, 0.0, 1.0).astype(dtype)
+    grid = jnp.arange(n_src, dtype=jnp.int32)
+    m0 = (grid == s0[..., None]).astype(dtype)
+    m1 = (grid == s1[..., None]).astype(dtype)
+    return m0 * (1 - w)[..., None] + m1 * w[..., None]
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w", "dtype"))
+def crop_resize_onehot(image, boxes_ltrb, out_h: int, out_w: int,
+                       dtype=jnp.bfloat16):
+    """:func:`crop_resize` as two one-hot MXU contractions per crop
+    (separable bilinear: rows (N, out_h, H) @ image @ cols (N, out_w, W)
+    transposed). On TPU the vmapped 4-tap gather lowers catastrophically
+    (measured 137 ms vs 39 ms for a 64x32-crop chunk, the same lesson as
+    the RT-DETR deformable attention, BASELINE.md); the matmul form
+    rides the MXU and scales with FLOPs. ``dtype`` is the contraction
+    operand type — bf16 keeps MXU rate and adds only input-quantization
+    noise (~bf16 eps of the pixel range; the downstream models run bf16
+    anyway); accumulation is always f32. Returns float32."""
+    Hs, Ws = image.shape[0], image.shape[1]
+    R = _hat_weights(boxes_ltrb[:, 1], boxes_ltrb[:, 3], out_h, Hs,
+                     dtype)                               # (N, out_h, H)
+    C = _hat_weights(boxes_ltrb[:, 0], boxes_ltrb[:, 2], out_w, Ws,
+                     dtype)                               # (N, out_w, W)
+    img = image.astype(dtype)
+    tmp = jnp.einsum("noh,hwc->nowc", R, img,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("nowc,npw->nopc", tmp.astype(dtype), C,
+                     preferred_element_type=jnp.float32)
+    return out
+
+
+def crop_resize_auto(image, boxes_ltrb, out_h: int, out_w: int):
+    """Backend-dispatching crop: the one-hot MXU form on TPU, the exact
+    4-tap gather elsewhere (on CPU the matmuls would be 24 GFLOP/frame
+    of wasted work). Override with TRACKLAB_TPU_CROP_BACKEND=
+    gather|onehot."""
+    backend = os.environ.get("TRACKLAB_TPU_CROP_BACKEND", "auto")
+    if backend == "auto":
+        backend = ("onehot" if jax.default_backend() == "tpu"
+                   else "gather")
+    if backend == "onehot":
+        return crop_resize_onehot(image, boxes_ltrb, out_h, out_w)
+    return crop_resize(image, boxes_ltrb, out_h, out_w)

@@ -23,9 +23,10 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tracklab_tpu.engine.fused import fused_detect_track
+from tracklab_tpu.engine.fused import (fused_detect_reid_track,
+                                       fused_detect_track)
 
-__all__ = ["fused_videos_sharded"]
+__all__ = ["fused_videos_sharded", "fused_reid_videos_sharded"]
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -75,6 +76,56 @@ def fused_videos_sharded(detect_fn, step_fn, init_state, mesh: Mesh,
 
     def per_shard(frames, frame_valid):
         # sequential over this shard's videos (see module docstring)
+        return lax.map(lambda a: one_video(*a), (frames, frame_valid))
+
+    spec = P(axis)
+    sharded = _shard_map(per_shard, mesh, in_specs=(spec, spec),
+                         out_specs=spec)
+    jitted = jax.jit(sharded)
+
+    def run(frames, frame_valid=None):
+        V = frames.shape[0]
+        if V % n_shards:
+            raise ValueError(
+                f"V ({V}) must be a multiple of mesh.shape[{axis!r}] "
+                f"({n_shards}); pad with all-False frame_valid videos")
+        if frame_valid is None:
+            frame_valid = jnp.ones(frames.shape[:2], bool)
+        sharding = NamedSharding(mesh, spec)
+        frames = jax.device_put(frames, sharding)
+        frame_valid = jax.device_put(frame_valid, sharding)
+        return jitted(frames, frame_valid)
+
+    return run
+
+
+def fused_reid_videos_sharded(detect_fn, embed_fn, step_fn, init_state,
+                              mesh: Mesh, chunk: int, axis: str = "dp",
+                              min_confidence: float = 0.0,
+                              embed_dim: int | None = None,
+                              return_detections: bool = False,
+                              return_embeddings: bool = False):
+    """Multi-chip runner for the fused detect -> ReID -> embedding-tracker
+    program (:func:`tracklab_tpu.engine.fused.fused_detect_reid_track` —
+    BASELINE config 2's DanceTrack YOLOX + OSNet + StrongSORT shape), one
+    video per device exactly like :func:`fused_videos_sharded`: detector
+    AND ReID params replicate via GSPMD, videos shard over ``axis``, zero
+    collectives on the hot path.
+
+    Returns ``run(frames, frame_valid=None)`` over (V, F, H, W, 3);
+    output leaves carry leading (V, ...) axes sharded over ``axis``:
+    ``(final_states, dets|None, emb|None, outs)``.
+    """
+    n_shards = mesh.shape[axis]
+
+    def one_video(frames, frame_valid):
+        return fused_detect_reid_track(
+            detect_fn, embed_fn, step_fn, init_state, frames, chunk,
+            frame_valid=frame_valid, min_confidence=min_confidence,
+            embed_dim=embed_dim, return_detections=return_detections,
+            return_embeddings=return_embeddings)
+
+    def per_shard(frames, frame_valid):
         return lax.map(lambda a: one_video(*a), (frames, frame_valid))
 
     spec = P(axis)

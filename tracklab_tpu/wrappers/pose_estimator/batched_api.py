@@ -55,7 +55,7 @@ class TopDownPoseBatched(ImageLevelModule):
     def _build(self):
         import jax
         import jax.numpy as jnp
-        from tracklab_tpu.models.preprocess import crop_resize
+        from tracklab_tpu.models.preprocess import crop_resize_auto
 
         if self.backbone == "vit":
             from tracklab_tpu.models.vitpose import ViTPose
@@ -81,7 +81,7 @@ class TopDownPoseBatched(ImageLevelModule):
             # images (B, H, W, 3) uint8 work-size; boxes (B, D, 4) ltrb
             # in work coordinates
             crops = jax.vmap(
-                lambda img, b: crop_resize(img, b, ch, cw))(images, boxes)
+                lambda img, b: crop_resize_auto(img, b, ch, cw))(images, boxes)
             B, D = crops.shape[0], crops.shape[1]
             x = crops.reshape(B * D, ch, cw, 3).astype(jnp.float32) / 255.0
             kp = model.predict_keypoints(variables, x)   # (B*D, K, 3)

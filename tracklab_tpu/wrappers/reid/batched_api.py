@@ -57,7 +57,7 @@ class OSNetReIdBatched(ImageLevelModule):
         import jax
         import jax.numpy as jnp
         from tracklab_tpu.models.osnet import OSNet
-        from tracklab_tpu.models.preprocess import crop_resize
+        from tracklab_tpu.models.preprocess import crop_resize_auto
 
         model = OSNet(variant=self.variant, feat_dim=self.feat_dim,
                       n_parts=self.n_parts, ibn=self.ibn)
@@ -79,7 +79,7 @@ class OSNetReIdBatched(ImageLevelModule):
         def infer(images, boxes):
             # images (B, H, W, 3) uint8; boxes (B, D, 4) ltrb work-coords
             crops = jax.vmap(
-                lambda img, b: crop_resize(img, b, ch, cw))(images,
+                lambda img, b: crop_resize_auto(img, b, ch, cw))(images,
                                                             boxes)
             B, D = crops.shape[0], crops.shape[1]
             x = (crops.reshape(B * D, ch, cw, 3) - mean) / std

@@ -106,8 +106,10 @@ def train_detector(module, tracking_dataset, epochs: int = 3,
                 {"params": p, "batch_stats": bs},
                 preproc(imgs), train=True,
                 mutable=["batch_stats"])
+            n_cls = getattr(model, "num_classes",
+                            getattr(model, "num_labels", None))
             return detection_loss(outs, gb, gv, (h, w),
-                                  model.num_classes), mut["batch_stats"]
+                                  n_cls), mut["batch_stats"]
 
         (loss, bs), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch_stats)

@@ -216,7 +216,28 @@ class RTDETRDetector(YOLOXDetector):
         self._variables = variables
         self._infer = jax.jit(infer)
 
-    def train(self, *args, **kwargs):
-        raise NotImplementedError(
-            "Use models.rtdetr.rtdetr_loss with a custom loop; the "
-            "wrapper-level engine currently targets the YOLOX head")
+    @staticmethod
+    def _preproc(imgs):
+        import jax.numpy as jnp
+        # RTDetrImageProcessor: rescale 1/255, NO normalization
+        return imgs.astype(jnp.float32) / 255.0
+
+    def detection_loss_fn(self, outputs, gt_boxes, gt_valid, input_hw,
+                          num_classes):
+        """Hungarian set matching + VFL/L1/GIoU
+        (models/rtdetr_train.py) — the HF RTDetrLoss criterion on the
+        same engine signature as the YOLO-family losses."""
+        from tracklab_tpu.models.rtdetr_train import rtdetr_detection_loss
+        return rtdetr_detection_loss(outputs, gt_boxes, gt_valid,
+                                     input_hw, num_classes)
+
+    def train(self, tracking_dataset, pipeline=None, evaluator=None,
+              dataset_cfg=None, **kwargs):
+        """Fine-tune on the dataset's GT boxes (module.train() hook).
+        The reference trains RT-DETR out-of-band through HF's Trainer;
+        here it's the shared Flax loop (detector_train_engine.py) with
+        the DETR set-matching criterion."""
+        from tracklab_tpu.models.detector_train_engine import (
+            train_detector,
+        )
+        return train_detector(self, tracking_dataset, **kwargs)

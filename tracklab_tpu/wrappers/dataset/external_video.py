@@ -58,9 +58,9 @@ class ExternalVideo(TrackingDataset):
                 videos = vids
             elif imgs:
                 videos = [path]  # one pseudo-video of frames
-        elif path.suffix.lower() in VIDEO_EXTS:
+        elif path.suffix.lower() in VIDEO_EXTS and path.exists():
             videos = [path]
-        else:
+        if not videos:
             raise FileNotFoundError(f"No video(s) at {video_path}")
 
         video_rows, image_rows = [], []

@@ -134,6 +134,20 @@ class CSPLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if not self.is_initializing():
+            from tracklab_tpu.ops.csp_pallas import (
+                csp_pallas_supported, fused_csplayer,
+            )
+            if csp_pallas_supported(x.shape, self.depthwise, self.quant,
+                                    train):
+                # the whole layer as ONE Pallas kernel — every
+                # intermediate stays in VMEM, BN folded into the conv
+                # weights (ops/csp_pallas.py; opt-in via
+                # TRACKLAB_TPU_CSP_BACKEND=pallas)
+                return fused_csplayer(self.variables, x, n=self.n,
+                                      shortcut=self.shortcut,
+                                      out_features=self.features,
+                                      dtype=self.dtype)
         hidden = self.features // 2
         a = ConvBnAct(hidden, 1, dtype=self.dtype, quant=self.quant,
                       name="conv1")(x, train)

@@ -360,6 +360,7 @@ def main():
         fused_p = jax.jit(lambda f: fused_detect_pose_track(
             detect_p, pose_fn, partial(ocsort_step, pcfg),
             ocsort_init(pcfg), f, chunk=P_CHUNK, min_confidence=0.4,
+            pose_buckets=(8, 16, 24, 32),
             return_detections=False))
         bench_calls(lambda v: fused_p(v)[3], video[:F_P], F_P,
                     "detect_pose_track", chunk=P_CHUNK)

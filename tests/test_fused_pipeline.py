@@ -306,6 +306,51 @@ def test_fused_reid_embed_buckets_exact(tiny_yolox, tiny_osnet):
     test_bad_buckets()
 
 
+def test_fused_pose_buckets_exact(tiny_yolox):
+    """pose_buckets live-prefix compaction is output-identical for the
+    detect->pose->track program (same proof as embed_buckets)."""
+    from tracklab_tpu.engine.fused import (fused_detect_pose_track,
+                                           make_topdown_pose_fn)
+    from tracklab_tpu.models.pose import TopDownPose
+    from tracklab_tpu.trackers.ocsort import (OCSortConfig, ocsort_init,
+                                              ocsort_step)
+
+    det_model, det_vars = tiny_yolox
+    F, chunk, D = 8, 4, 12
+    frames = _static_frames(F, seed=11)
+    probe = make_yolox_detect_fn(det_model, det_vars,
+                                 conf_threshold=0.0, max_dets=D)
+    pd_ = jax.jit(lambda f: probe(f, None))(frames)
+    scores = np.sort(np.asarray(pd_.conf)[np.asarray(pd_.valid)])[::-1]
+    conf_cal = float(scores[min(F * D // 2, len(scores) - 1)])
+    detect = make_yolox_detect_fn(det_model, det_vars,
+                                  conf_threshold=conf_cal, max_dets=D)
+    pmodel = TopDownPose(num_keypoints=5, variant="nano")
+    pvars = pmodel.init(jax.random.PRNGKey(2),
+                        jnp.zeros((1, 64, 48, 3)), train=False)
+    pose_fn = make_topdown_pose_fn(pmodel, pvars, crop_size=(64, 48),
+                                   num_keypoints=5)
+    cfg = OCSortConfig(max_tracks=16, max_dets=D, min_hits=1)
+
+    def run(buckets):
+        fused = jax.jit(lambda f: fused_detect_pose_track(
+            detect, pose_fn, partial(ocsort_step, cfg),
+            ocsort_init(cfg), f, chunk, min_confidence=0.2,
+            pose_buckets=buckets))
+        return fused(frames)
+
+    _, d0, kp0, o0 = run(None)
+    live = int(np.asarray(d0.valid).sum(1).max())
+    assert 0 < live < D, f"need a non-trivial live prefix, got {live}"
+    _, d1, kp1, o1 = run((4, 8, D))
+    np.testing.assert_allclose(np.asarray(kp1), np.asarray(kp0),
+                               rtol=1e-5, atol=1e-5)
+    ov = np.asarray(o0.valid)
+    np.testing.assert_array_equal(np.asarray(o1.valid), ov)
+    np.testing.assert_array_equal(np.asarray(o1.track_id)[ov],
+                                  np.asarray(o0.track_id)[ov])
+
+
 @pytest.fixture(scope="module")
 def tiny_rtdetr():
     from tracklab_tpu.models.rtdetr_hf import RTDetrHF, RTDetrHFConfig

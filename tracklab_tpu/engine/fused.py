@@ -651,6 +651,7 @@ def fused_detect_pose_track(detect_fn, pose_fn, step_fn, init_state,
                             frames: jnp.ndarray, chunk: int, meta=None,
                             crop_meta=None, frame_valid=None,
                             min_confidence: float = 0.0,
+                            pose_buckets=None,
                             return_detections: bool = True):
     """Detector -> NMS -> device crops -> top-down pose -> tracker, ONE
     traced program per video (the reference's PoseTrack pipeline shape:
@@ -663,6 +664,10 @@ def fused_detect_pose_track(detect_fn, pose_fn, step_fn, init_state,
     returned mapped to ORIGINAL image coordinates (the crop_meta
     inverse), matching the staged batched pose module's output
     (wrappers/pose_estimator/batched_api.py:process).
+
+    ``pose_buckets``: optional live-prefix compaction widths for the
+    pose stage, exactly like ``fused_detect_reid_track``'s
+    ``embed_buckets`` (ascending, last == max_dets; output-identical).
 
     Returns ``(final_state, dets|None, keypoints (F, D, K, 3), outs)``.
     """
@@ -701,7 +706,13 @@ def fused_detect_pose_track(detect_fn, pose_fn, step_fn, init_state,
             p = x["crop_meta"]["pad"][:, None, :]
             boxes = jnp.concatenate([boxes[..., 0:2] * s + p,
                                      boxes[..., 2:4] * s + p], axis=-1)
-        kp = pose_fn(x["frames"], boxes)             # frame coords
+        if pose_buckets is not None:
+            # live-prefix compaction, same as the ReID stage
+            # (_bucketed_embed): pose only the slots that can be live
+            kp = _bucketed_embed(pose_fn, x["frames"], boxes,
+                                 dets.valid, tuple(pose_buckets))
+        else:
+            kp = pose_fn(x["frames"], boxes)         # frame coords
         if "crop_meta" in x:
             s = x["crop_meta"]["scale"][:, None, None, :]
             p = x["crop_meta"]["pad"][:, None, None, :]

@@ -409,7 +409,10 @@ def test_checkpoint_kind_dispatch():
     # onnx now loads directly (weights parsed from the protobuf,
     # models/onnx_weights.py — the rtmlib published checkpoints)
     assert checkpoint_kind("w.onnx") == "onnx"
-    for suffix in ("engine", "tflite", "torchscript"):
+    # torchscript loads via torch.jit.load -> state_dict -> family
+    # converter (the reference's 'jit' backend, reid_multibackend.py:39)
+    assert checkpoint_kind("w.torchscript") == "torchscript"
+    for suffix in ("engine", "tflite"):
         with pytest.raises(ValueError, match="torch .pth"):
             checkpoint_kind(f"w.{suffix}")
 

@@ -218,15 +218,26 @@ def main():
     base = rng1.integers(0, 235, (1, H, W, 3))
     video = jnp.asarray(base + rng1.integers(0, 20, (F, H, W, 3)),
                         jnp.uint8)
-    # calibrate: threshold between the 20th and 21st best score on the
-    # base frame (deterministic seed + weights -> stable across runs,
-    # so the jitted program hash stays cacheable)
-    probe = model.apply(variables, video[:1].astype(jnp.bfloat16),
-                        method=YOLOX.predict)
-    s = np.asarray(probe[0, :, 4] * probe[0, :, 5:].max(-1))
-    top = np.sort(s)[::-1]
-    conf_cal = float(round((top[19] + top[20]) / 2, 6))
-    note(phase="calibrated", conf=conf_cal)
+    # calibrate: threshold between the 20th and 21st best NMS'd score on
+    # frame 0, read from the ALREADY-COMPILED bs=384 det_fn (same shape/
+    # dtype as `images` -> zero new compiles). The r3 bench compiled a
+    # bs=1 raw-predict probe for this, which cost a 31-minute cold
+    # remote compile — the single largest item on the critical path.
+    # det_fn thresholds at 0.3 pre-NMS and keeps the top-32 survivors;
+    # setting conf between NMS'd scores 20/21 makes exactly ~20 coherent
+    # detections survive in the fused program (same iou_threshold=0.65).
+    # Deterministic seeds + weights -> stable value across runs, so the
+    # fused program hash stays cacheable.
+    cal_out = det_fn(video[:BATCH])
+    cal_valid = np.asarray(cal_out["valid"][0])
+    cal_s = np.sort(np.asarray(cal_out["score"][0])[cal_valid])[::-1]
+    if cal_s.size >= 21:
+        conf_cal = float(round((cal_s[19] + cal_s[20]) / 2, 6))
+    else:
+        # fewer than 21 NMS survivors above det_fn's 0.3 floor: pass
+        # them all through (the workload note reports the live count)
+        conf_cal = 0.3
+    note(phase="calibrated", conf=conf_cal, frame0_dets=int(cal_valid.sum()))
 
     def run_fused(video, conf, tag):
         detect_fn = make_yolox_detect_fn(

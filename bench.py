@@ -456,6 +456,40 @@ def main():
 
     extra("detect_pose_kpr_bpbreid", 300, gsr)
 
+    # ---- promptless parts: detect -> KPR part features -> BPBReID
+    # (the 3-module shape: no pose, zero prompts — BASELINE row 4) ----
+    def parts():
+        from tracklab_tpu.engine.fused import (fused_detect_parts_track,
+                                               make_kpr_embed_fn)
+        from tracklab_tpu.models.kpr import KPR
+        from tracklab_tpu.trackers.bpbreid_strongsort import (
+            BPBReIDStrongSortConfig, bpbreid_init, bpbreid_step)
+
+        P_CHUNK = int(os.environ.get("TRACKLAB_TPU_GSR_CHUNK", "16"))
+        kpr = KPR(dtype=jnp.bfloat16)
+        kvars = kpr.init(jax.random.PRNGKey(3),
+                         jnp.zeros((1, 384, 128, 3)),
+                         jnp.zeros((1, 384, 128, 7)), train=False)
+        embed_p = make_kpr_embed_fn(kpr, kvars, crop_size=(384, 128),
+                                    compute_dtype=jnp.bfloat16)
+        detect_p = make_yolox_detect_fn(
+            model, variables, conf_threshold=conf_cal,
+            iou_threshold=0.65, max_dets=32,
+            compute_dtype=jnp.bfloat16)
+        pcfg = BPBReIDStrongSortConfig(
+            motion_criterium="iou", n_parts=6, embed_dim=512,
+            n_init=1, max_tracks=64, max_dets=32)
+        F_P = 8 * P_CHUNK
+        fused_p = jax.jit(lambda f: fused_detect_parts_track(
+            detect_p, embed_p, partial(bpbreid_step, pcfg),
+            bpbreid_init(pcfg), f, chunk=P_CHUNK, min_confidence=0.4,
+            n_parts=6, embed_dim=512, n_keypoints=17,
+            return_detections=False))
+        bench_calls(lambda v: fused_p(v)[4], video[:F_P], F_P,
+                    "detect_parts_track", chunk=P_CHUNK)
+
+    extra("detect_parts_track", 300, parts)
+
     # ---- optional: int8 PTQ detector (models/quantize.py). Measured a
     # NON-win via XLA in r3 (BASELINE.md) — kept reproducible, gated.
     def int8():

@@ -428,30 +428,38 @@ def main():
         kvars = kpr.init(jax.random.PRNGKey(3),
                          jnp.zeros((1, 384, 128, 3)),
                          jnp.zeros((1, 384, 128, 7)), train=False)
-        embed_g = make_kpr_embed_fn(kpr, kvars, crop_size=(384, 128),
-                                    compute_dtype=jnp.bfloat16)
         pmodel_g = TopDownPose(num_keypoints=17, variant="s",
                                dtype=jnp.bfloat16)
         pvars_g = pmodel_g.init(jax.random.PRNGKey(4),
                                 jnp.zeros((1, 256, 192, 3)),
                                 train=False)
-        pose_g = make_topdown_pose_fn(pmodel_g, pvars_g,
-                                      crop_size=(256, 192),
-                                      compute_dtype=jnp.bfloat16)
-        detect_g = make_yolox_detect_fn(
-            model, variables, conf_threshold=conf_cal,
-            iou_threshold=0.65, max_dets=G_DETS,
-            compute_dtype=jnp.bfloat16)
         gcfg = BPBReIDStrongSortConfig(
             motion_criterium="oks", n_parts=6, embed_dim=512,
             n_init=1, max_tracks=64, max_dets=G_DETS)
         F_G = 8 * G_CHUNK
-        fused_g = jax.jit(lambda f: fused_detect_parts_track(
-            detect_g, embed_g, partial(bpbreid_step, gcfg),
-            bpbreid_init(gcfg), f, chunk=G_CHUNK, min_confidence=0.4,
-            n_parts=6, embed_dim=512, n_keypoints=17, pose_fn=pose_g,
-            return_detections=False))
-        bench_calls(lambda v: fused_g(v)[4], video[:F_G], F_G,
+
+        # KPR's ViT-B weights (~86M params) MUST enter the jit as
+        # ARGUMENTS: closed-over arrays become HLO literal constants,
+        # and the ~170 MB serialized program exceeds remote-compile
+        # request limits (observed HTTP 413 through the axon tunnel).
+        def build_gsr(f, kv, pv, dv):
+            return fused_detect_parts_track(
+                make_yolox_detect_fn(model, dv, conf_threshold=conf_cal,
+                                     iou_threshold=0.65, max_dets=G_DETS,
+                                     compute_dtype=jnp.bfloat16),
+                make_kpr_embed_fn(kpr, kv, crop_size=(384, 128),
+                                  compute_dtype=jnp.bfloat16),
+                partial(bpbreid_step, gcfg), bpbreid_init(gcfg), f,
+                chunk=G_CHUNK, min_confidence=0.4, n_parts=6,
+                embed_dim=512, n_keypoints=17,
+                pose_fn=make_topdown_pose_fn(
+                    pmodel_g, pv, crop_size=(256, 192),
+                    compute_dtype=jnp.bfloat16),
+                return_detections=False)
+
+        fused_g = jax.jit(build_gsr)
+        bench_calls(lambda v: fused_g(v, kvars, pvars_g, variables)[4],
+                    video[:F_G], F_G,
                     "detect_pose_kpr_bpbreid", chunk=G_CHUNK)
 
     extra("detect_pose_kpr_bpbreid", 300, gsr)
@@ -470,22 +478,27 @@ def main():
         kvars = kpr.init(jax.random.PRNGKey(3),
                          jnp.zeros((1, 384, 128, 3)),
                          jnp.zeros((1, 384, 128, 7)), train=False)
-        embed_p = make_kpr_embed_fn(kpr, kvars, crop_size=(384, 128),
-                                    compute_dtype=jnp.bfloat16)
-        detect_p = make_yolox_detect_fn(
-            model, variables, conf_threshold=conf_cal,
-            iou_threshold=0.65, max_dets=32,
-            compute_dtype=jnp.bfloat16)
         pcfg = BPBReIDStrongSortConfig(
             motion_criterium="iou", n_parts=6, embed_dim=512,
             n_init=1, max_tracks=64, max_dets=32)
         F_P = 8 * P_CHUNK
-        fused_p = jax.jit(lambda f: fused_detect_parts_track(
-            detect_p, embed_p, partial(bpbreid_step, pcfg),
-            bpbreid_init(pcfg), f, chunk=P_CHUNK, min_confidence=0.4,
-            n_parts=6, embed_dim=512, n_keypoints=17,
-            return_detections=False))
-        bench_calls(lambda v: fused_p(v)[4], video[:F_P], F_P,
+
+        # weights as jit arguments, not closures — see the GSR note
+        def build_parts(f, kv, dv):
+            return fused_detect_parts_track(
+                make_yolox_detect_fn(model, dv, conf_threshold=conf_cal,
+                                     iou_threshold=0.65, max_dets=32,
+                                     compute_dtype=jnp.bfloat16),
+                make_kpr_embed_fn(kpr, kv, crop_size=(384, 128),
+                                  compute_dtype=jnp.bfloat16),
+                partial(bpbreid_step, pcfg), bpbreid_init(pcfg), f,
+                chunk=P_CHUNK, min_confidence=0.4, n_parts=6,
+                embed_dim=512, n_keypoints=17,
+                return_detections=False)
+
+        fused_p = jax.jit(build_parts)
+        bench_calls(lambda v: fused_p(v, kvars, variables)[4],
+                    video[:F_P], F_P,
                     "detect_parts_track", chunk=P_CHUNK)
 
     extra("detect_parts_track", 300, parts)

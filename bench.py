@@ -448,6 +448,7 @@ def main():
                                      iou_threshold=0.65, max_dets=G_DETS,
                                      compute_dtype=jnp.bfloat16),
                 make_kpr_embed_fn(kpr, kv, crop_size=(384, 128),
+                                  n_prompt_ch=kpr.n_prompt_ch,
                                   compute_dtype=jnp.bfloat16),
                 partial(bpbreid_step, gcfg), bpbreid_init(gcfg), f,
                 chunk=G_CHUNK, min_confidence=0.4, n_parts=6,
@@ -490,6 +491,7 @@ def main():
                                      iou_threshold=0.65, max_dets=32,
                                      compute_dtype=jnp.bfloat16),
                 make_kpr_embed_fn(kpr, kv, crop_size=(384, 128),
+                                  n_prompt_ch=kpr.n_prompt_ch,
                                   compute_dtype=jnp.bfloat16),
                 partial(bpbreid_step, pcfg), bpbreid_init(pcfg), f,
                 chunk=P_CHUNK, min_confidence=0.4, n_parts=6,

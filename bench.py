@@ -456,6 +456,11 @@ def main():
                 pose_fn=make_topdown_pose_fn(
                     pmodel_g, pv, crop_size=(256, 192),
                     compute_dtype=jnp.bfloat16),
+                # live-prefix compaction of the pose+ViT stage: ~20
+                # coherent detections -> the 24-wide branch runs 0.75x
+                # the crop batch (output-identical, tested in
+                # test_fused_pipeline/test_fused_mesh)
+                embed_buckets=(24, G_DETS),
                 return_detections=False)
 
         fused_g = jax.jit(build_gsr)
@@ -496,6 +501,7 @@ def main():
                 partial(bpbreid_step, pcfg), bpbreid_init(pcfg), f,
                 chunk=P_CHUNK, min_confidence=0.4, n_parts=6,
                 embed_dim=512, n_keypoints=17,
+                embed_buckets=(24, 32),  # see the GSR note
                 return_detections=False)
 
         fused_p = jax.jit(build_parts)

@@ -150,3 +150,170 @@ def test_reid_sharded_equals_per_video(tiny):
                                    rtol=1e-5, atol=1e-4)
         any_tracks = any_tracks or bool(np.asarray(o1.valid).any())
     assert any_tracks, "no tracker output anywhere — vacuous test"
+
+
+def test_pose_sharded_equals_per_video(tiny):
+    """The fused detect->pose->track program sharded one video per device
+    == the single-video fused program (multi-chip story for BASELINE
+    config 3's pose-tracking shape)."""
+    from tracklab_tpu.engine.fused import (fused_detect_pose_track,
+                                           make_topdown_pose_fn)
+    from tracklab_tpu.models.pose import TopDownPose
+    from tracklab_tpu.parallel.fused_mesh import fused_pose_videos_sharded
+
+    detect, cfg = tiny
+    K = 5
+    pmodel = TopDownPose(num_keypoints=K, variant="nano")
+    pvars = pmodel.init(jax.random.PRNGKey(2),
+                        jnp.zeros((1, 64, 48, 3)), train=False)
+    pose_fn = make_topdown_pose_fn(pmodel, pvars, crop_size=(64, 48),
+                                   num_keypoints=K)
+    mesh = make_mesh(8, axis_names=("dp", "tp"), tp_size=1)
+    V, F, chunk = 8, 8, 4
+    frames = _videos(V, F, seed=5)
+    frame_valid = np.ones((V, F), bool)
+    frame_valid[-1, -2:] = False
+    frame_valid = jnp.asarray(frame_valid)
+
+    run = fused_pose_videos_sharded(
+        detect, pose_fn, partial(ocsort_step, cfg), ocsort_init(cfg),
+        mesh, chunk, min_confidence=0.2, pose_buckets=(4, 8, 16))
+    finals, _, kp, outs = run(frames, frame_valid)
+    assert kp.shape[:2] == (V, F)
+
+    single = jax.jit(lambda f, fv: fused_detect_pose_track(
+        detect, pose_fn, partial(ocsort_step, cfg), ocsort_init(cfg),
+        f, chunk, frame_valid=fv, min_confidence=0.2,
+        pose_buckets=(4, 8, 16)))
+    any_tracks = False
+    for v in range(V):
+        _, _, k1, o1 = single(frames[v], frame_valid[v])
+        np.testing.assert_allclose(np.asarray(kp[v]), np.asarray(k1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(outs.valid[v]),
+                                      np.asarray(o1.valid))
+        np.testing.assert_array_equal(np.asarray(outs.track_id[v]),
+                                      np.asarray(o1.track_id))
+        any_tracks = any_tracks or bool(np.asarray(o1.valid).any())
+    assert any_tracks, "no tracker output anywhere — vacuous test"
+
+
+def test_parts_sharded_equals_per_video(tiny):
+    """The FULL fused game-state prefix (detect -> pose -> prompted KPR
+    -> OKS-BPBReID, with live-prefix embed_buckets) sharded one video
+    per device == the single-video fused program — the reference's
+    flagship pipeline shape gets the same multi-chip story as
+    detect->track."""
+    from tracklab_tpu.engine.fused import (fused_detect_parts_track,
+                                           make_kpr_embed_fn,
+                                           make_topdown_pose_fn)
+    from tracklab_tpu.models.kpr import KPR
+    from tracklab_tpu.models.pose import TopDownPose
+    from tracklab_tpu.parallel.fused_mesh import (
+        fused_parts_videos_sharded)
+    from tracklab_tpu.trackers.bpbreid_strongsort import (
+        BPBReIDStrongSortConfig, bpbreid_init, bpbreid_step)
+
+    detect, _ = tiny
+    K = 5
+    kpr = KPR(num_parts=2, dim_reduce_output=16, img_size=(32, 16),
+              patch_size=8, stride=8, embed_dim=32, depth=1, num_heads=2)
+    kvars = kpr.init(jax.random.PRNGKey(3),
+                     jnp.zeros((1, 32, 16, 3)),
+                     jnp.zeros((1, 32, 16, kpr.n_prompt_ch)), train=False)
+    embed = make_kpr_embed_fn(kpr, kvars, crop_size=(32, 16),
+                              n_prompt_ch=kpr.n_prompt_ch)
+    pmodel = TopDownPose(num_keypoints=K, variant="nano")
+    pvars = pmodel.init(jax.random.PRNGKey(2),
+                        jnp.zeros((1, 64, 48, 3)), train=False)
+    pose_fn = make_topdown_pose_fn(pmodel, pvars, crop_size=(64, 48),
+                                   num_keypoints=K)
+    # iou association, not oks: random-weight pose keypoints give
+    # OKS ~ 0 similarity, which gates EVERY match and leaves the
+    # tracker output vacuously empty (probed). The pose -> prompted-KPR
+    # prefix is exercised either way.
+    cfg = BPBReIDStrongSortConfig(
+        motion_criterium="iou", n_parts=3, embed_dim=16, n_keypoints=K,
+        max_tracks=16, max_dets=16, n_init=1, max_dist=0.8)
+    mesh = make_mesh(8, axis_names=("dp", "tp"), tp_size=1)
+    V, F, chunk = 8, 8, 4
+    frames = _videos(V, F, seed=7)
+    frame_valid = np.ones((V, F), bool)
+    frame_valid[-1, -2:] = False
+    frame_valid = jnp.asarray(frame_valid)
+
+    kwargs = dict(min_confidence=0.2, n_parts=3, embed_dim=16,
+                  n_keypoints=K, pose_fn=pose_fn,
+                  embed_buckets=(4, 8, 16), return_embeddings=True)
+    run = fused_parts_videos_sharded(
+        detect, embed, partial(bpbreid_step, cfg), bpbreid_init(cfg),
+        mesh, chunk, **kwargs)
+    finals, _, reid, kp, outs = run(frames, frame_valid)
+    assert reid["embeddings"].shape[:2] == (V, F)
+
+    single = jax.jit(lambda f, fv: fused_detect_parts_track(
+        detect, embed, partial(bpbreid_step, cfg), bpbreid_init(cfg),
+        f, chunk, frame_valid=fv, **kwargs))
+    any_tracks = False
+    for v in range(V):
+        _, _, r1, k1, o1 = single(frames[v], frame_valid[v])
+        np.testing.assert_allclose(np.asarray(reid["embeddings"][v]),
+                                   np.asarray(r1["embeddings"]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(kp[v]), np.asarray(k1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(outs.valid[v]),
+                                      np.asarray(o1.valid))
+        np.testing.assert_array_equal(np.asarray(outs.track_id[v]),
+                                      np.asarray(o1.track_id))
+        any_tracks = any_tracks or bool(np.asarray(o1.valid).any())
+    assert any_tracks, "no tracker output anywhere — vacuous test"
+
+
+def test_bottomup_sharded_equals_per_video():
+    """The fused bottom-up pose program (boxes from keypoints -> tracker)
+    sharded one video per device == the single-video fused program."""
+    from tracklab_tpu.engine.fused import (fused_bottomup_track,
+                                           make_bottomup_detect_fn)
+    from tracklab_tpu.models.pose import YOLOXPose
+    from tracklab_tpu.parallel.fused_mesh import (
+        fused_bottomup_videos_sharded)
+
+    K = 5
+    bmodel = YOLOXPose(num_classes=1, num_keypoints=K, variant="nano")
+    bvars = bmodel.init(jax.random.PRNGKey(5),
+                        jnp.zeros((1, 128, 128, 3)), train=False)
+    bdetect = make_bottomup_detect_fn(
+        lambda imgs: bmodel.predict(bvars, imgs),
+        conf_threshold=0.3, iou_threshold=0.65, max_dets=16)
+    cfg = OCSortConfig(max_tracks=32, max_dets=16, min_hits=1,
+                       det_thresh=0.1)
+    mesh = make_mesh(8, axis_names=("dp", "tp"), tp_size=1)
+    V, F, chunk = 8, 8, 4
+    frames = _videos(V, F, seed=9)
+    frame_valid = np.ones((V, F), bool)
+    frame_valid[-1, -2:] = False
+    frame_valid = jnp.asarray(frame_valid)
+
+    run = fused_bottomup_videos_sharded(
+        bdetect, partial(ocsort_step, cfg), ocsort_init(cfg), mesh,
+        chunk, return_detections=True)
+    finals, dets, kp, outs = run(frames, frame_valid)
+    assert kp.shape[:2] == (V, F)
+
+    single = jax.jit(lambda f, fv: fused_bottomup_track(
+        bdetect, partial(ocsort_step, cfg), ocsort_init(cfg), f, chunk,
+        frame_valid=fv, return_detections=True))
+    any_tracks = False
+    for v in range(V):
+        _, d1, k1, o1 = single(frames[v], frame_valid[v])
+        np.testing.assert_array_equal(np.asarray(dets.valid[v]),
+                                      np.asarray(d1.valid))
+        np.testing.assert_allclose(np.asarray(kp[v]), np.asarray(k1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(outs.valid[v]),
+                                      np.asarray(o1.valid))
+        np.testing.assert_array_equal(np.asarray(outs.track_id[v]),
+                                      np.asarray(o1.track_id))
+        any_tracks = any_tracks or bool(np.asarray(o1.valid).any())
+    assert any_tracks, "no tracker output anywhere — vacuous test"

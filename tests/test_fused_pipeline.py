@@ -351,6 +351,85 @@ def test_fused_pose_buckets_exact(tiny_yolox):
                                   np.asarray(o0.track_id)[ov])
 
 
+@pytest.mark.parametrize("with_pose", [False, True])
+def test_fused_parts_buckets_exact(tiny_yolox, with_pose):
+    """embed_buckets live-prefix compaction is output-identical for the
+    KPR parts program — promptless (detect->KPR->BPBReID) and the FULL
+    prompted shape (detect->pose->KPR->OKS-BPBReID), where the pose and
+    KPR stages are compacted together inside ONE lax.switch."""
+    from tracklab_tpu.engine.fused import (fused_detect_parts_track,
+                                           make_kpr_embed_fn,
+                                           make_topdown_pose_fn)
+    from tracklab_tpu.models.kpr import KPR
+    from tracklab_tpu.trackers.bpbreid_strongsort import (
+        BPBReIDStrongSortConfig, bpbreid_init, bpbreid_step)
+
+    det_model, det_vars = tiny_yolox
+    F, chunk, D, K = 8, 4, 12, 5
+    frames = _static_frames(F, seed=11)
+    probe = make_yolox_detect_fn(det_model, det_vars,
+                                 conf_threshold=0.0, max_dets=D)
+    pd_ = jax.jit(lambda f: probe(f, None))(frames)
+    scores = np.sort(np.asarray(pd_.conf)[np.asarray(pd_.valid)])[::-1]
+    conf_cal = float(scores[min(F * D // 2, len(scores) - 1)])
+    detect = make_yolox_detect_fn(det_model, det_vars,
+                                  conf_threshold=conf_cal, max_dets=D)
+
+    kpr = KPR(num_parts=2, dim_reduce_output=16, img_size=(32, 16),
+              patch_size=8, stride=8, embed_dim=32, depth=1, num_heads=2)
+    kvars = kpr.init(jax.random.PRNGKey(3),
+                     jnp.zeros((1, 32, 16, 3)),
+                     jnp.zeros((1, 32, 16, kpr.n_prompt_ch)), train=False)
+    embed = make_kpr_embed_fn(kpr, kvars, crop_size=(32, 16),
+                              n_prompt_ch=kpr.n_prompt_ch)
+
+    pose_fn = None
+    if with_pose:
+        from tracklab_tpu.models.pose import TopDownPose
+        pmodel = TopDownPose(num_keypoints=K, variant="nano")
+        pvars = pmodel.init(jax.random.PRNGKey(2),
+                            jnp.zeros((1, 64, 48, 3)), train=False)
+        pose_fn = make_topdown_pose_fn(pmodel, pvars, crop_size=(64, 48),
+                                       num_keypoints=K)
+
+    cfg = BPBReIDStrongSortConfig(
+        motion_criterium="oks" if with_pose else "iou",
+        n_parts=3, embed_dim=16, n_keypoints=K,
+        max_tracks=16, max_dets=D, n_init=1, max_dist=0.8)
+
+    def run(buckets):
+        fused = jax.jit(lambda f: fused_detect_parts_track(
+            detect, embed, partial(bpbreid_step, cfg), bpbreid_init(cfg),
+            f, chunk, min_confidence=0.2, n_parts=3, embed_dim=16,
+            n_keypoints=K, pose_fn=pose_fn, embed_buckets=buckets,
+            return_embeddings=True))
+        return fused(frames)
+
+    _, d0, r0, kp0, o0 = run(None)
+    live = int(np.asarray(d0.valid).sum(1).max())
+    assert 0 < live < D, f"need a non-trivial live prefix, got {live}"
+    _, d1, r1, kp1, o1 = run((4, 8, D))
+
+    np.testing.assert_array_equal(np.asarray(d1.valid),
+                                  np.asarray(d0.valid))
+    np.testing.assert_allclose(np.asarray(r1["embeddings"]),
+                               np.asarray(r0["embeddings"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1["visibility"]),
+                               np.asarray(r0["visibility"]),
+                               rtol=1e-5, atol=1e-6)
+    if with_pose:
+        np.testing.assert_allclose(np.asarray(kp1), np.asarray(kp0),
+                                   rtol=1e-5, atol=1e-5)
+    ov = np.asarray(o0.valid)
+    np.testing.assert_array_equal(np.asarray(o1.valid), ov)
+    np.testing.assert_array_equal(np.asarray(o1.track_id)[ov],
+                                  np.asarray(o0.track_id)[ov])
+    np.testing.assert_allclose(np.asarray(o1.ltrb)[ov],
+                               np.asarray(o0.ltrb)[ov],
+                               rtol=1e-5, atol=1e-4)
+
+
 @pytest.fixture(scope="module")
 def tiny_rtdetr():
     from tracklab_tpu.models.rtdetr_hf import RTDetrHF, RTDetrHFConfig

@@ -743,6 +743,7 @@ def fused_detect_parts_track(detect_fn, embed_fn, step_fn, init_state,
                              min_confidence: float = 0.0,
                              n_parts: int = 5, embed_dim: int = 512,
                              n_keypoints: int = 17, pose_fn=None,
+                             embed_buckets=None,
                              return_detections: bool = True,
                              return_embeddings: bool = False):
     """Detector -> NMS -> device crops [-> top-down pose] -> KPR part
@@ -768,6 +769,15 @@ def fused_detect_parts_track(detect_fn, embed_fn, step_fn, init_state,
 
     ``min_confidence`` follows the BPBReID wrapper semantics: applied
     only when > 0 (scan_tracker.py: ``if self.min_confidence > 0``).
+
+    ``embed_buckets``: optional live-prefix compaction widths (ascending,
+    last == max_dets), exactly like ``fused_detect_reid_track``'s — the
+    KPR forward (by far the most expensive stage: a ViT-B crop batch)
+    AND, when present, the pose stage run only on the smallest static
+    slot-prefix covering the chunk's max live count, inside ONE
+    ``lax.switch`` (:func:`_bucketed_embed` over the combined stage);
+    outputs are zero-padded back to max_dets, identical to what the
+    full-width program computes after its own validity masking.
 
     Returns ``(final_state, dets|None, reid|None, kp|None, outs)``.
     """
@@ -809,10 +819,27 @@ def fused_detect_parts_track(detect_fn, embed_fn, step_fn, init_state,
             boxes = jnp.concatenate([boxes[..., 0:2] * s + p,
                                      boxes[..., 2:4] * s + p], axis=-1)
 
+        # prompts are crop-relative: frame-coord keypoints + frame-coord
+        # boxes give the same maps as the staged original-coord pair
+        def stage(fr, bx):
+            if pose_fn is None:
+                return {"reid": embed_fn(fr, bx)}
+            kpf = pose_fn(fr, bx)                      # frame coords
+            return {"reid": embed_fn(fr, bx, kpf), "kp": kpf}
+
+        if embed_buckets is not None:
+            # live-prefix compaction of the WHOLE pose+KPR stage: one
+            # switch, slots beyond the bucket zero-padded back (equal to
+            # the full-width program after its validity masking below)
+            st = _bucketed_embed(stage, x["frames"], boxes,
+                                 dets.valid, tuple(embed_buckets))
+        else:
+            st = stage(x["frames"], boxes)
+        reid = st["reid"]
+        kp_frame = st.get("kp")
+
         kp_orig = None
-        kp_frame = None
-        if pose_fn is not None:
-            kp_frame = pose_fn(x["frames"], boxes)     # frame coords
+        if kp_frame is not None:
             kp_orig = kp_frame
             if "crop_meta" in x:
                 s = x["crop_meta"]["scale"][:, None, None, :]
@@ -821,11 +848,6 @@ def fused_detect_parts_track(detect_fn, embed_fn, step_fn, init_state,
                     [(kp_frame[..., 0:2] - p) / s, kp_frame[..., 2:3]],
                     axis=-1)
             kp_orig = kp_orig * dets.valid[..., None, None]
-
-        # prompts are crop-relative: frame-coord keypoints + frame-coord
-        # boxes give the same maps as the staged original-coord pair
-        reid = embed_fn(x["frames"], boxes) if pose_fn is None else \
-            embed_fn(x["frames"], boxes, kp_frame)
         reid = jax.tree_util.tree_map(
             lambda v: v * dets.valid.reshape(
                 dets.valid.shape + (1,) * (v.ndim - 2)), reid)
@@ -1108,12 +1130,13 @@ def run_fused_parts_video(detector, reid, tracker, loader, metadatas):
             feat, vis, kps = feat[:trk_D], vis[:trk_D], kps[:trk_D]
         return bpbreid_step(cfg, state, (det, feat, vis, kps, warp))
 
+    buckets = getattr(reid, "embed_buckets", None)
     runner = jax.jit(lambda f, m, cm, w, v: fused_detect_parts_track(
         detect_fn, embed_fn, step, init_state, f, chunk, meta=m,
         crop_meta=cm, warps=w, frame_valid=v,
         min_confidence=min_conf, n_parts=tracker.n_parts,
         embed_dim=tracker.embed_dim, n_keypoints=tracker.n_keypoints,
-        return_embeddings=True))
+        embed_buckets=buckets, return_embeddings=True))
     _, dets, reid_out, _, outs = runner(
         jnp.asarray(images),
         {k: jnp.asarray(v) for k, v in meta.items()},
@@ -1268,12 +1291,13 @@ def run_fused_gsr_video(detector, pose, reid, tracker, loader,
             feat, vis, kps = feat[:trk_D], vis[:trk_D], kps[:trk_D]
         return bpbreid_step(cfg, state, (det, feat, vis, kps, warp))
 
+    buckets = getattr(reid, "embed_buckets", None)
     runner = jax.jit(lambda f, m, cm, w, v: fused_detect_parts_track(
         detect_fn, embed_fn, step, init_state, f, chunk, meta=m,
         crop_meta=cm, warps=w, frame_valid=v,
         min_confidence=min_conf, n_parts=tracker.n_parts,
         embed_dim=tracker.embed_dim, n_keypoints=tracker.n_keypoints,
-        pose_fn=pose_fn, return_embeddings=True))
+        pose_fn=pose_fn, embed_buckets=buckets, return_embeddings=True))
     _, dets, reid_out, kp, outs = runner(
         jnp.asarray(images),
         {k: jnp.asarray(v) for k, v in meta.items()},
@@ -1374,11 +1398,12 @@ def run_fused_reid_video(detector, reid, tracker, loader, metadatas):
             emb = emb[:trk_D]
         return base_step(cfg, state, (det, emb, warp))
 
+    buckets = getattr(reid, "embed_buckets", None)
     runner = jax.jit(lambda f, m, cm, w, v: fused_detect_reid_track(
         detect_fn, embed_fn, step, init_state, f, chunk, meta=m,
         crop_meta=cm, warps=w, frame_valid=v,
         min_confidence=min_conf, embed_dim=embed_dim,
-        return_embeddings=True))
+        embed_buckets=buckets, return_embeddings=True))
     _, dets, reid_out, outs = runner(
         jnp.asarray(images),
         {k: jnp.asarray(v) for k, v in meta.items()},

@@ -23,10 +23,15 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tracklab_tpu.engine.fused import (fused_detect_reid_track,
+from tracklab_tpu.engine.fused import (fused_bottomup_track,
+                                       fused_detect_parts_track,
+                                       fused_detect_pose_track,
+                                       fused_detect_reid_track,
                                        fused_detect_track)
 
-__all__ = ["fused_videos_sharded", "fused_reid_videos_sharded"]
+__all__ = ["fused_videos_sharded", "fused_reid_videos_sharded",
+           "fused_pose_videos_sharded", "fused_parts_videos_sharded",
+           "fused_bottomup_videos_sharded"]
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -42,6 +47,36 @@ def _shard_map(fn, mesh, in_specs, out_specs):
     except TypeError:
         return shard_map(fn, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_rep=False)
+
+
+def _sharded_runner(one_video, mesh: Mesh, axis: str):
+    """Common scaffolding for every fused-shape sharded builder: shard
+    the (V, ...) video axis over ``axis``, ``lax.map`` sequentially
+    within a shard (module docstring), jit, and validate/shard inputs."""
+    n_shards = mesh.shape[axis]
+    spec = P(axis)
+
+    def per_shard(frames, frame_valid):
+        return lax.map(lambda a: one_video(*a), (frames, frame_valid))
+
+    sharded = _shard_map(per_shard, mesh, in_specs=(spec, spec),
+                         out_specs=spec)
+    jitted = jax.jit(sharded)
+
+    def run(frames, frame_valid=None):
+        V = frames.shape[0]
+        if V % n_shards:
+            raise ValueError(
+                f"V ({V}) must be a multiple of mesh.shape[{axis!r}] "
+                f"({n_shards}); pad with all-False frame_valid videos")
+        if frame_valid is None:
+            frame_valid = jnp.ones(frames.shape[:2], bool)
+        sharding = NamedSharding(mesh, spec)
+        frames = jax.device_put(frames, sharding)
+        frame_valid = jax.device_put(frame_valid, sharding)
+        return jitted(frames, frame_valid)
+
+    return run
 
 
 def fused_videos_sharded(detect_fn, step_fn, init_state, mesh: Mesh,
@@ -65,38 +100,14 @@ def fused_videos_sharded(detect_fn, step_fn, init_state, mesh: Mesh,
     ragged tails. Output leaves have leading (V, ...) axes sharded over
     ``axis``: ``(final_states, dets|None, outs)``.
     """
-    n_shards = mesh.shape[axis]
-
     def one_video(frames, frame_valid):
-        final, dets, outs = fused_detect_track(
+        # sequential over this shard's videos (see module docstring)
+        return fused_detect_track(
             detect_fn, step_fn, init_state, frames, chunk,
             frame_valid=frame_valid,
             return_detections=return_detections)
-        return final, dets, outs
 
-    def per_shard(frames, frame_valid):
-        # sequential over this shard's videos (see module docstring)
-        return lax.map(lambda a: one_video(*a), (frames, frame_valid))
-
-    spec = P(axis)
-    sharded = _shard_map(per_shard, mesh, in_specs=(spec, spec),
-                         out_specs=spec)
-    jitted = jax.jit(sharded)
-
-    def run(frames, frame_valid=None):
-        V = frames.shape[0]
-        if V % n_shards:
-            raise ValueError(
-                f"V ({V}) must be a multiple of mesh.shape[{axis!r}] "
-                f"({n_shards}); pad with all-False frame_valid videos")
-        if frame_valid is None:
-            frame_valid = jnp.ones(frames.shape[:2], bool)
-        sharding = NamedSharding(mesh, spec)
-        frames = jax.device_put(frames, sharding)
-        frame_valid = jax.device_put(frame_valid, sharding)
-        return jitted(frames, frame_valid)
-
-    return run
+    return _sharded_runner(one_video, mesh, axis)
 
 
 def fused_reid_videos_sharded(detect_fn, embed_fn, step_fn, init_state,
@@ -116,8 +127,6 @@ def fused_reid_videos_sharded(detect_fn, embed_fn, step_fn, init_state,
     output leaves carry leading (V, ...) axes sharded over ``axis``:
     ``(final_states, dets|None, emb|None, outs)``.
     """
-    n_shards = mesh.shape[axis]
-
     def one_video(frames, frame_valid):
         return fused_detect_reid_track(
             detect_fn, embed_fn, step_fn, init_state, frames, chunk,
@@ -125,25 +134,83 @@ def fused_reid_videos_sharded(detect_fn, embed_fn, step_fn, init_state,
             embed_dim=embed_dim, return_detections=return_detections,
             return_embeddings=return_embeddings)
 
-    def per_shard(frames, frame_valid):
-        return lax.map(lambda a: one_video(*a), (frames, frame_valid))
+    return _sharded_runner(one_video, mesh, axis)
 
-    spec = P(axis)
-    sharded = _shard_map(per_shard, mesh, in_specs=(spec, spec),
-                         out_specs=spec)
-    jitted = jax.jit(sharded)
 
-    def run(frames, frame_valid=None):
-        V = frames.shape[0]
-        if V % n_shards:
-            raise ValueError(
-                f"V ({V}) must be a multiple of mesh.shape[{axis!r}] "
-                f"({n_shards}); pad with all-False frame_valid videos")
-        if frame_valid is None:
-            frame_valid = jnp.ones(frames.shape[:2], bool)
-        sharding = NamedSharding(mesh, spec)
-        frames = jax.device_put(frames, sharding)
-        frame_valid = jax.device_put(frame_valid, sharding)
-        return jitted(frames, frame_valid)
+def fused_pose_videos_sharded(detect_fn, pose_fn, step_fn, init_state,
+                              mesh: Mesh, chunk: int, axis: str = "dp",
+                              min_confidence: float = 0.0,
+                              pose_buckets=None,
+                              return_detections: bool = False):
+    """Multi-chip runner for the fused detect -> top-down pose -> tracker
+    program (:func:`tracklab_tpu.engine.fused.fused_detect_pose_track` —
+    BASELINE config 3's pose-tracking shape), one video per device.
 
-    return run
+    Returns ``run(frames, frame_valid=None)`` over (V, F, H, W, 3);
+    output leaves carry leading (V, ...) axes sharded over ``axis``:
+    ``(final_states, dets|None, keypoints (V, F, D, K, 3), outs)``.
+    """
+    def one_video(frames, frame_valid):
+        return fused_detect_pose_track(
+            detect_fn, pose_fn, step_fn, init_state, frames, chunk,
+            frame_valid=frame_valid, min_confidence=min_confidence,
+            pose_buckets=pose_buckets,
+            return_detections=return_detections)
+
+    return _sharded_runner(one_video, mesh, axis)
+
+
+def fused_parts_videos_sharded(detect_fn, embed_fn, step_fn, init_state,
+                               mesh: Mesh, chunk: int, axis: str = "dp",
+                               min_confidence: float = 0.0,
+                               n_parts: int = 5, embed_dim: int = 512,
+                               n_keypoints: int = 17, pose_fn=None,
+                               embed_buckets=None,
+                               return_detections: bool = False,
+                               return_embeddings: bool = False):
+    """Multi-chip runner for the fused KPR part-based programs
+    (:func:`tracklab_tpu.engine.fused.fused_detect_parts_track`): the
+    promptless detect -> KPR parts -> BPBReID shape, and — with
+    ``pose_fn`` — the FULL game-state prefix detect -> pose ->
+    keypoint-PROMPTED KPR -> OKS-BPBReID. One video per device; the
+    ViT-B KPR params replicate via GSPMD like every other closure (for
+    real checkpoints prefer threading params as jit arguments at the
+    call site — BASELINE.md r4 note on closure-captured ViT-B weights).
+
+    Returns ``run(frames, frame_valid=None)`` over (V, F, H, W, 3);
+    output leaves carry leading (V, ...) axes sharded over ``axis``:
+    ``(final_states, dets|None, reid|None, kp|None, outs)``.
+    """
+    def one_video(frames, frame_valid):
+        return fused_detect_parts_track(
+            detect_fn, embed_fn, step_fn, init_state, frames, chunk,
+            frame_valid=frame_valid, min_confidence=min_confidence,
+            n_parts=n_parts, embed_dim=embed_dim,
+            n_keypoints=n_keypoints, pose_fn=pose_fn,
+            embed_buckets=embed_buckets,
+            return_detections=return_detections,
+            return_embeddings=return_embeddings)
+
+    return _sharded_runner(one_video, mesh, axis)
+
+
+def fused_bottomup_videos_sharded(detect_fn, step_fn, init_state,
+                                  mesh: Mesh, chunk: int,
+                                  axis: str = "dp",
+                                  min_confidence: float = 0.0,
+                                  return_detections: bool = False):
+    """Multi-chip runner for the fused bottom-up pose program
+    (:func:`tracklab_tpu.engine.fused.fused_bottomup_track`: pose model
+    emitting boxes-from-keypoints -> tracker), one video per device.
+
+    Returns ``run(frames, frame_valid=None)`` over (V, F, H, W, 3);
+    output leaves carry leading (V, ...) axes sharded over ``axis``:
+    ``(final_states, dets|None, keypoints, outs)``.
+    """
+    def one_video(frames, frame_valid):
+        return fused_bottomup_track(
+            detect_fn, step_fn, init_state, frames, chunk,
+            frame_valid=frame_valid, min_confidence=min_confidence,
+            return_detections=return_detections)
+
+    return _sharded_runner(one_video, mesh, axis)

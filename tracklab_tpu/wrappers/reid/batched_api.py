@@ -39,7 +39,7 @@ class OSNetReIdBatched(ImageLevelModule):
                  work_size=(736, 1280), max_dets: int = 32,
                  batch_size: int = 4, use_parts: bool = True,
                  ibn: bool = False, checkpoint_path: str | None = None,
-                 device=None, **kwargs):
+                 device=None, embed_buckets=None, **kwargs):
         super().__init__(batch_size)
         self.variant = variant
         self.feat_dim = feat_dim
@@ -50,6 +50,11 @@ class OSNetReIdBatched(ImageLevelModule):
         self.use_parts = use_parts
         self.ibn = ibn
         self.checkpoint_path = checkpoint_path
+        # live-prefix compaction widths for the fused engine path
+        # (engine/fused.py:fused_detect_reid_track embed_buckets —
+        # output-identical; None = embed every slot)
+        self.embed_buckets = (tuple(embed_buckets)
+                              if embed_buckets else None)
         self._infer = None
         self.variables = None
 

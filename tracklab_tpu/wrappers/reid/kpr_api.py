@@ -64,6 +64,7 @@ class KPReId(DetectionLevelModule):
                  use_keypoints: bool = True,
                  vis_thresh: float = 0.3,
                  checkpoint_path: str | None = None, device=None,
+                 embed_buckets=None,
                  **kwargs):
         super().__init__(batch_size)
         self.crop_h, self.crop_w = crop_size
@@ -78,6 +79,11 @@ class KPReId(DetectionLevelModule):
         self.use_keypoints = use_keypoints
         self.vis_thresh = vis_thresh
         self.checkpoint_path = checkpoint_path
+        # live-prefix compaction widths for the fused engine path
+        # (engine/fused.py:fused_detect_parts_track embed_buckets —
+        # output-identical; None = embed every slot)
+        self.embed_buckets = (tuple(embed_buckets)
+                              if embed_buckets else None)
         self.variables = None
         self._infer = None
         if use_keypoints:

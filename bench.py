@@ -149,34 +149,44 @@ def main():
     note(phase="start", budget_s=BUDGET_S,
          devices=[str(d) for d in jax.devices()])
 
-    # ---- tracker stage (micro): OC-SORT scan over a full video.
-    # Cheapest compile first — one half of the derived fallback number.
-    n_frames = 512
-    cfg = OCSortConfig(max_tracks=64, max_dets=32, min_hits=1)
-    dets = tracker_stream(n_frames, 20, cfg.max_dets)
-    scan = jax.jit(lambda d: ocsort_scan(cfg, d))
-    # NOTE: timings force a host transfer per rep (np.asarray) because
-    # block_until_ready is unreliable through remote-device tunnels.
-    _, o = scan(dets)
-    np.asarray(o.valid).sum()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        _, o = scan(dets)
-        np.asarray(o.valid).sum()
-    trk_fps = n_frames / ((time.perf_counter() - t0) / reps)
-    note(phase="tracker_scan", fps=round(trk_fps, 1))
-
-    # ---- detector stage: YOLOX-s bf16, batch of frames ----
+    # CRITICAL-PATH DISCIPLINE (r4: a degraded tunnel run showed the
+    # old ordering spending 1092 s on the tracker-scan phase before the
+    # headline): the ONLY work ahead of the stdout headline is
+    # (a) staging the headline video — in a BACKGROUND thread so the
+    #     ~1.8 GB tunnel transfer overlaps the detector compile,
+    # (b) the detector compile, whose warmup call doubles as the NMS
+    #     calibration read and whose single timed rep arms an honest
+    #     early fallback, and
+    # (c) the fused-program compile + measurement itself.
+    # Stage micro-rates (tracker scan, detector reps) run AFTER.
     BATCH = 384  # r2 sweep: bs=256 2165, bs=320 2182, bs=384 2371 img/s
     # (HBM-bound; r3 fused stem lifted it further). NMS postprocess is a
     # net WIN: it shrinks the program output from the 51 MB decoded
     # tensor to fixed (B, 32) detections.
     H = W = 640
+    n_chunks = 4
+    F = n_chunks * BATCH  # 1536 frames ~ one MOT17 video, 1.8 GB uint8
+
+    # Stage the video as uint8 ON THE HOST before device_put: the naive
+    # jnp.asarray(base + noise, uint8) built a 14.7 GB int64 intermediate
+    # and risked shipping int64 through the ~17 MB/s tunnel (~790 s of
+    # dead time before the r4b headline). uint8 end-to-end: 255 max
+    # (234 + 19) so the sum cannot wrap.
+    _staged: dict = {}
+
+    def _stage_video():
+        rng1 = np.random.default_rng(1)
+        base = rng1.integers(0, 235, (1, H, W, 3), dtype=np.uint8)
+        noise = rng1.integers(0, 20, (F, H, W, 3), dtype=np.uint8)
+        _staged["video"] = jax.device_put(base + noise)
+        np.asarray(_staged["video"][0, 0, 0]).sum()  # force completion
+
+    stager = threading.Thread(target=_stage_video, daemon=True)
+    stager.start()
+
+    # ---- detector compile (overlapped with the staging thread) ----
+    cfg = OCSortConfig(max_tracks=64, max_dets=32, min_hits=1)
     model = YOLOX(num_classes=1, variant="s", dtype=jnp.bfloat16)
-    # stage frames as uint8 (the camera-native dtype): the detector is
-    # HBM-bandwidth bound; the cast to bf16 happens on device
-    images = jnp.asarray(np.random.default_rng(0).integers(
-        0, 255, (BATCH, H, W, 3), dtype=np.uint8))
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, H, W, 3)), train=False)
 
@@ -187,17 +197,24 @@ def main():
                                       max_out=32)
 
     det_fn = jax.jit(detect)
-    np.asarray(det_fn(images)["valid"]).sum()
+    # warm the compile on device-materialized zeros (no host transfer,
+    # same shape/dtype as the video slices -> one compile total)
+    np.asarray(det_fn(jnp.zeros((BATCH, H, W, 3), jnp.uint8))
+               ["valid"]).sum()
+    note(phase="detector_compiled")
+    stager.join()
+    video = _staged["video"]
+    note(phase="video_staged", gb=round(video.nbytes / 2**30, 2))
+
+    # one timed detector rep: arms the watchdog with a MEASURED number
+    # before the fused compile starts. Clearly labeled as the detector
+    # stage alone (the fused e2e has historically been ~0.9x of it).
     t0 = time.perf_counter()
-    for _ in range(reps):
-        np.asarray(det_fn(images)["valid"]).sum()
-    det_dt = (time.perf_counter() - t0) / reps
-    det_fps = BATCH / det_dt
-    # stage-derived fallback: serial detector+tracker harmonic (the r1/r2
-    # headline methodology) — replaced by the fused measurement below.
-    set_fallback(1.0 / (1.0 / det_fps + 1.0 / trk_fps),
-                 "fallback_derived_stages")
-    note(phase="detector", fps=round(det_fps, 1), batch=BATCH)
+    cal_out = det_fn(video[:BATCH])
+    np.asarray(cal_out["valid"]).sum()
+    det_quick = BATCH / (time.perf_counter() - t0)
+    set_fallback(det_quick, "fallback_detector_stage_only")
+    note(phase="detector_quick", fps=round(det_quick, 1), batch=BATCH)
 
     # ---- THE e2e metric: the fused single-program pipeline ----
     # frames -> detector -> NMS -> tracker state carried across chunks,
@@ -211,21 +228,9 @@ def main():
     # reported separately AFTER the headline. The NMS threshold is
     # auto-calibrated so ~20 detections/frame survive: the same
     # 20-object load as the tracker micro-bench.
-    n_chunks = 4
-    F = n_chunks * BATCH  # 1536 frames ~ one MOT17 video, 1.8 GB uint8
-    rng1 = np.random.default_rng(1)
-    # Stage the video as uint8 ON THE HOST before device_put: the naive
-    # jnp.asarray(base + noise, uint8) built a 14.7 GB int64 intermediate
-    # and risked shipping int64 through the ~17 MB/s tunnel (~790 s of
-    # dead time before the r4b headline). uint8 end-to-end: 255 max
-    # (234 + 19) so the sum cannot wrap.
-    base = rng1.integers(0, 235, (1, H, W, 3), dtype=np.uint8)
-    noise = rng1.integers(0, 20, (F, H, W, 3), dtype=np.uint8)
-    video = jnp.asarray(base + noise)
-    note(phase="video_staged", gb=round(video.nbytes / 2**30, 2))
     # calibrate: threshold between the 20th and 21st best NMS'd score on
-    # frame 0, read from the ALREADY-COMPILED bs=384 det_fn (same shape/
-    # dtype as `images` -> zero new compiles). The r3 bench compiled a
+    # frame 0, read from the ALREADY-COMPILED bs=384 det_fn (the timed
+    # rep above — zero new compiles). The r3 bench compiled a
     # bs=1 raw-predict probe for this, which cost a 31-minute cold
     # remote compile — the single largest item on the critical path.
     # det_fn thresholds at 0.3 pre-NMS and keeps the top-32 survivors;
@@ -233,7 +238,6 @@ def main():
     # detections survive in the fused program (same iou_threshold=0.65).
     # Deterministic seeds + weights -> stable value across runs, so the
     # fused program hash stays cacheable.
-    cal_out = det_fn(video[:BATCH])
     cal_valid = np.asarray(cal_out["valid"][0])
     cal_s = np.sort(np.asarray(cal_out["score"][0])[cal_valid])[::-1]
     if cal_s.size >= 21:
@@ -244,6 +248,20 @@ def main():
         conf_cal = 0.3
     note(phase="calibrated", conf=conf_cal, frame0_dets=int(cal_valid.sum()))
 
+    def timed_reps(once, cap_s=60.0):
+        """Up to `reps` timed calls, stopping early once `cap_s` of
+        wall clock is spent (>=1 rep always): a degraded tunnel turns
+        5 reps of a 3 s dispatch into 5 minutes — when dispatch is that
+        slow the extra reps add no fidelity, only budget burn."""
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(reps):
+            once()
+            n += 1
+            if time.perf_counter() - t0 > cap_s:
+                break
+        return (time.perf_counter() - t0) / n, n
+
     def run_fused(video, conf, tag):
         detect_fn = make_yolox_detect_fn(
             model, variables, conf_threshold=conf, iou_threshold=0.65,
@@ -253,13 +271,14 @@ def main():
             chunk=BATCH, return_detections=False))
         _, _, out = fused(video)
         per_frame = float(np.asarray(out.valid).sum(1).mean())
-        t0 = time.perf_counter()
-        for _ in range(reps):
+
+        def once():
             _, _, out = fused(video)
             np.asarray(out.valid).sum()
-        dt = (time.perf_counter() - t0) / reps
+
+        dt, n = timed_reps(once)
         note(fused_variant=tag, fps=round(F / dt, 1),
-             tracks_per_frame=round(per_frame, 1))
+             tracks_per_frame=round(per_frame, 1), reps=n)
         return F / dt
 
     e2e_fps = run_fused(video, conf_cal, "coherent_20obj")
@@ -272,6 +291,34 @@ def main():
         "vs_baseline": round(e2e_fps / TARGET_FPS, 3),
         "mode": "fused_measured",
     })
+    # ---- stage micro-rates (post-headline: they feed notes and the
+    # int8 extra, not the stdout line). Detector reps on i.i.d. random
+    # frames (the r1-r3 methodology, comparable across rounds).
+    images = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (BATCH, H, W, 3), dtype=np.uint8))
+    np.asarray(det_fn(images)["valid"]).sum()
+    det_dt, _n = timed_reps(
+        lambda: np.asarray(det_fn(images)["valid"]).sum())
+    det_fps = BATCH / det_dt
+    note(phase="detector", fps=round(det_fps, 1), batch=BATCH, reps=_n)
+
+    # tracker stage (micro): OC-SORT scan over a full video.
+    n_frames = 512
+    dets = tracker_stream(n_frames, 20, cfg.max_dets)
+    scan = jax.jit(lambda d: ocsort_scan(cfg, d))
+    # NOTE: timings force a host transfer per rep (np.asarray) because
+    # block_until_ready is unreliable through remote-device tunnels.
+    _, o = scan(dets)
+    np.asarray(o.valid).sum()
+
+    def _scan_once():
+        _, o = scan(dets)
+        np.asarray(o.valid).sum()
+
+    scan_dt, _n = timed_reps(_scan_once)
+    trk_fps = n_frames / scan_dt
+    note(phase="tracker_scan", fps=round(trk_fps, 1), reps=_n)
+
     note(detector_fps=round(det_fps, 1),
          tracker_scan_fps=round(trk_fps, 1),
          e2e_mode="fused_single_program", e2e_frames=F, e2e_chunk=BATCH)
@@ -296,11 +343,9 @@ def main():
             np.asarray(v).sum()
 
         force(fn(arg))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            force(fn(arg))
-        dt = (time.perf_counter() - t0) / reps
-        note(fused_variant=tag, fps=round(n_out_frames / dt, 1), **kv)
+        dt, n = timed_reps(lambda: force(fn(arg)))
+        note(fused_variant=tag, fps=round(n_out_frames / dt, 1),
+             reps=n, **kv)
         return n_out_frames / dt
 
     # adversarial saturation: i.i.d. frames -> 32 incoherent dets/frame,

@@ -149,6 +149,23 @@ def main():
     note(phase="start", budget_s=BUDGET_S,
          devices=[str(d) for d in jax.devices()])
 
+    # ---- dispatch-floor regime stamp (VERDICT r4 weak item 3): the
+    # axon tunnel's per-dispatch cost drifts (observed 25 ms .. 7x
+    # degraded); every measurement below carries the floor measured
+    # NEXT TO IT so cross-round comparisons can tell a slow chip from a
+    # slow tunnel. On real TPU hosts the floor is ~0.1-0.5 ms.
+    _floor_fn = jax.jit(lambda x: x + 1)
+    _floor_x = jax.device_put(np.zeros((8,), np.float32))
+    np.asarray(_floor_fn(_floor_x)).sum()  # compile
+
+    def floor_ms(n: int = 3) -> float:
+        ts = []
+        for _ in range(n):
+            t = time.perf_counter()
+            np.asarray(_floor_fn(_floor_x)).sum()
+            ts.append(time.perf_counter() - t)
+        return round(sorted(ts)[len(ts) // 2] * 1000, 1)
+
     # CRITICAL-PATH DISCIPLINE (r4: a degraded tunnel run showed the
     # old ordering spending 1092 s on the tracker-scan phase before the
     # headline): the ONLY work ahead of the stdout headline is
@@ -214,7 +231,8 @@ def main():
     np.asarray(cal_out["valid"]).sum()
     det_quick = BATCH / (time.perf_counter() - t0)
     set_fallback(det_quick, "fallback_detector_stage_only")
-    note(phase="detector_quick", fps=round(det_quick, 1), batch=BATCH)
+    note(phase="detector_quick", fps=round(det_quick, 1), batch=BATCH,
+         floor_ms=floor_ms())
 
     # ---- THE e2e metric: the fused single-program pipeline ----
     # frames -> detector -> NMS -> tracker state carried across chunks,
@@ -278,7 +296,8 @@ def main():
 
         dt, n = timed_reps(once)
         note(fused_variant=tag, fps=round(F / dt, 1),
-             tracks_per_frame=round(per_frame, 1), reps=n)
+             tracks_per_frame=round(per_frame, 1), reps=n,
+             floor_ms=floor_ms())
         return F / dt
 
     e2e_fps = run_fused(video, conf_cal, "coherent_20obj")
@@ -290,6 +309,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(e2e_fps / TARGET_FPS, 3),
         "mode": "fused_measured",
+        "floor_ms": floor_ms(),
     })
     # ---- stage micro-rates (post-headline: they feed notes and the
     # int8 extra, not the stdout line). Detector reps on i.i.d. random
@@ -300,7 +320,8 @@ def main():
     det_dt, _n = timed_reps(
         lambda: np.asarray(det_fn(images)["valid"]).sum())
     det_fps = BATCH / det_dt
-    note(phase="detector", fps=round(det_fps, 1), batch=BATCH, reps=_n)
+    note(phase="detector", fps=round(det_fps, 1), batch=BATCH, reps=_n,
+         floor_ms=floor_ms())
 
     # tracker stage (micro): OC-SORT scan over a full video.
     n_frames = 512
@@ -317,7 +338,8 @@ def main():
 
     scan_dt, _n = timed_reps(_scan_once)
     trk_fps = n_frames / scan_dt
-    note(phase="tracker_scan", fps=round(trk_fps, 1), reps=_n)
+    note(phase="tracker_scan", fps=round(trk_fps, 1), reps=_n,
+         floor_ms=floor_ms())
 
     note(detector_fps=round(det_fps, 1),
          tracker_scan_fps=round(trk_fps, 1),
@@ -345,7 +367,7 @@ def main():
         force(fn(arg))
         dt, n = timed_reps(lambda: force(fn(arg)))
         note(fused_variant=tag, fps=round(n_out_frames / dt, 1),
-             reps=n, **kv)
+             reps=n, floor_ms=floor_ms(), **kv)
         return n_out_frames / dt
 
     # adversarial saturation: i.i.d. frames -> 32 incoherent dets/frame,
@@ -555,6 +577,127 @@ def main():
                     "detect_parts_track", chunk=P_CHUNK)
 
     extra("detect_parts_track", 300, parts)
+
+    # ---- TIME-CONCAT fused e2e: V short videos as ONE dispatch with
+    # tracker-state resets at boundaries (engine/fused.
+    # fused_detect_track_concat) vs V per-video dispatches — the
+    # many-short-video workload shape (MOT17: ~500-1500 frames/video).
+    # The tracker-only path measured time-concat at 2x aggregate fps
+    # (BASELINE.md); this measures it for the FULL fused program.
+    def concat():
+        from tracklab_tpu.engine.fused import fused_detect_track_concat
+
+        V = 8
+        F_V = F // V  # 192 frames per video
+        detect_c = make_yolox_detect_fn(
+            model, variables, conf_threshold=conf_cal,
+            iou_threshold=0.65, max_dets=cfg.max_dets,
+            compute_dtype=jnp.bfloat16)
+        videos = video.reshape(V, F_V, H, W, 3)
+        fused_c = jax.jit(lambda v: fused_detect_track_concat(
+            detect_c, partial(ocsort_step, cfg), ocsort_init(cfg), v,
+            chunk=BATCH, return_detections=False))
+        bench_calls(lambda v: fused_c(v)[2], videos, F,
+                    "concat_8videos_one_dispatch", videos=V,
+                    frames_per_video=F_V)
+        # per-video baseline: same total frames, V dispatches (chunk =
+        # the whole short video; one compile, V calls per rep)
+        fused_1 = jax.jit(lambda f: fused_detect_track(
+            detect_c, partial(ocsort_step, cfg), ocsort_init(cfg), f,
+            chunk=F_V, return_detections=False))
+        np.asarray(fused_1(videos[0])[2].valid).sum()
+
+        def per_video_once():
+            for v in range(V):
+                np.asarray(fused_1(videos[v])[2].valid).sum()
+
+        dt, n = timed_reps(per_video_once, cap_s=90.0)
+        note(fused_variant="per_video_8_dispatches",
+             fps=round(F / dt, 1), reps=n, floor_ms=floor_ms(),
+             videos=V, frames_per_video=F_V)
+
+    extra("concat_videos", 240, concat)
+
+    # ---- STREAMING / ONLINE latency (VERDICT r4 item 2): per-frame
+    # steady-state latency of the online engine's device programs
+    # (engine/video.py feeds frames one at a time). Reports wall-clock
+    # p50 per frame AND the dispatch floor measured next to it: on this
+    # tunneled chip the floor (~25 ms) dominates; on a real TPU host
+    # dispatch is ~0.1-0.5 ms, so device compute = the floor-subtracted
+    # delta (the BASELINE.md micro-bench methodology).
+    def streaming():
+        detect_1 = make_yolox_detect_fn(
+            model, variables, conf_threshold=conf_cal,
+            iou_threshold=0.65, max_dets=cfg.max_dets,
+            compute_dtype=jnp.bfloat16)
+
+        # fused per-frame step: detect one frame + one tracker step
+        @jax.jit
+        def stream_step(state, frame):
+            dets = detect_1(frame[None], None)
+            d1 = jax.tree_util.tree_map(lambda v: v[0], dets)
+            state, out = ocsort_step(cfg, state, d1)
+            return state, out.valid
+
+        state = ocsort_init(cfg)
+        state, ov = stream_step(state, video[0])
+        np.asarray(ov).sum()  # compile
+
+        def p50(step_fn, state, frames, n=30):
+            ts = []
+            for i in range(n):
+                t = time.perf_counter()
+                state, ov = step_fn(state, frames[i % frames.shape[0]])
+                np.asarray(ov).sum()
+                ts.append(time.perf_counter() - t)
+            return sorted(ts)[len(ts) // 2] * 1000, state
+
+        ms, state = p50(stream_step, state, video[:64])
+        fl = floor_ms()
+        note(streaming="fused_detect_track_step",
+             ms_per_frame_p50=round(ms, 2), floor_ms=fl,
+             device_ms_est=round(max(ms - fl, 0.0), 2))
+
+        # tracker-only per-frame step (the online tracker module alone)
+        @jax.jit
+        def trk_step(state, d):
+            state, out = ocsort_step(cfg, state, d)
+            return state, out.valid
+
+        dets_s = tracker_stream(64, 20, cfg.max_dets, seed=7)
+        one = jax.tree_util.tree_map(lambda v: v[0], dets_s)
+        tstate = ocsort_init(cfg)
+        tstate, ov = trk_step(tstate, one)
+        np.asarray(ov).sum()
+        ts = []
+        for i in range(30):
+            d = jax.tree_util.tree_map(lambda v: v[i % 64], dets_s)
+            t = time.perf_counter()
+            tstate, ov = trk_step(tstate, d)
+            np.asarray(ov).sum()
+            ts.append(time.perf_counter() - t)
+        ms_t = sorted(ts)[len(ts) // 2] * 1000
+        fl = floor_ms()
+        note(streaming="tracker_only_step",
+             ms_per_frame_p50=round(ms_t, 2), floor_ms=fl,
+             device_ms_est=round(max(ms_t - fl, 0.0), 2))
+
+    extra("streaming_latency", 120, streaming)
+
+    # ---- optional: chunk-size sweep for the fused reid/pose shapes
+    # (VERDICT r4 item 8) — each point is a fresh program compile, so
+    # this is opt-in; results recorded in BASELINE.md, best point wired
+    # as the section default above.
+    def sweep():
+        for c in (32, 64, 128):
+            os.environ["TRACKLAB_TPU_REID_CHUNK"] = str(c)
+            extra(f"reid_sweep_{c}", 180, reid)
+        for c in (32, 64, 128):
+            os.environ["TRACKLAB_TPU_POSE_CHUNK"] = str(c)
+            extra(f"pose_sweep_{c}", 180, pose)
+
+    if os.environ.get("TRACKLAB_TPU_BENCH_SWEEP"):
+        extra("chunk_sweep", 600, sweep)
 
     # ---- optional: int8 PTQ detector (models/quantize.py). Measured a
     # NON-win via XLA in r3 (BASELINE.md) — kept reproducible, gated.

@@ -608,3 +608,78 @@ def test_device_detect_fn_matches_staged_infer(name, make):
     np.testing.assert_allclose(np.asarray(fused.conf)[v],
                                np.asarray(staged["score"])[v],
                                rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_fused_concat_resets_equal_per_segment_scans(tiny_yolox):
+    """TIME-CONCAT fused e2e (fused_detect_track_concat): V videos as ONE
+    dispatch with tracker-state resets at video boundaries. Each
+    segment's tracker output must be bit-identical to an independent
+    scan over that segment's own detections — including when a video
+    boundary falls MID-chunk (V=2, F=6, chunk=4: boundary at stream
+    frame 6 inside chunk 1). Detections are taken from the concat
+    program itself so the comparison isolates the reset semantics from
+    detector batch-shape numerics."""
+    from tracklab_tpu.engine.fused import fused_detect_track_concat
+
+    model, variables = tiny_yolox
+    V, F, chunk, D = 2, 6, 4, 16
+    videos = jnp.stack([_static_frames(F, seed=21),
+                        _static_frames(F, seed=22)])
+    detect = make_yolox_detect_fn(model, variables, conf_threshold=0.25,
+                                  max_dets=D)
+    cfg = OCSortConfig(max_tracks=32, max_dets=D, min_hits=1,
+                       det_thresh=0.1)
+
+    _, dets, outs = jax.jit(lambda v: fused_detect_track_concat(
+        detect, partial(ocsort_step, cfg), ocsort_init(cfg), v, chunk))(
+        videos)
+
+    scan = jax.jit(lambda d: ocsort_scan(cfg, d))
+    for v in range(V):
+        seg = Detections(*[getattr(dets, f)[v] for f in Detections._fields])
+        assert bool(jnp.any(seg.valid)), f"video {v}: no detections"
+        _, ref_out = scan(seg)
+        assert bool(jnp.any(ref_out.valid)), f"video {v}: tracker empty"
+        for f in ref_out._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(outs, f)[v]),
+                np.asarray(getattr(ref_out, f)),
+                err_msg=f"video {v} field {f}")
+
+
+def test_fused_concat_aligned_equals_per_video_fused(tiny_yolox):
+    """When video boundaries align with chunk boundaries the concat
+    program is bit-identical to per-video fused_detect_track runs end to
+    end (same detector batch shape -> same XLA numerics), with detection
+    refs offset by the stream position (video v frame f -> (v*F+f)*D)."""
+    from tracklab_tpu.engine.fused import fused_detect_track_concat
+
+    model, variables = tiny_yolox
+    V, F, chunk, D = 2, 4, 4, 16
+    videos = jnp.stack([_static_frames(F, seed=31),
+                        _static_frames(F, seed=32)])
+    detect = make_yolox_detect_fn(model, variables, conf_threshold=0.25,
+                                  max_dets=D)
+    cfg = OCSortConfig(max_tracks=32, max_dets=D, min_hits=1,
+                       det_thresh=0.1)
+
+    _, dets_c, outs_c = jax.jit(lambda v: fused_detect_track_concat(
+        detect, partial(ocsort_step, cfg), ocsort_init(cfg), v, chunk))(
+        videos)
+    one = jax.jit(lambda f: fused_detect_track(
+        detect, partial(ocsort_step, cfg), ocsort_init(cfg), f, chunk))
+    for v in range(V):
+        _, dets_1, outs_1 = one(videos[v])
+        assert bool(jnp.any(dets_1.valid))
+        for f in Detections._fields:
+            a = np.asarray(getattr(dets_c, f)[v])
+            b = np.asarray(getattr(dets_1, f))
+            if f == "ref":
+                b = b + v * F * D
+            np.testing.assert_array_equal(a, b, err_msg=f"dets {f}")
+        for f in outs_1._fields:
+            a = np.asarray(getattr(outs_c, f)[v])
+            b = np.asarray(getattr(outs_1, f))
+            if f == "ref":
+                b = np.where(b >= 0, b + v * F * D, b)
+            np.testing.assert_array_equal(a, b, err_msg=f"outs {f}")

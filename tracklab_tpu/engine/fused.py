@@ -32,7 +32,8 @@ from jax import lax
 
 from tracklab_tpu.trackers.common import Detections
 
-__all__ = ["fused_detect_track", "fused_detect_reid_track",
+__all__ = ["fused_detect_track", "fused_detect_track_concat",
+           "fused_detect_reid_track",
            "fused_detect_pose_track",
            "make_yolox_detect_fn", "make_rtdetr_detect_fn",
            "make_osnet_embed_fn", "make_topdown_pose_fn",
@@ -417,6 +418,7 @@ def fused_bottomup_track(detect_fn, step_fn, init_state,
 
 def fused_detect_track(detect_fn, step_fn, init_state, frames: jnp.ndarray,
                        chunk: int, meta=None, frame_valid=None,
+                       reset=None,
                        return_detections: bool = True):
     """Run detector + tracker over a whole video as one traced program.
 
@@ -433,6 +435,11 @@ def fused_detect_track(detect_fn, step_fn, init_state, frames: jnp.ndarray,
       frame_valid: optional (F,) bool — False for padded tail frames;
         their detections are masked out (the tracker still steps, exactly
         like the staged path's bucketed padding, scan_tracker._pad_video).
+      reset: optional (F,) bool — True at frames where the tracker carry
+        must re-initialize (each video's first frame in a TIME-CONCAT
+        multi-video stream, trackers/common.reset_wrapped_step). Each
+        segment's tracker outputs are then bit-identical to its own
+        single-video run (refs stay stream-global: frame * D + slot).
       return_detections: also return the per-frame Detections the tracker
         consumed (the engine fast path exports them as the detector
         module's DataFrame rows).
@@ -440,6 +447,8 @@ def fused_detect_track(detect_fn, step_fn, init_state, frames: jnp.ndarray,
     Returns ``(final_state, dets|None, outs)`` where ``dets``/``outs``
     leaves have leading axis F.
     """
+    from tracklab_tpu.trackers.common import reset_wrapped_step
+
     F = frames.shape[0]
     if F % chunk:
         raise ValueError(f"frames ({F}) must be a multiple of chunk "
@@ -459,6 +468,8 @@ def fused_detect_track(detect_fn, step_fn, init_state, frames: jnp.ndarray,
         xs["meta"] = jax.tree_util.tree_map(to_chunks, meta)
     if frame_valid is not None:
         xs["frame_valid"] = to_chunks(frame_valid)
+    if reset is not None:
+        xs["reset"] = to_chunks(reset)
 
     def body(state, x):
         dets = detect_fn(x["frames"], x.get("meta"))
@@ -470,7 +481,12 @@ def fused_detect_track(detect_fn, step_fn, init_state, frames: jnp.ndarray,
         if "frame_valid" in x:
             dets = dets._replace(
                 valid=dets.valid & x["frame_valid"][:, None])
-        state, out = lax.scan(step_fn, state, dets)
+        if "reset" in x:
+            state, out = lax.scan(
+                reset_wrapped_step(step_fn, init_state), state,
+                (dets, x["reset"]))
+        else:
+            state, out = lax.scan(step_fn, state, dets)
         ys = (dets, out) if return_detections else (None, out)
         return state, ys
 
@@ -484,6 +500,51 @@ def fused_detect_track(detect_fn, step_fn, init_state, frames: jnp.ndarray,
         dets = jax.tree_util.tree_map(flat, dets)
         return final, dets, outs
     return final, None, outs
+
+
+def fused_detect_track_concat(detect_fn, step_fn, init_state,
+                              videos: jnp.ndarray, chunk: int, meta=None,
+                              frame_valid=None,
+                              return_detections: bool = True):
+    """Run V videos through the fused detect->track program as ONE
+    dispatch: the videos time-concatenate into a single (V*F) stream
+    with the tracker carry reset at each video's first frame
+    (trackers/common.reset_wrapped_step — the same single-chip
+    multi-video mode the tracker-only path measured at 2x aggregate
+    fps vs sequential per-video dispatches, BASELINE.md). Per-video
+    outputs are bit-identical to V separate :func:`fused_detect_track`
+    runs (tests/test_fused_engine.py), except detection refs which are
+    stream-global (video v's frame f ref base is ``(v*F + f) * D``).
+
+    Args:
+      videos: (V, F, H, W, 3) with ``(V*F) % chunk == 0``.
+      meta / frame_valid: optional pytrees with leading (V, F) axes.
+
+    Returns ``(final_state, dets|None, outs)`` with leading (V, F) axes
+    on dets/outs leaves; ``final_state`` is the LAST video's final carry.
+    """
+    from tracklab_tpu.trackers.common import concat_resets
+
+    V, F = videos.shape[0], videos.shape[1]
+
+    def cat(x):
+        return x.reshape((V * F,) + x.shape[2:])
+
+    final, dets, outs = fused_detect_track(
+        detect_fn, step_fn, init_state, cat(videos), chunk,
+        meta=None if meta is None
+        else jax.tree_util.tree_map(cat, meta),
+        frame_valid=None if frame_valid is None else cat(frame_valid),
+        reset=concat_resets(V, F),
+        return_detections=return_detections)
+
+    def split(x):
+        return x.reshape((V, F) + x.shape[1:])
+
+    outs = jax.tree_util.tree_map(split, outs)
+    if return_detections:
+        dets = jax.tree_util.tree_map(split, dets)
+    return final, dets, outs
 
 
 def _bucketed_embed(embed_fn, frames, boxes, valid, buckets):

@@ -269,3 +269,34 @@ def test_extract_test_embeddings_layout():
                                np.asarray(out["bn_foreg"]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(emb[:, 1:]),
                                np.asarray(out["parts"]), atol=1e-6)
+
+
+def test_attention_impls_agree():
+    """attn_impl="dpa" (jax.nn.dot_product_attention) computes the same
+    attention as the naive path — same params, outputs equal to f32
+    precision — so the fused-engine A/B switch is parity-safe."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tracklab_tpu.models.kpr import KPR, extract_test_embeddings
+
+    kw = dict(num_parts=3, dim_reduce_output=32, img_size=(64, 32),
+              patch_size=8, stride=8, embed_dim=64, depth=2, num_heads=4)
+    naive = KPR(attn_impl="naive", **kw)
+    dpa = KPR(attn_impl="dpa", **kw)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 64, 32, 3)), jnp.float32)
+    p = jnp.asarray(rng.uniform(0, 1, (3, 64, 32, 7)), jnp.float32)
+    variables = naive.init(jax.random.PRNGKey(0), x, p, train=False)
+    # identical param trees: impl only changes the lowering
+    out_n = naive.apply(variables, x, p, train=False)
+    out_d = dpa.apply(variables, x, p, train=False)
+    for key in ("bn_foreg", "bn_parts", "attn", "cls_feat"):
+        np.testing.assert_allclose(np.asarray(out_n[key]),
+                                   np.asarray(out_d[key]),
+                                   rtol=1e-5, atol=1e-5, err_msg=key)
+    e_n, v_n = extract_test_embeddings(out_n)
+    e_d, v_d = extract_test_embeddings(out_d)
+    np.testing.assert_allclose(np.asarray(e_n), np.asarray(e_d),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(v_n), np.asarray(v_d))

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -89,9 +90,21 @@ class _Mlp(nn.Module):
 
 
 class _Attention(nn.Module):
+    """Multi-head self-attention with selectable lowering:
+
+    * ``naive`` — explicit (B, H, N, N) logits + softmax in the compute
+      dtype (the textbook path; reference semantics).
+    * ``dpa`` — :func:`jax.nn.dot_product_attention` (XLA fused path,
+      no head transposes, softmax upcast to f32 internally). Same math:
+      agrees with ``naive`` to ~4e-7 in f32; in bf16 it is strictly
+      CLOSER to the f32 reference (the f32 softmax), so checkpoint
+      parity is preserved. Which is faster on TPU is workload-dependent
+      (the f32 logits cost HBM); BASELINE.md records the A/B.
+    """
     dim: int
     num_heads: int
     dtype: Any = jnp.float32
+    impl: str = "naive"
 
     @nn.compact
     def __call__(self, x):
@@ -99,10 +112,16 @@ class _Attention(nn.Module):
         H = self.num_heads
         qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, D // H)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        attn = (q @ k.transpose(0, 1, 3, 2)) * ((D // H) ** -0.5)
-        attn = nn.softmax(attn, axis=-1)
-        y = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, D)
+        if self.impl == "dpa":
+            y = jax.nn.dot_product_attention(
+                qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])  # (B, N, H, Dh)
+            y = y.reshape(B, N, D)
+        else:
+            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3)
+                       for i in range(3))
+            attn = (q @ k.transpose(0, 1, 3, 2)) * ((D // H) ** -0.5)
+            attn = nn.softmax(attn, axis=-1)
+            y = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, D)
         return nn.Dense(D, dtype=self.dtype, name="proj")(y)
 
 
@@ -111,11 +130,12 @@ class _Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
+    attn_impl: str = "naive"
 
     @nn.compact
     def __call__(self, x):
         x = x + _Attention(self.dim, self.num_heads, self.dtype,
-                           name="attn")(
+                           impl=self.attn_impl, name="attn")(
             nn.LayerNorm(epsilon=1e-6, name="norm1")(x))
         x = x + _Mlp(int(self.dim * self.mlp_ratio), self.dim,
                      self.dtype, name="mlp")(
@@ -143,6 +163,7 @@ class PromptableViT(nn.Module):
     n_prompt_ch: int = 7      # cck6 groups + negative-keypoint channel
     n_cameras: int = 0        # >0 enables the SIE camera embedding
     dtype: Any = jnp.float32
+    attn_impl: str = "naive"  # "naive" | "dpa" (see _Attention)
 
     @property
     def grid(self):
@@ -183,7 +204,8 @@ class PromptableViT(nn.Module):
             x = x + sie[cid].astype(x.dtype)
         for i in range(self.depth):
             x = _Block(self.embed_dim, self.num_heads, self.mlp_ratio,
-                       self.dtype, name=f"blocks__{i}")(x)
+                       self.dtype, attn_impl=self.attn_impl,
+                       name=f"blocks__{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         cls_feat = x[:, 0]
         spatial = x[:, 1:].reshape(B, gh, gw, self.embed_dim)
@@ -215,6 +237,7 @@ class KPR(nn.Module):
     n_prompt_ch: int = 7
     n_cameras: int = 0
     dtype: Any = jnp.float32
+    attn_impl: str = "naive"
 
     def dummy_input_shapes(self, input_shape):
         """Init-time positional input shapes (convert.init_inputs hook):
@@ -232,7 +255,7 @@ class KPR(nn.Module):
             stride=self.stride, embed_dim=self.embed_dim,
             depth=self.depth, num_heads=self.num_heads,
             n_prompt_ch=self.n_prompt_ch, n_cameras=self.n_cameras,
-            dtype=self.dtype, name="backbone")
+            dtype=self.dtype, attn_impl=self.attn_impl, name="backbone")
         cls_feat, spat = backbone(images, prompt_masks, cam_id)
         B, gh, gw, D = spat.shape
 

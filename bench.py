@@ -347,6 +347,10 @@ def main():
 
     # ---- everything below is extra: stderr JSON lines, budget-guarded,
     # failure-isolated. The watchdog exits 0 at the deadline regardless.
+    # KPR ViT lowering A/B knobs (both output-identical; BASELINE.md):
+    _KPR_ATTN = os.environ.get("TRACKLAB_TPU_KPR_ATTN", "naive")
+    _KPR_PAD = int(os.environ.get("TRACKLAB_TPU_KPR_PAD", "0"))
+
     def extra(tag, min_budget_s, fn):
         if os.environ.get("TRACKLAB_TPU_BENCH_SKIP_EXTRAS"):
             return
@@ -491,7 +495,8 @@ def main():
 
         G_CHUNK = int(os.environ.get("TRACKLAB_TPU_GSR_CHUNK", "16"))
         G_DETS = 32
-        kpr = KPR(dtype=jnp.bfloat16)       # ViT-B/16 384x128, 5 parts
+        kpr = KPR(dtype=jnp.bfloat16,       # ViT-B/16 384x128, 5 parts
+                  attn_impl=_KPR_ATTN, token_pad=_KPR_PAD)
         kvars = kpr.init(jax.random.PRNGKey(3),
                          jnp.zeros((1, 384, 128, 3)),
                          jnp.zeros((1, 384, 128, 7)), train=False)
@@ -547,7 +552,8 @@ def main():
             BPBReIDStrongSortConfig, bpbreid_init, bpbreid_step)
 
         P_CHUNK = int(os.environ.get("TRACKLAB_TPU_GSR_CHUNK", "16"))
-        kpr = KPR(dtype=jnp.bfloat16)
+        kpr = KPR(dtype=jnp.bfloat16,
+                  attn_impl=_KPR_ATTN, token_pad=_KPR_PAD)
         kvars = kpr.init(jax.random.PRNGKey(3),
                          jnp.zeros((1, 384, 128, 3)),
                          jnp.zeros((1, 384, 128, 7)), train=False)

@@ -300,3 +300,36 @@ def test_attention_impls_agree():
     np.testing.assert_allclose(np.asarray(e_n), np.asarray(e_d),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(v_n), np.asarray(v_d))
+
+
+def test_token_pad_output_identical():
+    """token_pad pads the sequence to an MXU-friendly length with
+    attention-masked zero tokens; the real-token outputs are identical
+    (pad keys get -inf logits so softmax weights are unchanged; pad rows
+    only pass through per-token ops and are sliced off) — for BOTH
+    attention lowerings."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tracklab_tpu.models.kpr import KPR, extract_test_embeddings
+
+    kw = dict(num_parts=3, dim_reduce_output=32, img_size=(64, 32),
+              patch_size=8, stride=8, embed_dim=64, depth=2, num_heads=4)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((3, 64, 32, 3)), jnp.float32)
+    p = jnp.asarray(rng.uniform(0, 1, (3, 64, 32, 7)), jnp.float32)
+    base = KPR(attn_impl="naive", **kw)  # 1 + 8*4 = 33 tokens
+    variables = base.init(jax.random.PRNGKey(0), x, p, train=False)
+    out_ref = base.apply(variables, x, p, train=False)
+    for impl in ("naive", "dpa"):
+        padded = KPR(attn_impl=impl, token_pad=64, **kw)
+        out_p = padded.apply(variables, x, p, train=False)
+        for key in ("bn_foreg", "bn_parts", "attn", "cls_feat"):
+            np.testing.assert_allclose(
+                np.asarray(out_ref[key]), np.asarray(out_p[key]),
+                rtol=1e-5, atol=1e-5, err_msg=f"{impl}:{key}")
+        e_r, v_r = extract_test_embeddings(out_ref)
+        e_p, v_p = extract_test_embeddings(out_p)
+        np.testing.assert_allclose(np.asarray(e_r), np.asarray(e_p),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(v_r), np.asarray(v_p))

@@ -107,19 +107,25 @@ class _Attention(nn.Module):
     impl: str = "naive"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, key_valid=None):
         B, N, D = x.shape
         H = self.num_heads
         qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, D // H)
         if self.impl == "dpa":
+            mask = (None if key_valid is None
+                    else key_valid[None, None, None, :])
             y = jax.nn.dot_product_attention(
-                qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])  # (B, N, H, Dh)
+                qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+                mask=mask)  # (B, N, H, Dh)
             y = y.reshape(B, N, D)
         else:
             q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3)
                        for i in range(3))
             attn = (q @ k.transpose(0, 1, 3, 2)) * ((D // H) ** -0.5)
+            if key_valid is not None:
+                attn = jnp.where(key_valid[None, None, None, :], attn,
+                                 jnp.finfo(attn.dtype).min)
             attn = nn.softmax(attn, axis=-1)
             y = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, D)
         return nn.Dense(D, dtype=self.dtype, name="proj")(y)
@@ -133,10 +139,10 @@ class _Block(nn.Module):
     attn_impl: str = "naive"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, key_valid=None):
         x = x + _Attention(self.dim, self.num_heads, self.dtype,
                            impl=self.attn_impl, name="attn")(
-            nn.LayerNorm(epsilon=1e-6, name="norm1")(x))
+            nn.LayerNorm(epsilon=1e-6, name="norm1")(x), key_valid)
         x = x + _Mlp(int(self.dim * self.mlp_ratio), self.dim,
                      self.dtype, name="mlp")(
             nn.LayerNorm(epsilon=1e-6, name="norm2")(x))
@@ -164,6 +170,12 @@ class PromptableViT(nn.Module):
     n_cameras: int = 0        # >0 enables the SIE camera embedding
     dtype: Any = jnp.float32
     attn_impl: str = "naive"  # "naive" | "dpa" (see _Attention)
+    token_pad: int = 0        # pad sequence to this length (0 = off):
+    #   TPU MXU/VPU tiles are 128-lane; 1+24*8=193 tokens is an awkward
+    #   length. Padding to e.g. 256 with attention-masked zero tokens is
+    #   OUTPUT-IDENTICAL for the real tokens (pad keys get -inf logits;
+    #   pad rows are per-token ops, sliced off before the heads) —
+    #   exactness test: tests/test_kpr.py. A/B on chip via BASELINE.md.
 
     @property
     def grid(self):
@@ -202,13 +214,18 @@ class PromptableViT(nn.Module):
             cid = (jnp.zeros(B, jnp.int32) if cam_id is None
                    else cam_id.astype(jnp.int32))
             x = x + sie[cid].astype(x.dtype)
+        n_real = 1 + gh * gw
+        key_valid = None
+        if self.token_pad and self.token_pad > n_real:
+            x = jnp.pad(x, ((0, 0), (0, self.token_pad - n_real), (0, 0)))
+            key_valid = jnp.arange(self.token_pad) < n_real
         for i in range(self.depth):
             x = _Block(self.embed_dim, self.num_heads, self.mlp_ratio,
                        self.dtype, attn_impl=self.attn_impl,
-                       name=f"blocks__{i}")(x)
+                       name=f"blocks__{i}")(x, key_valid)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         cls_feat = x[:, 0]
-        spatial = x[:, 1:].reshape(B, gh, gw, self.embed_dim)
+        spatial = x[:, 1:n_real].reshape(B, gh, gw, self.embed_dim)
         return cls_feat, spatial
 
 
@@ -238,6 +255,7 @@ class KPR(nn.Module):
     n_cameras: int = 0
     dtype: Any = jnp.float32
     attn_impl: str = "naive"
+    token_pad: int = 0
 
     def dummy_input_shapes(self, input_shape):
         """Init-time positional input shapes (convert.init_inputs hook):
@@ -255,7 +273,8 @@ class KPR(nn.Module):
             stride=self.stride, embed_dim=self.embed_dim,
             depth=self.depth, num_heads=self.num_heads,
             n_prompt_ch=self.n_prompt_ch, n_cameras=self.n_cameras,
-            dtype=self.dtype, attn_impl=self.attn_impl, name="backbone")
+            dtype=self.dtype, attn_impl=self.attn_impl,
+            token_pad=self.token_pad, name="backbone")
         cls_feat, spat = backbone(images, prompt_masks, cam_id)
         B, gh, gw, D = spat.shape
 

@@ -495,10 +495,11 @@ def test_deform_attention_backends_agree(monkeypatch):
     v = attn.init(jax.random.PRNGKey(1), hidden, tokens, refs,
                   spatial_shapes, pos)
     outs = {}
-    for mode in ("gather", "onehot"):
+    for mode in ("gather", "onehot", "wgrid"):
         monkeypatch.setenv("TRACKLAB_TPU_DEFORM_BACKEND", mode)
         outs[mode] = attn.apply(v, hidden, tokens, refs,
                                 spatial_shapes, pos)
-    np.testing.assert_allclose(np.asarray(outs["gather"]),
-                               np.asarray(outs["onehot"]),
-                               rtol=0, atol=1e-5)
+    for mode in ("onehot", "wgrid"):
+        np.testing.assert_allclose(np.asarray(outs["gather"]),
+                                   np.asarray(outs[mode]),
+                                   rtol=0, atol=1e-5, err_msg=mode)

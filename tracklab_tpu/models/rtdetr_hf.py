@@ -473,6 +473,10 @@ def _deform_backend() -> str:
     OHx), mathematically identical to bilinear with zero padding
     because the hat ``max(0, 1-|p-i|)`` IS the bilinear corner weight
     incl. the out-of-bounds zero rows. Measured 45.6 ms (4.1x).
+    ``wgrid``: the same math reassociated — taps folded into one dense
+    per-query sampling matrix first, then ONE (Q, h*w) @ (h*w, D) MXU
+    matmul per head; ~2.2x fewer sampling bytes and P-fold fewer
+    sampling FLOPs than ``onehot`` (see _sample_wgrid).
     ``auto`` picks onehot on TPU, gather elsewhere."""
     mode = os.environ.get("TRACKLAB_TPU_DEFORM_BACKEND", "auto")
     if mode == "auto":
@@ -513,9 +517,13 @@ class MSDeformableAttention(nn.Module):
         loc = (reference_points[:, :, None, None, None, :2]
                + offsets.astype(jnp.float32) / P
                * reference_points[:, :, None, None, None, 2:] * 0.5)
-        if _deform_backend() == "onehot":
+        backend = _deform_backend()
+        if backend == "onehot":
             out = self._sample_onehot(value, loc, weights,
                                       spatial_shapes)
+        elif backend == "wgrid":
+            out = self._sample_wgrid(value, loc, weights,
+                                     spatial_shapes)
         else:
             out = self._sample_gather(value, loc, weights,
                                       spatial_shapes)
@@ -575,6 +583,41 @@ class MSDeformableAttention(nn.Module):
                             ohy.astype(cdt), v_l)
             out = out + jnp.einsum(
                 "bqhpxd,bqhpx->bqhd", t1, ohx.astype(cdt),
+                preferred_element_type=jnp.float32)
+            start += h * w
+        return out
+
+    def _sample_wgrid(self, value, loc, weights, spatial_shapes):
+        """One-hot sampling with the contraction REASSOCIATED to cut
+        HBM traffic: fold the P taps (and attention weights) into one
+        dense per-query sampling matrix ``W[q,h,y,x] = sum_p
+        hat_y[p,y] * hat_x[p,x] * w[p]`` (tiny P=4 contraction), then
+        sample with ONE MXU matmul ``(Q, h*w) @ (h*w, D)`` per
+        (batch, head). Same bilinear math as ``onehot`` — the sum over
+        taps commutes with the sum over cells — but the materialized
+        intermediate shrinks from (Q, H, P, w, D) to (Q, H, h*w)
+        (~2.2x fewer bytes at the 80x80 level) and the big einsum's
+        FLOPs drop P-fold (no per-tap D-wide products). XLA cost
+        analysis + roofline in BASELINE.md."""
+        B, S, H, D = value.shape
+        _, Q = loc.shape[:2]
+        cdt = value.dtype
+        out = jnp.zeros((B, Q, H, D), jnp.float32)
+        start = 0
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            v_l = value[:, start:start + h * w]       # (B, hw, H, D)
+            x = loc[:, :, :, lvl, :, 0] * w - 0.5     # (B, Q, H, P)
+            y = loc[:, :, :, lvl, :, 1] * h - 0.5
+            ys = jnp.arange(h, dtype=jnp.float32)
+            xs = jnp.arange(w, dtype=jnp.float32)
+            ohy = jnp.maximum(
+                0.0, 1.0 - jnp.abs(y[..., None] - ys))    # (B,Q,H,P,h)
+            ohx = (jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - xs))
+                   * weights[:, :, :, lvl][..., None])    # (B,Q,H,P,w)
+            wgrid = jnp.einsum("bqhpy,bqhpx->bqhyx",
+                               ohy.astype(cdt), ohx.astype(cdt))
+            out = out + jnp.einsum(
+                "bqhs,bshd->bqhd", wgrid.reshape(B, Q, H, h * w), v_l,
                 preferred_element_type=jnp.float32)
             start += h * w
         return out

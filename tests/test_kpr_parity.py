@@ -333,3 +333,37 @@ def test_token_pad_output_identical():
         np.testing.assert_allclose(np.asarray(e_r), np.asarray(e_p),
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(v_r), np.asarray(v_p))
+
+
+def test_gelu_impls_agree():
+    """gelu="erfpoly"/"tanh" are APPROXIMATE lowerings (the exact-erf
+    VPU transcendental dominated the in-stack ViT cost on TPU —
+    BASELINE.md r5). erfpoly uses an |err|<1.5e-7 minimax erf, below
+    bf16 resolution; tanh is the standard GELU approximation (~1e-3).
+    Pin both: erfpoly must track the exact path to f32-accumulation
+    noise through the full model; tanh to its looser documented bound.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tracklab_tpu.models.kpr import KPR, extract_test_embeddings
+
+    kw = dict(num_parts=3, dim_reduce_output=32, img_size=(64, 32),
+              patch_size=8, stride=8, embed_dim=64, depth=2, num_heads=4)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((3, 64, 32, 3)), jnp.float32)
+    p = jnp.asarray(rng.uniform(0, 1, (3, 64, 32, 7)), jnp.float32)
+    exact = KPR(gelu="erf", **kw)
+    variables = exact.init(jax.random.PRNGKey(0), x, p, train=False)
+    out_ref = exact.apply(variables, x, p, train=False)
+    e_r, _ = extract_test_embeddings(out_ref)
+    for impl, tol in (("erfpoly", 1e-4), ("tanh", 5e-2)):
+        approx = KPR(gelu=impl, **kw)
+        out_a = approx.apply(variables, x, p, train=False)
+        for key in ("bn_foreg", "bn_parts", "attn", "cls_feat"):
+            np.testing.assert_allclose(
+                np.asarray(out_ref[key]), np.asarray(out_a[key]),
+                rtol=tol, atol=tol, err_msg=f"{impl}:{key}")
+        e_a, _ = extract_test_embeddings(out_a)
+        np.testing.assert_allclose(np.asarray(e_r), np.asarray(e_a),
+                                   rtol=tol, atol=tol, err_msg=impl)

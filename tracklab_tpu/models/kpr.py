@@ -76,15 +76,41 @@ PART_GROUPS_FIVE_V: Sequence[Sequence[int]] = (
 )
 
 
+def _gelu_erfpoly(x):
+    """GELU via an Abramowitz–Stegun 7.1.26 minimax erf (|err| < 1.5e-7
+    in f32 — below bf16 resolution: ≤1 bf16 ulp vs the exact lowering on
+    ~6% of values, bit-equal on the rest; see BASELINE.md).
+
+    Exists because XLA:TPU's exact-``erf`` lowering dominates the ViT
+    MLP cost in-stack (the VPU transcendental blocks fusion): the
+    12-layer 384-crop stack measured 312 ms with exact erf vs 180 ms
+    with this polynomial — GELU, not attention, was the KPR hot spot.
+    """
+    xf = x.astype(jnp.float32)
+    z = xf * 0.70710678
+    t = 1.0 / (1.0 + 0.3275911 * jnp.abs(z))
+    y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+                - 0.284496736) * t + 0.254829592) * t * jnp.exp(-z * z)
+    return (xf * 0.5 * (1.0 + jnp.sign(z) * y)).astype(x.dtype)
+
+
+_GELU_IMPLS = {
+    "erf": lambda x: nn.gelu(x, approximate=False),
+    "tanh": lambda x: nn.gelu(x, approximate=True),
+    "erfpoly": _gelu_erfpoly,
+}
+
+
 class _Mlp(nn.Module):
     hidden: int
     out: int
     dtype: Any = jnp.float32
+    gelu: str = "erf"
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = _GELU_IMPLS[self.gelu](x)
         x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -137,6 +163,7 @@ class _Block(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
     attn_impl: str = "naive"
+    gelu: str = "erf"
 
     @nn.compact
     def __call__(self, x, key_valid=None):
@@ -144,7 +171,7 @@ class _Block(nn.Module):
                            impl=self.attn_impl, name="attn")(
             nn.LayerNorm(epsilon=1e-6, name="norm1")(x), key_valid)
         x = x + _Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                     self.dtype, name="mlp")(
+                     self.dtype, gelu=self.gelu, name="mlp")(
             nn.LayerNorm(epsilon=1e-6, name="norm2")(x))
         return x
 
@@ -170,6 +197,7 @@ class PromptableViT(nn.Module):
     n_cameras: int = 0        # >0 enables the SIE camera embedding
     dtype: Any = jnp.float32
     attn_impl: str = "naive"  # "naive" | "dpa" (see _Attention)
+    gelu: str = "erf"         # "erf" (exact) | "erfpoly" | "tanh"
     token_pad: int = 0        # pad sequence to this length (0 = off):
     #   TPU MXU/VPU tiles are 128-lane; 1+24*8=193 tokens is an awkward
     #   length. Padding to e.g. 256 with attention-masked zero tokens is
@@ -222,7 +250,7 @@ class PromptableViT(nn.Module):
         for i in range(self.depth):
             x = _Block(self.embed_dim, self.num_heads, self.mlp_ratio,
                        self.dtype, attn_impl=self.attn_impl,
-                       name=f"blocks__{i}")(x, key_valid)
+                       gelu=self.gelu, name=f"blocks__{i}")(x, key_valid)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         cls_feat = x[:, 0]
         spatial = x[:, 1:n_real].reshape(B, gh, gw, self.embed_dim)
@@ -255,6 +283,7 @@ class KPR(nn.Module):
     n_cameras: int = 0
     dtype: Any = jnp.float32
     attn_impl: str = "naive"
+    gelu: str = "erf"
     token_pad: int = 0
 
     def dummy_input_shapes(self, input_shape):
@@ -274,7 +303,7 @@ class KPR(nn.Module):
             depth=self.depth, num_heads=self.num_heads,
             n_prompt_ch=self.n_prompt_ch, n_cameras=self.n_cameras,
             dtype=self.dtype, attn_impl=self.attn_impl,
-            token_pad=self.token_pad, name="backbone")
+            gelu=self.gelu, token_pad=self.token_pad, name="backbone")
         cls_feat, spat = backbone(images, prompt_masks, cam_id)
         B, gh, gw, D = spat.shape
 

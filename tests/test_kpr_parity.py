@@ -283,23 +283,27 @@ def test_attention_impls_agree():
     kw = dict(num_parts=3, dim_reduce_output=32, img_size=(64, 32),
               patch_size=8, stride=8, embed_dim=64, depth=2, num_heads=4)
     naive = KPR(attn_impl="naive", **kw)
-    dpa = KPR(attn_impl="dpa", **kw)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((3, 64, 32, 3)), jnp.float32)
     p = jnp.asarray(rng.uniform(0, 1, (3, 64, 32, 7)), jnp.float32)
     variables = naive.init(jax.random.PRNGKey(0), x, p, train=False)
-    # identical param trees: impl only changes the lowering
+    # identical param trees: impl only changes the lowering ("pallas"
+    # runs the ops/vit_attention_pallas fused kernel, interpret mode
+    # off-TPU)
     out_n = naive.apply(variables, x, p, train=False)
-    out_d = dpa.apply(variables, x, p, train=False)
-    for key in ("bn_foreg", "bn_parts", "attn", "cls_feat"):
-        np.testing.assert_allclose(np.asarray(out_n[key]),
-                                   np.asarray(out_d[key]),
-                                   rtol=1e-5, atol=1e-5, err_msg=key)
     e_n, v_n = extract_test_embeddings(out_n)
-    e_d, v_d = extract_test_embeddings(out_d)
-    np.testing.assert_allclose(np.asarray(e_n), np.asarray(e_d),
-                               rtol=1e-5, atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(v_n), np.asarray(v_d))
+    for impl in ("dpa", "pallas"):
+        other = KPR(attn_impl=impl, **kw)
+        out_d = other.apply(variables, x, p, train=False)
+        for key in ("bn_foreg", "bn_parts", "attn", "cls_feat"):
+            np.testing.assert_allclose(np.asarray(out_n[key]),
+                                       np.asarray(out_d[key]),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"{impl}:{key}")
+        e_d, v_d = extract_test_embeddings(out_d)
+        np.testing.assert_allclose(np.asarray(e_n), np.asarray(e_d),
+                                   rtol=1e-5, atol=1e-5, err_msg=impl)
+        np.testing.assert_array_equal(np.asarray(v_n), np.asarray(v_d))
 
 
 def test_token_pad_output_identical():
@@ -321,7 +325,7 @@ def test_token_pad_output_identical():
     base = KPR(attn_impl="naive", **kw)  # 1 + 8*4 = 33 tokens
     variables = base.init(jax.random.PRNGKey(0), x, p, train=False)
     out_ref = base.apply(variables, x, p, train=False)
-    for impl in ("naive", "dpa"):
+    for impl in ("naive", "dpa", "pallas"):
         padded = KPR(attn_impl=impl, token_pad=64, **kw)
         out_p = padded.apply(variables, x, p, train=False)
         for key in ("bn_foreg", "bn_parts", "attn", "cls_feat"):

@@ -131,6 +131,7 @@ class _Attention(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     impl: str = "naive"
+    n_valid: int | None = None   # static real-token count (pallas mask)
 
     @nn.compact
     def __call__(self, x, key_valid=None):
@@ -138,7 +139,12 @@ class _Attention(nn.Module):
         H = self.num_heads
         qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, D // H)
-        if self.impl == "dpa":
+        if self.impl == "pallas":
+            from tracklab_tpu.ops.vit_attention_pallas import vit_attention
+            y = vit_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+                              n_valid=self.n_valid)
+            y = y.reshape(B, N, D)
+        elif self.impl == "dpa":
             mask = (None if key_valid is None
                     else key_valid[None, None, None, :])
             y = jax.nn.dot_product_attention(
@@ -164,11 +170,13 @@ class _Block(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "naive"
     gelu: str = "erf"
+    n_valid: int | None = None
 
     @nn.compact
     def __call__(self, x, key_valid=None):
         x = x + _Attention(self.dim, self.num_heads, self.dtype,
-                           impl=self.attn_impl, name="attn")(
+                           impl=self.attn_impl, n_valid=self.n_valid,
+                           name="attn")(
             nn.LayerNorm(epsilon=1e-6, name="norm1")(x), key_valid)
         x = x + _Mlp(int(self.dim * self.mlp_ratio), self.dim,
                      self.dtype, gelu=self.gelu, name="mlp")(
@@ -196,7 +204,8 @@ class PromptableViT(nn.Module):
     n_prompt_ch: int = 7      # cck6 groups + negative-keypoint channel
     n_cameras: int = 0        # >0 enables the SIE camera embedding
     dtype: Any = jnp.float32
-    attn_impl: str = "naive"  # "naive" | "dpa" (see _Attention)
+    attn_impl: str = "naive"  # "naive" | "dpa" | "pallas" (one fused
+    #   VMEM-resident kernel per (batch, head) — ops/vit_attention_pallas)
     gelu: str = "erf"         # "erf" (exact) | "erfpoly" | "tanh"
     token_pad: int = 0        # pad sequence to this length (0 = off):
     #   TPU MXU/VPU tiles are 128-lane; 1+24*8=193 tokens is an awkward
@@ -247,10 +256,12 @@ class PromptableViT(nn.Module):
         if self.token_pad and self.token_pad > n_real:
             x = jnp.pad(x, ((0, 0), (0, self.token_pad - n_real), (0, 0)))
             key_valid = jnp.arange(self.token_pad) < n_real
+        n_valid = n_real if key_valid is not None else None
         for i in range(self.depth):
             x = _Block(self.embed_dim, self.num_heads, self.mlp_ratio,
                        self.dtype, attn_impl=self.attn_impl,
-                       gelu=self.gelu, name=f"blocks__{i}")(x, key_valid)
+                       gelu=self.gelu, n_valid=n_valid,
+                       name=f"blocks__{i}")(x, key_valid)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         cls_feat = x[:, 0]
         spatial = x[:, 1:n_real].reshape(B, gh, gw, self.embed_dim)

@@ -475,8 +475,11 @@ def _deform_backend() -> str:
     incl. the out-of-bounds zero rows. Measured 45.6 ms (4.1x).
     ``wgrid``: the same math reassociated — taps folded into one dense
     per-query sampling matrix first, then ONE (Q, h*w) @ (h*w, D) MXU
-    matmul per head; ~2.2x fewer sampling bytes and P-fold fewer
-    sampling FLOPs than ``onehot`` (see _sample_wgrid).
+    matmul per head. On CPU this fuses to ~36% fewer deformable-path
+    bytes; the TPU lowering MATERIALIZES the folded (B, Q, H, h*w)
+    matrix — TPU-compiled cost analysis 1668.6 vs onehot's 697.8
+    MB/img at bs=128, measured +150-225 ms/batch in interleaved
+    same-regime pairs (BASELINE.md r5) — so it stays opt-in.
     ``auto`` picks onehot on TPU, gather elsewhere."""
     mode = os.environ.get("TRACKLAB_TPU_DEFORM_BACKEND", "auto")
     if mode == "auto":

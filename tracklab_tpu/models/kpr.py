@@ -144,6 +144,29 @@ class _Attention(nn.Module):
             y = vit_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
                               n_valid=self.n_valid)
             y = y.reshape(B, N, D)
+        elif self.impl in ("einsum", "einsumT"):
+            # Transpose-free lowerings (r5 device trace: the naive
+            # path's explicit head transposes are ~35 ms/call of `copy`
+            # ops at B=384). einsumT additionally puts the KEY axis on
+            # sublanes so the softmax reduction is not a cross-lane
+            # shuffle (the trace's 63 ms of convert_reduce_fusion).
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            scale = (D // H) ** -0.5
+            if self.impl == "einsum":
+                attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+                if key_valid is not None:
+                    attn = jnp.where(key_valid[None, None, None, :],
+                                     attn, jnp.finfo(attn.dtype).min)
+                attn = nn.softmax(attn, axis=-1)
+                y = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+            else:
+                attn = jnp.einsum("bmhd,bnhd->bhmn", k, q) * scale
+                if key_valid is not None:
+                    attn = jnp.where(key_valid[None, None, :, None],
+                                     attn, jnp.finfo(attn.dtype).min)
+                attn = nn.softmax(attn, axis=-2)
+                y = jnp.einsum("bhmn,bmhd->bnhd", attn, v)
+            y = y.reshape(B, N, D)
         elif self.impl == "dpa":
             mask = (None if key_valid is None
                     else key_valid[None, None, None, :])
@@ -204,8 +227,11 @@ class PromptableViT(nn.Module):
     n_prompt_ch: int = 7      # cck6 groups + negative-keypoint channel
     n_cameras: int = 0        # >0 enables the SIE camera embedding
     dtype: Any = jnp.float32
-    attn_impl: str = "naive"  # "naive" | "dpa" | "pallas" (one fused
-    #   VMEM-resident kernel per (batch, head) — ops/vit_attention_pallas)
+    attn_impl: str = "naive"  # "naive" | "dpa" | "einsum" | "einsumT"
+    #   | "pallas"; einsum* are transpose-free dot_general lowerings
+    #   (einsumT also reduces softmax over sublanes), pallas is the
+    #   fused VMEM kernel (ops/vit_attention_pallas) — all A/B'd on
+    #   chip in BASELINE.md r5
     gelu: str = "erf"         # "erf" (exact) | "erfpoly" | "tanh"
     token_pad: int = 0        # pad sequence to this length (0 = off):
     #   TPU MXU/VPU tiles are 128-lane; 1+24*8=193 tokens is an awkward

@@ -292,7 +292,7 @@ def test_attention_impls_agree():
     # off-TPU)
     out_n = naive.apply(variables, x, p, train=False)
     e_n, v_n = extract_test_embeddings(out_n)
-    for impl in ("dpa", "pallas"):
+    for impl in ("dpa", "einsum", "einsumT", "pallas"):
         other = KPR(attn_impl=impl, **kw)
         out_d = other.apply(variables, x, p, train=False)
         for key in ("bn_foreg", "bn_parts", "attn", "cls_feat"):
@@ -325,7 +325,7 @@ def test_token_pad_output_identical():
     base = KPR(attn_impl="naive", **kw)  # 1 + 8*4 = 33 tokens
     variables = base.init(jax.random.PRNGKey(0), x, p, train=False)
     out_ref = base.apply(variables, x, p, train=False)
-    for impl in ("naive", "dpa", "pallas"):
+    for impl in ("naive", "dpa", "einsum", "einsumT", "pallas"):
         padded = KPR(attn_impl=impl, token_pad=64, **kw)
         out_p = padded.apply(variables, x, p, train=False)
         for key in ("bn_foreg", "bn_parts", "attn", "cls_feat"):

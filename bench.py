@@ -432,7 +432,8 @@ def main():
                                                make_topdown_pose_fn)
         from tracklab_tpu.models.pose import TopDownPose
 
-        P_CHUNK = int(os.environ.get("TRACKLAB_TPU_POSE_CHUNK", "64"))
+        # r5 sweep: 32: 503.7, 64: 647.8, 128: 697.8 fps -> 128 default
+        P_CHUNK = int(os.environ.get("TRACKLAB_TPU_POSE_CHUNK", "128"))
         P_DETS = 32
         pmodel = TopDownPose(num_keypoints=17, variant="s",
                              dtype=jnp.bfloat16)

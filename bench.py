@@ -465,7 +465,8 @@ def main():
                                                make_bottomup_detect_fn)
         from tracklab_tpu.models.pose import YOLOXPose
 
-        B_CHUNK = int(os.environ.get("TRACKLAB_TPU_BU_CHUNK", "64"))
+        # r5 sweep: 64: 885.0, 128: 963.6, 192: 911.5 fps -> 128 default
+        B_CHUNK = int(os.environ.get("TRACKLAB_TPU_BU_CHUNK", "128"))
         bmodel = YOLOXPose(num_classes=1, num_keypoints=17, variant="s",
                            dtype=jnp.bfloat16)
         bvars = bmodel.init(jax.random.PRNGKey(5),

@@ -62,8 +62,8 @@ def _kernel(n_heads, n_valid, scale, q_ref, k_ref, v_ref, o_ref):
 
 def vit_attention(q, k, v, n_valid: int | None = None,
                   interpret: bool | None = None):
-    """Multi-head attention ``softmax(q k^T / sqrt(Dh)) v`` fused per
-    (batch, head) grid step.
+    """Multi-head attention ``softmax(q k^T / sqrt(Dh)) v`` fused as
+    one Pallas program per batch element (heads unrolled in-kernel).
 
     Args:
       q, k, v: ``(B, N, H, Dh)`` arrays (any float dtype; matmuls
